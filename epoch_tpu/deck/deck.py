@@ -1,0 +1,779 @@
+"""Input-deck reader.
+
+Re-implements the reference deck front-end (``epoch2d/src/deck/deck.F90``):
+``begin:block``/``end:block`` sections of ``element = value`` lines, ``#``
+comments, ``\\`` line continuations, recursive ``import:`` includes and the
+two-pass structure (names/geometry first, expressions after allocation).
+The deck format is preserved verbatim so existing EPOCH decks run unchanged.
+"""
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field as dfield
+
+from .. import constants as const
+from . import blocks as B
+from .expr import DUMPMASK_WORDS, Expression, DeckExprError
+
+
+@dataclass
+class RawBlock:
+    name: str
+    elements: list  # [(element, value), ...]
+
+
+def read_deck_lines(path: str) -> list[RawBlock]:
+    """Tokenise a deck file into raw blocks, following ``import:``s."""
+    out: list[RawBlock] = []
+    stack: list[RawBlock] = []
+    base = os.path.dirname(os.path.abspath(path))
+
+    def handle_file(p):
+        with open(p) as f:
+            buf = ""
+            for raw in f:
+                line = raw.split("#", 1)[0].strip()
+                if not line:
+                    continue
+                if line.endswith("\\"):
+                    buf += line[:-1] + " "
+                    continue
+                line = buf + line
+                buf = ""
+                _handle_line(line, p)
+
+    def _handle_line(line, cur_path):
+        low = line.lower()
+        if low.startswith("begin:"):
+            name = line.split(":", 1)[1].strip().lower()
+            stack.append(RawBlock(name, []))
+            return
+        if low.startswith("end:"):
+            if stack:
+                out.append(stack.pop())
+            return
+        if low.startswith("import:"):
+            sub = line.split(":", 1)[1].strip()
+            handle_file(os.path.join(base, sub))
+            return
+        if "=" in line:
+            el, val = line.split("=", 1)
+            el, val = el.strip(), val.strip()
+        elif ":" in line:
+            el, val = line.split(":", 1)
+            el, val = el.strip(), val.strip()
+        else:
+            el, val = line, ""
+        if stack:
+            stack[-1].elements.append((el, val))
+
+    handle_file(path)
+    return out
+
+
+@dataclass
+class DeckConfig:
+    """Fully parsed deck: the entire runtime configuration surface."""
+    control: B.ControlBlock = dfield(default_factory=B.ControlBlock)
+    boundaries: B.BoundariesBlock = dfield(default_factory=B.BoundariesBlock)
+    species: list = dfield(default_factory=list)
+    lasers: list = dfield(default_factory=list)
+    fields: B.FieldsBlock = dfield(default_factory=B.FieldsBlock)
+    window: B.WindowBlock = dfield(default_factory=B.WindowBlock)
+    outputs: list = dfield(default_factory=list)
+    dist_fns: list = dfield(default_factory=list)
+    stencil: B.StencilBlock | None = None
+    probes: list = dfield(default_factory=list)
+    subsets: list = dfield(default_factory=list)
+    injectors: list = dfield(default_factory=list)
+    collisions: B.CollisionsBlock = dfield(default_factory=B.CollisionsBlock)
+    qed: B.QEDBlock = dfield(default_factory=B.QEDBlock)
+    bremsstrahlung: B.BremsstrahlungBlock = dfield(default_factory=B.BremsstrahlungBlock)
+    constants: dict = dfield(default_factory=dict)   # name → RPN (inlined)
+    ndims: int = 1
+    deck_text: str = ""
+
+    @property
+    def species_names(self):
+        return tuple(s.name for s in self.species)
+
+    def species_index(self, name: str) -> int:
+        for i, s in enumerate(self.species):
+            if s.name == name:
+                return i
+        raise KeyError(f"unknown species {name!r}")
+
+
+class DeckParseError(ValueError):
+    pass
+
+
+_BOUNDARY_NAMES = {
+    "x_min": const.BD_X_MIN, "x_max": const.BD_X_MAX,
+    "y_min": const.BD_Y_MIN, "y_max": const.BD_Y_MAX,
+    "z_min": const.BD_Z_MIN, "z_max": const.BD_Z_MAX,
+    # legacy names (left/right/down/up/back/front)
+    "left": const.BD_X_MIN, "right": const.BD_X_MAX,
+    "down": const.BD_Y_MIN, "up": const.BD_Y_MAX,
+    "back": const.BD_Z_MIN, "front": const.BD_Z_MAX,
+}
+
+_TRUE = {"t", "true", "y", "yes", "on", "1"}
+_FALSE = {"f", "false", "n", "no", "off", "0"}
+
+
+class DeckParser:
+    """Two-pass deck parser (reference: deck.F90:418 ``read_deck``)."""
+
+    def __init__(self, ndims: int = 1):
+        self.cfg = DeckConfig(ndims=ndims)
+        self._ctx = {"ndims": float(ndims)}
+
+    # -- helpers ----------------------------------------------------------
+    def expr(self, value: str) -> Expression:
+        return Expression.compile(value, user_constants=self.cfg.constants,
+                                  species_names=self.cfg.species_names)
+
+    def num(self, value: str) -> float:
+        e = self.expr(value)
+        return float(e(self._ctx))
+
+    def integer(self, value: str) -> int:
+        return int(round(self.num(value)))
+
+    def logical(self, value: str) -> bool:
+        v = value.strip().lower()
+        if v in _TRUE:
+            return True
+        if v in _FALSE:
+            return False
+        raise DeckParseError(f"bad logical {value!r}")
+
+    def dumpmask(self, value: str) -> int:
+        v = value.strip().lower()
+        if v in _TRUE:
+            return int(const.IOType.ALWAYS)
+        if v in _FALSE:
+            return int(const.IOType.NEVER)
+        ctx = {k: float(v) for k, v in DUMPMASK_WORDS.items()}
+        ctx.update(self._ctx)
+        return int(self.expr(value)(ctx))
+
+    def pair(self, value: str):
+        """Parse '(a, b)' range tuples used by dist_fn/subset blocks."""
+        v = value.strip()
+        if v.startswith("(") and v.endswith(")"):
+            v = v[1:-1]
+        parts = _split_top_level(v)
+        return tuple(self.num(p) for p in parts)
+
+    # -- main entry -------------------------------------------------------
+    def parse_file(self, path: str) -> DeckConfig:
+        raw = read_deck_lines(path)
+        with open(path) as f:
+            self.cfg.deck_text = f.read()
+        # pass 1: constants + control + boundaries + species scalars (names)
+        for blk in raw:
+            if blk.name == "constant":
+                self._handle_constant(blk)
+            elif blk.name == "control":
+                self._handle_control(blk)
+            elif blk.name == "boundaries":
+                self._handle_boundaries(blk)
+        self._update_ctx()
+        # pass 2: everything else, in deck order
+        for blk in raw:
+            handler = getattr(self, f"_handle_{blk.name}", None)
+            if blk.name in ("constant", "control", "boundaries"):
+                continue
+            if handler is None:
+                # unknown block: tolerated like custom_deck hooks
+                continue
+            handler(blk)
+        self._finalise()
+        return self.cfg
+
+    def _update_ctx(self):
+        c = self.cfg.control
+        self._ctx.update(
+            nx=float(c.nx), ny=float(c.ny), nz=float(c.nz),
+            x_min=c.x_min, x_max=c.x_max, y_min=c.y_min, y_max=c.y_max,
+            z_min=c.z_min, z_max=c.z_max,
+            length_x=c.x_max - c.x_min, lengthx=c.x_max - c.x_min,
+            length_y=c.y_max - c.y_min, lengthy=c.y_max - c.y_min,
+            length_z=c.z_max - c.z_min, lengthz=c.z_max - c.z_min,
+            t_end=c.t_end, nsteps=float(c.nsteps),
+            nprocx=float(c.nprocx), nprocy=float(c.nprocy), nprocz=float(c.nprocz),
+        )
+        if c.nx:
+            self._ctx["dx"] = (c.x_max - c.x_min) / c.nx
+        if c.ny > 1:
+            self._ctx["dy"] = (c.y_max - c.y_min) / c.ny
+        if c.nz > 1:
+            self._ctx["dz"] = (c.z_max - c.z_min) / c.nz
+
+    # -- block handlers ---------------------------------------------------
+    def _handle_constant(self, blk: RawBlock):
+        for el, val in blk.elements:
+            e = self.expr(val)
+            self.cfg.constants[el] = e.rpn
+
+    def _handle_control(self, blk: RawBlock):
+        c = self.cfg.control
+        for el, val in blk.elements:
+            el = el.lower()
+            if el in ("nx", "ny", "nz"):
+                setattr(c, el, self.integer(val))
+                self._update_ctx()
+            elif el in ("x_min", "x_max", "y_min", "y_max", "z_min", "z_max",
+                        "x_start", "x_end", "y_start", "y_end", "z_start", "z_end"):
+                name = el.replace("start", "min").replace("end", "max")
+                setattr(c, name, self.num(val))
+                self._update_ctx()
+            elif el == "t_end":
+                c.t_end = self.num(val)
+                self._update_ctx()
+            elif el in ("nsteps", "nstep"):
+                c.nsteps = self.integer(val)
+            elif el == "dt_multiplier":
+                c.dt_multiplier = self.num(val)
+            elif el == "field_order":
+                c.field_order = self.integer(val)
+            elif el == "maxwell_solver":
+                c.maxwell_solver = B.MAXWELL_SOLVER_NAMES[val.strip().lower()]
+            elif el == "stdout_frequency":
+                c.stdout_frequency = self.integer(val)
+            elif el == "use_random_seed":
+                c.use_random_seed = self.logical(val)
+            elif el == "random_seed":
+                c.random_seed = self.integer(val)
+            elif el == "smooth_currents":
+                c.smooth_currents = self.logical(val)
+            elif el == "smooth_iterations":
+                c.smooth_iterations = self.integer(val)
+            elif el == "smooth_compensation":
+                c.smooth_compensation = self.logical(val)
+            elif el == "smooth_strides":
+                if val.strip().lower() == "auto":
+                    c.smooth_strides = ()   # auto strides (current_smooth default)
+                else:
+                    c.smooth_strides = tuple(
+                        self.integer(v) for v in _split_top_level(val))
+            elif el in ("npart", "nparticles"):
+                c.npart = self.integer(val)
+            elif el in ("nprocx", "nproc_x"):
+                c.nprocx = self.integer(val)
+            elif el in ("nprocy", "nproc_y"):
+                c.nprocy = self.integer(val)
+            elif el in ("nprocz", "nproc_z"):
+                c.nprocz = self.integer(val)
+            elif el == "use_balance" or el == "dlb":
+                c.use_balance = self.logical(val)
+            elif el == "dlb_threshold":
+                c.dlb_threshold = self.num(val)
+                c.use_balance = True
+            elif el == "restart_snapshot":
+                c.restart_snapshot = val.strip()
+            elif el == "field_ionisation":
+                c.field_ionisation = self.logical(val)
+            elif el == "use_multiphoton":
+                c.use_multiphoton = self.logical(val)
+            elif el == "use_bsi":
+                c.use_bsi = self.logical(val)
+            elif el == "particle_tstart":
+                c.particle_tstart = self.num(val)
+            elif el == "use_exact_restart":
+                c.use_exact_restart = self.logical(val)
+            elif el == "check_stop_frequency":
+                c.check_stop_frequency = self.integer(val)
+            elif el == "stop_at_walltime":
+                c.stop_at_walltime = self.num(val)
+            elif el == "use_current_correction":
+                c.use_current_correction = self.logical(val)
+            elif el == "n_zeros":
+                c.n_zeros = self.integer(val)
+            elif el == "particle_shape":
+                c.particle_shape = B.SHAPE_NAMES[val.strip().lower()]
+            elif el == "precision":
+                c.precision = val.strip().lower()
+            # silently accept remaining legacy keys for now
+        self._update_ctx()
+
+    def _handle_boundaries(self, blk: RawBlock):
+        b = self.cfg.boundaries
+        for el, val in blk.elements:
+            el = el.lower()
+            m = re.match(r"bc_(x|y|z)_(min|max)(_field|_particle)?$", el)
+            if m:
+                idx = _BOUNDARY_NAMES[f"{m.group(1)}_{m.group(2)}"]
+                bc = B.BC_NAMES[val.strip().lower()]
+                if m.group(3) == "_field":
+                    b.bc_field[idx] = bc
+                elif m.group(3) == "_particle":
+                    b.bc_particle[idx] = bc
+                else:
+                    b.bc_field[idx] = bc
+                    b.bc_particle[idx] = _particle_bc_from_field(bc)
+            elif el == "cpml_thickness":
+                b.cpml_thickness = self.integer(val)
+            elif el == "cpml_kappa_max":
+                b.cpml_kappa_max = self.num(val)
+            elif el == "cpml_a_max":
+                b.cpml_a_max = self.num(val)
+            elif el == "cpml_sigma_max":
+                b.cpml_sigma_max = self.num(val)
+
+    def _handle_species(self, blk: RawBlock):
+        s = B.SpeciesBlock()
+        for el, val in blk.elements:
+            ell = el.lower()
+            if ell == "name":
+                s.name = val.strip()
+            elif ell == "charge":
+                s.charge = self.num(val) * const.q0
+            elif ell == "mass":
+                s.mass = self.num(val) * const.m0
+            elif ell in ("npart", "nparticles"):
+                s.npart = self.integer(val)
+            elif ell in ("npart_per_cell", "nparticles_per_cell"):
+                s.npart_per_cell = self.num(val)
+            elif ell in ("density", "number_density", "rho"):
+                s.density = self.expr(val)
+            elif ell in ("density_min", "number_density_min"):
+                s.density_min = self.num(val)
+            elif ell in ("density_max", "number_density_max"):
+                s.density_max = self.num(val)
+            elif ell in ("density_back", "number_density_back"):
+                s.background_density = self.expr(val)
+            elif ell in ("temp", "temperature", "temp_k", "temperature_k"):
+                e = self.expr(val)
+                s.temp = [e, e, e]
+            elif ell in ("temp_ev", "temperature_ev"):
+                e = self.expr(f"({val}) * ev / kb")
+                s.temp = [e, e, e]
+            else:
+                m = re.match(r"temp(?:erature)?_(x|y|z)(_ev|_k)?$", ell)
+                if m:
+                    i = "xyz".index(m.group(1))
+                    if m.group(2) == "_ev":
+                        s.temp[i] = self.expr(f"({val}) * ev / kb")
+                    else:
+                        s.temp[i] = self.expr(val)
+                    continue
+                m = re.match(r"drift_?p?(x|y|z)$", ell)
+                if m:
+                    i = "xyz".index(m.group(1))
+                    s.drift[i] = self.expr(val)
+                    continue
+                m = re.match(r"bc_(x|y|z)_(min|max)$", ell)
+                if m:
+                    idx = _BOUNDARY_NAMES[f"{m.group(1)}_{m.group(2)}"]
+                    s.bc_particle[idx] = B.BC_NAMES[val.strip().lower()]
+                    continue
+                if ell == "immobile":
+                    s.immobile = self.logical(val)
+                elif ell in ("zero_current", "tracer"):
+                    s.zero_current = self.logical(val)
+                elif ell == "identify":
+                    s.identify = val.strip().lower()
+                    s.species_type = _species_type_from_identify(s.identify)
+                elif ell == "dump" or ell == "dumpmask":
+                    s.dumpmask = self.dumpmask(val)
+                elif ell == "atomic_number" or ell == "atomic_no":
+                    s.atomic_number = self.integer(val)
+                elif ell == "ionisation_energies":
+                    s.ionisation_energies = [
+                        self.num(v) for v in _split_top_level(_strip_parens(val))]
+                elif ell in ("ionise_to_species", "ionise_species"):
+                    s.ionise_to_species = [v.strip() for v in _split_top_level(val)]
+                elif ell == "electron_species" or ell == "electron":
+                    s.electron_species = [v.strip() for v in _split_top_level(val)]
+                elif ell == "migrate":
+                    s.migrate = self.logical(val)
+                elif ell == "promote_to":
+                    s.promote_to = val.strip()
+                elif ell == "demote_to":
+                    s.demote_to = val.strip()
+                elif ell == "promote_multiplier":
+                    s.promote_multiplier = self.num(val)
+                elif ell == "demote_multiplier":
+                    s.demote_multiplier = self.num(val)
+                elif ell == "promote_number_density":
+                    s.promote_density = self.num(val)
+                elif ell == "demote_number_density":
+                    s.demote_density = self.num(val)
+                elif ell == "fill_ghosts":
+                    s.fill_ghosts = self.logical(val)
+                # remaining keys tolerated
+        if not s.name:
+            raise DeckParseError("species block without a name")
+        self.cfg.species.append(s)
+
+    def _handle_laser(self, blk: RawBlock):
+        las = B.LaserBlock()
+        for el, val in blk.elements:
+            el = el.lower()
+            if el == "boundary" or el == "direction":
+                las.boundary = _BOUNDARY_NAMES[val.strip().lower()]
+            elif el == "amp":
+                las.amp = self.num(val)
+            elif el in ("intensity", "irradiance"):
+                las.amp = (self.num(val) / (const.c * const.epsilon0 / 2.0)) ** 0.5
+            elif el in ("intensity_w_cm2", "irradiance_w_cm2"):
+                las.amp = ((self.num(val) / (const.c * const.epsilon0 / 2.0)) ** 0.5) * 100.0
+            elif el in ("omega", "freq", "frequency", "lambda"):
+                e = self.expr(val)
+                las.omega_expr = e
+                las.omega_func_type = {"omega": "omega", "freq": "freq",
+                                       "frequency": "freq", "lambda": "lambda"}[el]
+                if not e.time_varying:
+                    om = float(e(self._ctx))
+                    if las.omega_func_type == "freq":
+                        om = 2.0 * const.pi * om
+                    elif las.omega_func_type == "lambda":
+                        om = 2.0 * const.pi * const.c / om
+                    las.omega = om
+                    las.omega_expr = None
+            elif el == "pol_angle" or el == "pol":
+                ang = self.num(val)
+                if el == "pol":
+                    ang = ang * const.pi / 180.0
+                las.pol_angle = ang
+            elif el == "phase":
+                las.phase = self.expr(val)
+            elif el == "t_profile":
+                las.t_profile = self.expr(val)
+            elif el == "profile":
+                las.profile = self.expr(val)
+            elif el == "t_start":
+                las.t_start = self.num(val) if val.strip().lower() != "start" else 0.0
+            elif el == "t_end":
+                las.t_end = self.num(val) if val.strip().lower() != "end" \
+                    else self.cfg.control.t_end
+            elif el == "id":
+                las.id = self.integer(val)
+        self.cfg.lasers.append(las)
+
+    def _handle_fields(self, blk: RawBlock):
+        f = self.cfg.fields
+        for el, val in blk.elements:
+            el = el.lower()
+            if el in ("ex", "ey", "ez", "bx", "by", "bz"):
+                setattr(f, el, self.expr(val))
+            elif el == "offset":
+                f.offset = self.integer(val)
+
+    def _handle_window(self, blk: RawBlock):
+        w = self.cfg.window
+        for el, val in blk.elements:
+            el = el.lower()
+            if el == "move_window":
+                w.move_window = self.logical(val)
+            elif el == "window_v_x":
+                w.window_v_x = self.expr(val)
+            elif el == "window_start_time":
+                w.window_start_time = self.num(val)
+            elif el == "window_stop_time":
+                w.window_stop_time = self.num(val)
+            elif el == "bc_x_min_after_move":
+                w.bc_x_min_after_move = B.BC_NAMES[val.strip().lower()]
+            elif el == "bc_x_max_after_move":
+                w.bc_x_max_after_move = B.BC_NAMES[val.strip().lower()]
+
+    def _handle_output(self, blk: RawBlock):
+        o = B.OutputBlock()
+        scalar_keys = {
+            "name": ("name", str.strip),
+            "file_prefix": ("file_prefix", str.strip),
+            "dt_snapshot": ("dt_snapshot", self.num),
+            "nstep_snapshot": ("nstep_snapshot", self.integer),
+            "dump_first": ("dump_first", self.logical),
+            "dump_last": ("dump_last", self.logical),
+            "dump_cycle": ("dump_cycle", self.integer),
+            "restart_dump_every": ("restart_dump_every", self.integer),
+            "full_dump_every": ("full_dump_every", self.integer),
+            "force_final_to_be_restartable": ("force_final_to_be_restartable",
+                                              self.logical),
+            "rolling_restart": ("rolling_restart", self.logical),
+            "time_start": ("time_start", self.num),
+            "time_stop": ("time_stop", self.num),
+            "nstep_start": ("nstep_start", self.integer),
+            "nstep_stop": ("nstep_stop", self.integer),
+            "dt_average": ("dt_average", self.num),
+            "nstep_average": ("nstep_average", self.integer),
+        }
+        for el, val in blk.elements:
+            el = el.lower()
+            if el in scalar_keys:
+                attr, conv = scalar_keys[el]
+                setattr(o, attr, conv(val))
+            elif el == "dump_at_times" or el == "times_dump":
+                o.dump_at_times = [self.num(v) for v in _split_top_level(val)]
+            elif el == "dump_at_nsteps" or el == "nsteps_dump":
+                o.dump_at_nsteps = [self.integer(v) for v in _split_top_level(val)]
+            else:
+                # everything else is an output-variable dumpmask
+                try:
+                    o.variables[el] = self.dumpmask(val)
+                except DeckExprError:
+                    pass
+        self.cfg.outputs.append(o)
+
+    _handle_output_global = _handle_output  # io_global merges into the same model
+
+    def _handle_dist_fn(self, blk: RawBlock):
+        d = B.DistFnBlock()
+        for el, val in blk.elements:
+            el = el.lower()
+            if el == "name":
+                d.name = val.strip()
+            elif el == "ndims":
+                d.ndims = self.integer(val)
+            elif el == "dumpmask":
+                d.dumpmask = self.dumpmask(val)
+            elif el == "output_deltaf":
+                d.output_deltaf = self.logical(val)
+            elif el.startswith("direction"):
+                d.directions.append(const.Direction(self.integer(val)))
+            elif el.startswith("range"):
+                d.ranges.append(self.pair(val))
+            elif el.startswith("resolution"):
+                d.resolutions.append(self.integer(val))
+            elif el == "include_species":
+                d.include_species.append(val.strip())
+            elif el.startswith("restrict_"):
+                d.restrictions[el[len("restrict_"):]] = self.pair(val)
+        self.cfg.dist_fns.append(d)
+
+    def _handle_stencil(self, blk: RawBlock):
+        st = B.StencilBlock()
+        for el, val in blk.elements:
+            el = el.lower()
+            if el == "dt":
+                st.dt = self.num(val)
+            elif hasattr(st, el):
+                setattr(st, el, self.num(val))
+        self.cfg.stencil = st
+
+    def _handle_probe(self, blk: RawBlock):
+        p = B.ProbeBlock()
+        for el, val in blk.elements:
+            el = el.lower()
+            if el == "name":
+                p.name = val.strip()
+            elif el == "point":
+                p.point = list(self.pair(val)) if "," in val else [self.num(val)]
+            elif el == "normal":
+                p.normal = list(self.pair(val)) if "," in val else [self.num(val)]
+            elif el == "ek_min":
+                p.ek_min = self.num(val)
+            elif el == "ek_max":
+                p.ek_max = self.num(val)
+            elif el == "include_species":
+                p.include_species.append(val.strip())
+            elif el == "dumpmask":
+                p.dumpmask = self.dumpmask(val)
+        self.cfg.probes.append(p)
+
+    def _handle_subset(self, blk: RawBlock):
+        s = B.SubsetBlock()
+        for el, val in blk.elements:
+            el = el.lower()
+            if el == "name":
+                s.name = val.strip()
+            elif el == "include_species":
+                s.include_species.append(val.strip())
+            elif el == "random_fraction":
+                s.random_fraction = self.num(val)
+            elif el == "restriction":
+                s.restriction = self.expr(val)
+            elif el == "persist_start_time":
+                s.persist_start_time = self.num(val)
+            elif el == "persist_start_step":
+                s.persist_start_step = self.integer(val)
+            elif el == "dumpmask":
+                s.dumpmask = self.dumpmask(val)
+            else:
+                m = re.match(r"(x|y|z)_(min|max)$", el)
+                if m:
+                    box = s.space_box.setdefault(m.group(1), [None, None])
+                    box[0 if m.group(2) == "min" else 1] = self.num(val)
+                    continue
+                m = re.match(r"(\w+)_(min|max)$", el)
+                if m:
+                    rng = s.ranges.setdefault(m.group(1), [None, None])
+                    rng[0 if m.group(2) == "min" else 1] = self.num(val)
+        self.cfg.subsets.append(s)
+
+    def _handle_injector(self, blk: RawBlock):
+        inj = B.InjectorBlock()
+        for el, val in blk.elements:
+            el = el.lower()
+            if el == "boundary":
+                inj.boundary = _BOUNDARY_NAMES[val.strip().lower()]
+            elif el == "species":
+                inj.species = val.strip()
+            elif el in ("npart_per_cell", "nparticles_per_cell"):
+                inj.npart_per_cell = self.num(val)
+            elif el in ("density", "number_density", "rho"):
+                inj.density = self.expr(val)
+            elif el in ("density_min", "number_density_min"):
+                inj.density_min = self.num(val)
+            elif el == "use_flux_injector" or el == "use_flux_maxwellian":
+                inj.use_flux_injector = self.logical(val)
+            elif el == "t_start":
+                inj.t_start = self.num(val)
+            elif el == "t_end":
+                inj.t_end = self.num(val)
+            else:
+                m = re.match(r"temp(?:erature)?_?(x|y|z)?(_ev|_k)?$", el)
+                if m:
+                    conv = f"({val}) * ev / kb" if m.group(2) == "_ev" else val
+                    e = self.expr(conv)
+                    if m.group(1):
+                        inj.temp["xyz".index(m.group(1))] = e
+                    else:
+                        inj.temp = [e, e, e]
+                    continue
+                m = re.match(r"drift_?p?(x|y|z)$", el)
+                if m:
+                    inj.drift["xyz".index(m.group(1))] = self.expr(val)
+        self.cfg.injectors.append(inj)
+
+    def _handle_collisions(self, blk: RawBlock):
+        cb = self.cfg.collisions
+        for el, val in blk.elements:
+            el = el.lower()
+            if el == "use_collisions":
+                cb.use_collisions = self.logical(val)
+            elif el == "coulomb_log":
+                if val.strip().lower() == "auto":
+                    cb.coulomb_log = -1.0
+                else:
+                    cb.coulomb_log = self.num(val)
+            elif el == "collide":
+                if val.strip().lower() == "all":
+                    cb.collide_all = True
+                elif val.strip().lower() == "none":
+                    cb.collide_all = False
+                else:
+                    cb.collide_pairs[val] = 1.0
+            elif el == "collisional_ionisation":
+                cb.collisional_ionisation = self.logical(val)
+            elif el == "use_nanbu":
+                cb.use_nanbu = self.logical(val)
+
+    def _handle_qed(self, blk: RawBlock):
+        q = self.cfg.qed
+        for el, val in blk.elements:
+            el = el.lower()
+            if el == "use_qed" or el == "qed":
+                q.use_qed = self.logical(val)
+            elif el == "qed_start_time":
+                q.qed_start_time = self.num(val)
+            elif el == "produce_photons":
+                q.produce_photons = self.logical(val)
+            elif el == "photon_energy_min":
+                q.photon_energy_min = self.num(val)
+            elif el == "produce_pairs":
+                q.produce_pairs = self.logical(val)
+            elif el == "photon_dynamics":
+                q.photon_dynamics = self.logical(val)
+            elif el == "qed_table_location":
+                q.qed_table_location = val.strip()
+            elif el == "use_radiation_reaction":
+                q.use_radiation_reaction = self.logical(val)
+
+    def _handle_bremsstrahlung(self, blk: RawBlock):
+        b = self.cfg.bremsstrahlung
+        for el, val in blk.elements:
+            el = el.lower()
+            if el in ("use_bremsstrahlung", "bremsstrahlung"):
+                b.use_bremsstrahlung = self.logical(val)
+            elif el == "start_time":
+                b.start_time = self.num(val)
+            elif el == "produce_photons":
+                b.produce_photons = self.logical(val)
+            elif el == "photon_energy_min":
+                b.photon_energy_min = self.num(val)
+            elif el == "photon_weight":
+                b.photon_weight = self.num(val)
+            elif el == "photon_dynamics":
+                b.photon_dynamics = self.logical(val)
+            elif el == "use_plasma_screening":
+                b.use_plasma_screening = self.logical(val)
+            elif el == "table_location":
+                b.table_location = val.strip()
+
+    def _finalise(self):
+        cfg = self.cfg
+        # deduce ndims from control block
+        if cfg.control.nz > 1:
+            cfg.ndims = 3
+        elif cfg.control.ny > 1:
+            cfg.ndims = 2
+        else:
+            cfg.ndims = 1
+        # laser t_end defaults to simulation t_end (laser.f90:40)
+        for las in cfg.lasers:
+            if las.t_end == float("inf"):
+                las.t_end = cfg.control.t_end
+        # per-species particle BCs default to the global ones
+        for s in cfg.species:
+            for i in range(6):
+                if s.bc_particle[i] is None:
+                    s.bc_particle[i] = cfg.boundaries.bc_particle[i]
+
+
+def _strip_parens(text: str) -> str:
+    t = text.strip()
+    if t.startswith("(") and t.endswith(")"):
+        return t[1:-1]
+    return t
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas not inside parentheses."""
+    parts, depth, cur = [], 0, ""
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        parts.append(cur.strip())
+    return parts
+
+
+def _particle_bc_from_field(bc: const.BC) -> const.BC:
+    """Field BC name → implied particle BC (setup_particle_boundary,
+    boundary.F90:99-139)."""
+    if bc in (const.BC.SIMPLE_LASER, const.BC.SIMPLE_OUTFLOW,
+              const.BC.CPML_LASER, const.BC.CPML_OUTFLOW):
+        return const.BC.OPEN
+    if bc == const.BC.CONDUCT:
+        return const.BC.REFLECT
+    return bc
+
+
+def _species_type_from_identify(identify: str) -> const.SpeciesType:
+    ident = identify.lower()
+    if "photon" in ident:
+        return const.SpeciesType.PHOTON
+    if "positron" in ident:
+        return const.SpeciesType.POSITRON
+    if "electron" in ident:
+        return const.SpeciesType.ELECTRON
+    if "proton" in ident or "ion" in ident:
+        return const.SpeciesType.ION
+    return const.SpeciesType.STANDARD
+
+
+def load_deck(path: str, ndims: int = 1) -> DeckConfig:
+    return DeckParser(ndims=ndims).parse_file(path)
