@@ -1,0 +1,208 @@
+"""Initial particle loading (auto_load).
+
+Host-side (numpy) re-implementation of
+``epoch1d/src/user_interaction/helper.F90:95-650`` and the Maxwellian
+momentum sampling of ``user_interaction/particle_temperature.F90``:
+
+* per-cell placement: ``npart_per_cell = npart / n_valid_cells`` particles
+  uniformly in every valid cell, remainder scattered randomly;
+* per-particle weights from the *normalised* shape-interpolated density:
+  ``w = density(x_p) * cell_volume / npart_in_cell`` (setup_particle_density,
+  helper.F90:651-760);
+* momenta sampled per-axis from N(drift, sqrt(kb T m))
+  (momentum_from_temperature, particle_temperature.F90:380-390).
+
+Loading happens once at startup on the host; the result is transferred to
+device as the initial slab. RNG: numpy Generator (the reference uses the KISS
+generator; streams differ, statistics match).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .. import constants as const
+from . import shapes
+from .state import ParticleSlab, empty_slab
+
+
+def _eval_on_grid(expr, grid, extra_ctx=None):
+    """Evaluate a deck expression on cell centres (interior, no ghosts)."""
+    import numpy as xp
+    if expr is None:
+        return np.zeros(grid.n)
+    ctx = dict(extra_ctx or {})
+    cs = [grid.centres(d) for d in range(grid.ndims)]
+    if grid.ndims == 1:
+        ctx.setdefault("x", cs[0])
+    elif grid.ndims == 2:
+        X, Y = np.meshgrid(cs[0], cs[1], indexing="ij")
+        ctx.setdefault("x", X)
+        ctx.setdefault("y", Y)
+    else:
+        X, Y, Z = np.meshgrid(cs[0], cs[1], cs[2], indexing="ij")
+        ctx.setdefault("x", X)
+        ctx.setdefault("y", Y)
+        ctx.setdefault("z", Z)
+    _add_geom_ctx(ctx, grid)
+    val = expr(ctx, xp=xp)
+    return np.broadcast_to(np.asarray(val, float), grid.n).copy()
+
+
+def _add_geom_ctx(ctx, grid, time=0.0):
+    names = ["x", "y", "z"]
+    for d in range(grid.ndims):
+        ctx.setdefault(f"{names[d]}_min", grid.lo[d])
+        ctx.setdefault(f"{names[d]}_max", grid.hi[d])
+        ctx.setdefault(f"d{names[d]}", grid.delta[d])
+        ctx.setdefault(f"length_{names[d]}", grid.hi[d] - grid.lo[d])
+        ctx.setdefault(f"length{names[d]}", grid.hi[d] - grid.lo[d])
+        ctx.setdefault(f"n{names[d]}", float(grid.n[d]))
+    ctx.setdefault("time", time)
+
+
+def _eval_at_points(expr, pts, grid, default=0.0, time=0.0):
+    """Evaluate a deck expression at particle positions (N, ndims)."""
+    import numpy as xp
+    if expr is None:
+        return np.full(pts.shape[0], default)
+    ctx = {}
+    names = ["x", "y", "z"]
+    for d in range(grid.ndims):
+        ctx[names[d]] = pts[:, d]
+    _add_geom_ctx(ctx, grid, time)
+    val = expr(ctx, xp=xp)
+    return np.broadcast_to(np.asarray(val, float), (pts.shape[0],)).copy()
+
+
+def sample_maxwellian(rng, mass, temp, drift):
+    """p ~ N(drift, sqrt(kb T m)) (particle_temperature.F90:380-390)."""
+    std = np.sqrt(np.maximum(temp, 0.0) * const.kb * mass)
+    return rng.normal(loc=drift, scale=std)
+
+
+def flux_maxwellian(rng, mass, temp, drift, direction):
+    """Rayleigh-weighted inflow momentum for thermal/injector boundaries
+    (flux_momentum_from_temperature, particle_temperature.F90:401-452).
+    Zero-drift specialisation: p = dir * sigma * sqrt(-2 ln(1-u))."""
+    sigma = np.sqrt(np.maximum(temp, 0.0) * const.kb * mass)
+    u = rng.uniform(size=np.shape(drift) if np.ndim(drift) else None)
+    return direction * sigma * np.sqrt(-2.0 * np.log(1.0 - u))
+
+
+def load_species(sp_block, grid, rng, dtype, cap_headroom=1.25):
+    """auto_load for one species → ParticleSlab arrays (numpy)."""
+    nd = grid.ndims
+    n_cells = int(np.prod(grid.n))
+    density = _eval_on_grid(sp_block.density, grid)
+    if sp_block.density_max > 0:
+        density = np.minimum(density, sp_block.density_max)
+    valid = density >= max(sp_block.density_min, 0.0)
+    density = np.where(valid, density, 0.0)
+    n_valid = int(valid.sum())
+
+    if sp_block.npart_per_cell >= 0:
+        npc = sp_block.npart_per_cell
+        total = int(math.floor(npc * n_valid))
+    elif sp_block.npart > 0:
+        npc = sp_block.npart / max(n_valid, 1)
+        total = sp_block.npart
+    else:
+        npc = 0
+        total = 0
+
+    npc_int = int(math.floor(npc))
+    cap = max(256, int(math.ceil(total * cap_headroom / 128.0)) * 128)
+    if total == 0:
+        return None, cap
+
+    valid_idx = np.argwhere(valid)          # (n_valid, nd)
+    # base placement: npc_int per valid cell (helper.F90:497-530)
+    base = np.repeat(valid_idx, npc_int, axis=0) if npc_int > 0 else \
+        np.zeros((0, nd), int)
+    n_left = total - base.shape[0]
+    if n_left > 0:
+        extra = valid_idx[rng.integers(0, n_valid, size=n_left)]
+        cells = np.concatenate([base, extra], axis=0)
+    else:
+        cells = base[:total]
+
+    # uniform position inside each cell (helper.F90:516)
+    pos = np.empty((total, nd))
+    for d in range(nd):
+        centres = grid.grid_min(d) + cells[:, d] * grid.delta[d]
+        pos[:, d] = centres + (rng.uniform(size=total) - 0.5) * grid.delta[d]
+
+    # weights: normalised shape-interpolated density * dV / npart_in_cell
+    # (setup_particle_density, helper.F90:651-760)
+    dens_at = _interp_density(density, pos, grid)
+    counts = np.zeros(grid.n, dtype=np.int64)
+    np.add.at(counts, tuple(cells[:, d] for d in range(nd)), 1)
+    cnt_at = counts[tuple(cells[:, d] for d in range(nd))]
+    weight = dens_at * grid.cell_volume / np.maximum(cnt_at, 1)
+
+    # momenta (setup_particle_temperature + drift)
+    p = np.zeros((total, 3))
+    for i in range(3):
+        temp = _eval_at_points(sp_block.temp[i], pos, grid, default=0.0)
+        drift = _eval_at_points(sp_block.drift[i], pos, grid, default=0.0)
+        p[:, i] = sample_maxwellian(rng, sp_block.mass, temp, drift)
+
+    arrs = dict(
+        x=pos.astype(dtype),
+        p=p.astype(dtype),
+        weight=weight.astype(dtype),
+        alive=np.ones(total, bool),
+    )
+    return arrs, cap
+
+
+def _interp_density(density, pos, grid):
+    """Shape-weighted density at particle positions with *normalised*
+    weights (gxfac.inc) — periodic wrap of the cell index for lookups."""
+    nd = grid.ndims
+    shp = grid.shape_fn
+    fac1 = shapes.FAC_1D[shp]
+    offs = shapes.support_offsets(shp)
+    out = np.zeros(pos.shape[0])
+    # per-axis cells/weights
+    cells, ws = [], []
+    for d in range(nd):
+        r = (pos[:, d] - grid.grid_min(d)) / grid.delta[d]
+        if shp == const.Shape.TOPHAT:
+            r = r - 0.5
+        c = np.floor(r + 0.5)
+        cf = c - r
+        cells.append(c.astype(int))
+        # evaluate weights at each support offset (normalised by fac1)
+        w = np.stack([_np_weight(shp, cf, o) for o in offs], axis=1) * fac1
+        ws.append(w)
+    # accumulate over the support product
+    import itertools
+    for combo in itertools.product(range(len(offs)), repeat=nd):
+        idx = tuple(np.mod(cells[d] + offs[combo[d]], grid.n[d]) for d in range(nd))
+        w = np.ones(pos.shape[0])
+        for d in range(nd):
+            w = w * ws[d][:, combo[d]]
+        out += w * density[idx]
+    return out
+
+
+def _np_weight(shp, cf, r):
+    if shp == const.Shape.TRIANGLE:
+        cf2 = cf * cf
+        table = {-1: 0.25 + cf2 + cf, 0: 1.5 - 2.0 * cf2, 1: 0.25 + cf2 - cf}
+        return table[r]
+    if shp == const.Shape.TOPHAT:
+        table = {0: 0.5 + cf, 1: 0.5 - cf}
+        return table[r]
+    cf2 = cf * cf
+    table = {
+        -2: (0.5 + cf) ** 4,
+        -1: 4.75 + 11.0 * cf + 4.0 * cf2 * (1.5 - cf - cf2),
+        0: 14.375 + 6.0 * cf2 * (cf2 - 2.5),
+        1: 4.75 - 11.0 * cf + 4.0 * cf2 * (1.5 + cf - cf2),
+        2: (0.5 - cf) ** 4,
+    }
+    return table[r]

@@ -1,0 +1,360 @@
+"""Simulation assembly and run loop.
+
+Mirrors the init sequence of ``epoch1d/src/epoch1d.F90:16-182`` (survey §3.1):
+deck → grid/allocation → particle load → dt → initial field expressions →
+boundary-field saves → half-dt laser init → initial dump → main loop.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import constants as const
+from ..deck.deck import DeckConfig, load_deck
+from . import boundaries as bnd
+from . import loader
+from . import step as step_mod
+from .config import (SimConfig, SpeciesConfig, LaserConfig, StencilCoeffs,
+                     solver_coefficients, cfl_limit, build_cpml_profiles)
+from .grid import Grid, make_grid
+from .state import (SimState, Fields, CPMLState, LaserState, ParticleSlab,
+                    zero_fields, empty_slab)
+
+
+def _normalise_bcs(deck: DeckConfig):
+    """boundary.F90:30-139 bc normalisation."""
+    b = deck.boundaries
+    for i in range(len(b.bc_field)):
+        bc = b.bc_field[i]
+        if bc in (const.BC.OTHER, const.BC.REFLECT):
+            b.bc_field[i] = const.BC.CLAMP
+        elif bc == const.BC.OPEN:
+            b.bc_field[i] = const.BC.SIMPLE_OUTFLOW
+    for sp in deck.species:
+        for i in range(6):
+            bc = sp.bc_particle[i]
+            if bc is None:
+                continue
+            if bc in (const.BC.OTHER, const.BC.CONDUCT):
+                sp.bc_particle[i] = const.BC.REFLECT
+            elif bc in (const.BC.SIMPLE_LASER, const.BC.SIMPLE_OUTFLOW,
+                        const.BC.CPML_LASER, const.BC.CPML_OUTFLOW):
+                sp.bc_particle[i] = const.BC.OPEN
+    for i in range(len(b.bc_particle)):
+        bc = b.bc_particle[i]
+        if bc in (const.BC.OTHER, const.BC.CONDUCT):
+            b.bc_particle[i] = const.BC.REFLECT
+        elif bc in (const.BC.SIMPLE_LASER, const.BC.SIMPLE_OUTFLOW,
+                    const.BC.CPML_LASER, const.BC.CPML_OUTFLOW):
+            b.bc_particle[i] = const.BC.OPEN
+
+
+def compute_dt(deck: DeckConfig, grid: Grid, solver, stencil) -> float:
+    """set_dt (setup.F90:637-720) + set_laser_dt (laser.f90:283-310)
+    + set_plasma_frequency_dt (setup.F90 - Bohm-Gross limit)."""
+    c = const.c
+    d = grid.delta
+    ctl = deck.control
+    inv2 = sum(1.0 / dd ** 2 for dd in d)
+    dt_courant = 1.0 / (c * math.sqrt(inv2))
+
+    if solver == const.MaxwellSolver.YEE:
+        dt = cfl_limit(ctl.field_order) * dt_courant
+    elif solver == const.MaxwellSolver.CUSTOM:
+        dt = deck.stencil.dt if deck.stencil and deck.stencil.dt > 0 \
+            else dt_courant
+    else:
+        dt = min(d) / c
+
+    any_open = any(bc in (const.BC.SIMPLE_LASER, const.BC.SIMPLE_OUTFLOW)
+                   for bc in deck.boundaries.bc_field[:2 * grid.ndims])
+    if any_open:
+        dt = min(dt, dt_courant)
+
+    # laser Nyquist limit
+    dt_laser = math.inf
+    for las_blk in deck.lasers:
+        if las_blk.omega > 0:
+            dt_laser = min(dt_laser, 2.0 * math.pi / las_blk.omega / 2.0)
+    if dt_laser < math.inf:
+        dt = min(dt, dt_laser)
+
+    # plasma frequency limit (Bohm-Gross)
+    dt_pf = math.inf
+    k_max = 2.0 * math.pi / min(d)
+    for sp in deck.species:
+        if sp.species_type == const.SpeciesType.PHOTON or sp.mass <= 0:
+            continue
+        dens = loader._eval_on_grid(sp.density, grid) if sp.density else None
+        if dens is None:
+            continue
+        if sp.density_max > 0:
+            dens = np.minimum(dens, sp.density_max)
+        tmax = np.zeros(grid.n)
+        for i in range(3):
+            if sp.temp[i] is not None:
+                tmax = np.maximum(tmax, loader._eval_on_grid(sp.temp[i], grid))
+        fac1 = const.q0 ** 2 / sp.mass / const.epsilon0
+        fac2 = 3.0 * k_max ** 2 * const.kb / sp.mass
+        om2 = fac1 * dens + fac2 * tmax
+        om2 = om2[om2 > 1e-300]
+        if om2.size:
+            dt_pf = min(dt_pf, float(2.0 * math.pi / np.sqrt(om2.max())))
+    if dt_pf < math.inf:
+        dt = min(dt, dt_pf / 2.0)
+
+    mult = ctl.dt_multiplier
+    if solver == const.MaxwellSolver.CUSTOM and mult < 1.0:
+        mult = 1.0       # setup.F90:598-607
+    return dt * mult
+
+
+def _expr_fn(expr):
+    if expr is None:
+        return None
+    return expr
+
+
+def build_config(deck: DeckConfig) -> SimConfig:
+    _normalise_bcs(deck)
+    grid = make_grid(deck.control, deck.boundaries)
+    solver = deck.control.maxwell_solver
+    dt = compute_dt(deck, grid, solver, deck.stencil)
+    stencil = solver_coefficients(solver, deck.stencil, grid, dt)
+    dtype = np.float64 if deck.control.precision == "double" else np.float32
+
+    species = []
+    for sp in deck.species:
+        species.append(SpeciesConfig(
+            name=sp.name,
+            charge=sp.charge,
+            mass=sp.mass,
+            cap=0,   # filled after loading
+            immobile=sp.immobile,
+            zero_current=sp.zero_current,
+            species_type=sp.species_type,
+            bc_particle=tuple(sp.bc_particle),
+            npart=sp.npart,
+            npart_per_cell=sp.npart_per_cell,
+        ))
+
+    lasers = []
+    for las_blk in deck.lasers:
+        lasers.append(LaserConfig(
+            boundary=las_blk.boundary,
+            amp=las_blk.amp,
+            omega=las_blk.omega,
+            pol_angle=las_blk.pol_angle,
+            t_start=las_blk.t_start,
+            t_end=las_blk.t_end,
+            t_profile=_expr_fn(las_blk.t_profile),
+            profile=_expr_fn(las_blk.profile),
+            phase=_expr_fn(las_blk.phase),
+            omega_fn=_expr_fn(las_blk.omega_expr),
+        ))
+
+    aux = None
+    if any(grid.cpml_active):
+        aux = build_cpml_profiles(grid, deck.boundaries.bc_field,
+                                  deck.boundaries.cpml_kappa_max,
+                                  deck.boundaries.cpml_a_max,
+                                  deck.boundaries.cpml_sigma_max,
+                                  deck.control.field_order)
+
+    win = deck.window
+    return SimConfig(
+        grid=grid,
+        dt=dt,
+        t_end=deck.control.t_end,
+        nsteps=deck.control.nsteps,
+        bc_field=tuple(deck.boundaries.bc_field),
+        bc_particle=tuple(deck.boundaries.bc_particle),
+        species=tuple(species),
+        lasers=tuple(lasers),
+        field_order=deck.control.field_order,
+        maxwell_solver=solver,
+        stencil=stencil,
+        dtype=dtype,
+        smooth_currents=deck.control.smooth_currents,
+        smooth_iterations=deck.control.smooth_iterations,
+        smooth_compensation=deck.control.smooth_compensation,
+        cpml_kappa_max=deck.boundaries.cpml_kappa_max,
+        cpml_a_max=deck.boundaries.cpml_a_max,
+        cpml_sigma_max=deck.boundaries.cpml_sigma_max,
+        aux=aux,
+        move_window=win.move_window,
+        window_v_x=_expr_fn(win.window_v_x),
+        window_start_time=win.window_start_time,
+        window_stop_time=win.window_stop_time,
+        particle_push_start_time=deck.control.particle_tstart,
+        deck=deck,
+    )
+
+
+def _initial_fields(deck: DeckConfig, grid: Grid, dtype) -> Fields:
+    """Evaluate begin:fields expressions on the padded grid
+    (deck_fields_block)."""
+    f = zero_fields(grid.padded_shape(), dtype)
+    fb = deck.fields
+    updates = {}
+    names = ["x", "y", "z"]
+    cs = [grid.centres(d, ghosts=True) for d in range(grid.ndims)]
+    csb = [grid.nodes(d, ghosts=True)[:-1] for d in range(grid.ndims)]
+    for comp in ("ex", "ey", "ez", "bx", "by", "bz"):
+        expr = getattr(fb, comp)
+        if expr is None:
+            continue
+        # staggered coordinate per axis
+        stag = bnd.STAGGER[comp]
+        ctx = {}
+        axes_coords = []
+        for d in range(grid.ndims):
+            coord = cs[d] + (0.5 * grid.delta[d] if stag[d] else 0.0)
+            axes_coords.append(coord)
+        if grid.ndims == 1:
+            ctx[names[0]] = axes_coords[0]
+        else:
+            mesh = np.meshgrid(*axes_coords, indexing="ij")
+            for d in range(grid.ndims):
+                ctx[names[d]] = mesh[d]
+        loader._add_geom_ctx(ctx, grid)
+        val = expr(ctx, xp=np)
+        updates[comp] = jnp.asarray(
+            np.broadcast_to(np.asarray(val, dtype), grid.padded_shape()))
+    return f._replace(**updates)
+
+
+def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
+    deck = cfg.deck
+    grid = cfg.grid
+    dtype = cfg.dtype
+    rng = np.random.default_rng(seed)
+
+    fields = _initial_fields(deck, grid, dtype)
+
+    slabs = []
+    new_species = []
+    for sp_blk, sp_cfg in zip(deck.species, cfg.species):
+        arrs, cap = loader.load_species(sp_blk, grid, rng, dtype)
+        slab = empty_slab(cap, grid.ndims, dtype)
+        if arrs is not None:
+            n = arrs["x"].shape[0]
+            slab = slab._replace(
+                x=slab.x.at[:n].set(arrs["x"]),
+                p=slab.p.at[:n].set(arrs["p"]),
+                weight=slab.weight.at[:n].set(arrs["weight"]),
+                alive=slab.alive.at[:n].set(arrs["alive"]),
+            )
+        slabs.append(slab)
+        new_species.append(dataclasses.replace(sp_cfg, cap=cap))
+    cfg = dataclasses.replace(cfg, species=tuple(new_species))
+
+    cpml = None
+    if cfg.any_cpml:
+        npairs = 2 * grid.ndims
+        z = jnp.zeros((npairs,) + grid.padded_shape(), dtype)
+        cpml = CPMLState(psi=(z, z))
+
+    nl = max(len(cfg.lasers), 1)
+    lstate = LaserState(
+        integral_phase=jnp.zeros(nl, dtype),
+        absorb_local=jnp.zeros((), dtype),
+        inject_local=jnp.zeros((), dtype),
+    )
+
+    # boundary-field saves for Silver-Müller outflow (setup.F90:361-388)
+    bc_fields = _field_boundary_saves(fields, cfg)
+
+    state = SimState(
+        fields=fields,
+        cpml=cpml,
+        species=tuple(slabs),
+        lasers=lstate,
+        time=jnp.zeros((), dtype),
+        step=jnp.zeros((), jnp.int32),
+        window_offset=jnp.zeros((), jnp.int32),
+        window_frac=jnp.zeros((), dtype),
+        rng=jax.random.PRNGKey(seed),
+        bc_fields=bc_fields,
+    )
+    return cfg, state
+
+
+def _field_boundary_saves(fields: Fields, cfg) -> dict:
+    """ey_x_min etc. (setup_field_boundaries, setup.F90:363-388)."""
+    grid = cfg.grid
+    ng = grid.ng
+    n = grid.n[0]
+    f0 = ng          # Fortran 1
+    f1 = n + ng - 1  # Fortran nx
+    if cfg.bc_field[const.BD_X_MIN] == const.BC.CPML_LASER:
+        f0 = (grid.cpml_thickness + cfg.fng - 1) + ng - 1
+    if cfg.bc_field[const.BD_X_MAX] == const.BC.CPML_LASER:
+        f1 = (n - grid.cpml_thickness - cfg.fng + 2) + ng - 1
+
+    def row(a, i):
+        sl = [slice(None)] * a.ndim
+        sl[0] = i
+        return a[tuple(sl)]
+
+    out = {}
+    for key, i in (("x_min", f0), ("x_max", f1)):
+        out[f"ex_{key}"] = 0.5 * (row(fields.ex, i) + row(fields.ex, i - 1))
+        out[f"ey_{key}"] = row(fields.ey, i)
+        out[f"ez_{key}"] = row(fields.ez, i)
+        out[f"bx_{key}"] = row(fields.bx, i)
+        out[f"by_{key}"] = 0.5 * (row(fields.by, i) + row(fields.by, i - 1))
+        out[f"bz_{key}"] = 0.5 * (row(fields.bz, i) + row(fields.bz, i - 1))
+    return out
+
+
+class Simulation:
+    """Host-side driver (the PROGRAM pic analogue)."""
+
+    def __init__(self, deck_path: str, seed: int = 0):
+        self.deck = load_deck(deck_path)
+        cfg = build_config(self.deck)
+        self.cfg, self.state = build_state(cfg, seed=seed)
+        self.fns = step_mod.make_step_functions(self.cfg)
+        # init: particle bcs + efield bcs + half-dt laser trick
+        # (epoch1d.F90:141-159)
+        st = self.state
+        new_slabs = []
+        for sp_cfg, slab in zip(self.cfg.species, st.species):
+            new_slabs.append(bnd.particle_bcs(slab, sp_cfg, self.cfg))
+        st = st._replace(species=tuple(new_slabs))
+        st = st._replace(fields=bnd.efield_bcs(st.fields, self.cfg))
+        st = self.fns["init_b_boundaries"](st)
+        self.state = st
+
+    @property
+    def dt(self):
+        return self.cfg.dt
+
+    def run(self, dump_callback=None, max_steps=None):
+        """Main loop (epoch1d.F90:184-249).  ``dump_callback(sim, state)``
+        is invoked at every mid-step output point and once at t=0."""
+        cfg = self.cfg
+        st = self.state
+        if dump_callback is not None:
+            dump_callback(self, st)     # initial dump (time = dt/2 point)
+        nsteps = cfg.nsteps if cfg.nsteps >= 0 else None
+        if max_steps is not None:
+            nsteps = min(nsteps, max_steps) if nsteps else max_steps
+        while True:
+            t = float(st.time)
+            s = int(st.step)
+            if (nsteps is not None and s >= nsteps) or t >= cfg.t_end:
+                break
+            st = self.fns["step_a"](st)
+            if dump_callback is not None:
+                dump_callback(self, st)
+            st = self.fns["step_b"](st)
+        self.state = st
+        if dump_callback is not None:
+            dump_callback(self, st, last=True)
+        return st

@@ -1,0 +1,105 @@
+"""Simulation state pytrees.
+
+The reference keeps all state in module-level globals
+(``epoch2d/src/shared_data.F90``) and particles in per-species doubly-linked
+lists (``housekeeping/partlist.F90``).  The TPU-native design replaces that
+with one immutable pytree of device arrays:
+
+* fields are dense arrays with ``ng`` ghost cells per side;
+* each species is a fixed-capacity structure-of-arrays slab with a validity
+  mask (dead slots have ``weight = 0``) — no dynamic allocation under jit;
+* RNG is a counter-based ``jax.random`` key (reference: KISS generator,
+  ``random_generator.f90``), saved in checkpoints for exact restart.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Fields(NamedTuple):
+    """E, B and current J on the staggered grid (shared_data.F90:436-451)."""
+    ex: jax.Array
+    ey: jax.Array
+    ez: jax.Array
+    bx: jax.Array
+    by: jax.Array
+    bz: jax.Array
+    jx: jax.Array
+    jy: jax.Array
+    jz: jax.Array
+
+
+class CPMLState(NamedTuple):
+    """CPML convolution memory (psi) arrays (shared_data.F90:419-428).
+
+    One (psi_e, psi_b) pair per transverse field component and axis; we
+    allocate the four 1d arrays (eyx, ezx, byx, bzx) generalised to a stack
+    per axis: psi[axis] has shape (4, *padded) = (ey, ez, by, bz) convolution
+    currents for that axis (2d/3d add the y/z-axis stacks).
+    """
+    psi: tuple  # tuple over axes of (4, *padded_shape) arrays
+
+
+class ParticleSlab(NamedTuple):
+    """Fixed-capacity SoA particle storage for one species.
+
+    Replaces the linked ``particle_list`` (partlist.F90:154-166).  ``weight``
+    doubles as the validity mask: dead slots have weight exactly 0 and take
+    no part in deposition or diagnostics.
+    """
+    x: jax.Array       # (cap, ndims) absolute positions
+    p: jax.Array       # (cap, 3) momenta [kg m/s]
+    weight: jax.Array  # (cap,)
+    alive: jax.Array   # (cap,) bool
+    id: jax.Array      # (cap,) int64 (0 = unassigned)
+    # optional per-particle optical depths etc. are added by physics packages
+    opdepth: jax.Array        # (cap,) QED optical depth (photons.F90)
+    opdepth_brem: jax.Array   # (cap,) bremsstrahlung optical depth
+
+    @property
+    def cap(self) -> int:
+        return self.x.shape[0]
+
+    def count(self):
+        return jnp.sum(self.alive)
+
+
+class LaserState(NamedTuple):
+    """Per-laser mutable state (laser_block, shared_data.F90:688-707)."""
+    integral_phase: jax.Array   # (n_lasers,) current_integral_phase
+    absorb_local: jax.Array     # scalar: Poynting flux absorbed at open bcs
+    inject_local: jax.Array     # scalar: injected laser energy
+
+
+class SimState(NamedTuple):
+    fields: Fields
+    cpml: CPMLState | None
+    species: tuple            # tuple[ParticleSlab, ...]
+    lasers: LaserState
+    time: jax.Array           # scalar
+    step: jax.Array           # scalar int
+    window_offset: jax.Array  # cells shifted so far (moving window)
+    window_frac: jax.Array    # fractional cell accumulator for window shift
+    rng: jax.Array            # jax PRNG key
+    # boundary field memory for Silver-Mueller outflow (setup.F90:373-381)
+    bc_fields: dict | None = None
+
+
+def zero_fields(padded_shape, dtype) -> Fields:
+    z = lambda: jnp.zeros(padded_shape, dtype)
+    return Fields(z(), z(), z(), z(), z(), z(), z(), z(), z())
+
+
+def empty_slab(cap: int, ndims: int, dtype) -> ParticleSlab:
+    return ParticleSlab(
+        x=jnp.zeros((cap, ndims), dtype),
+        p=jnp.zeros((cap, 3), dtype),
+        weight=jnp.zeros((cap,), dtype),
+        alive=jnp.zeros((cap,), bool),
+        id=jnp.zeros((cap,), jnp.int32),
+        opdepth=jnp.zeros((cap,), dtype),
+        opdepth_brem=jnp.zeros((cap,), dtype),
+    )

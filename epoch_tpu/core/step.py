@@ -1,0 +1,191 @@
+"""Timestep orchestration.
+
+The leapfrog structure mirrors the reference main loop
+(``epoch1d/src/epoch1d.F90:184-249``; survey §3.2):
+
+    fields_half   : E+dt/2, E-bcs, B+dt/2, B-bcs(mpi)        (fields.f90:358)
+    push          : gather/kick/move/deposit, J bcs, particle bcs
+    current_finish: J halos + smoothing                       (current_smooth)
+    step++ ; time += dt/2 ;  [output point] ; time += dt/2
+    fields_final  : B+dt/2, bfield_final_bcs (laser inject!), E+dt/2, E-bcs
+    moving window
+
+The two halves are built as separately jittable functions so the host can
+dump diagnostics at the mid-step output point exactly as the reference does;
+``make_full_step`` composes them for scan-driven benchmarking.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as const
+from . import boundaries as bnd
+from . import fields as fld
+from . import laser as las
+from . import push as psh
+from .state import SimState, Fields
+
+
+def smooth_array(arr, cfg, its, comp_its):
+    """Strided compensated binomial filter
+    (current_smooth.F90:smooth_array)."""
+    nd = cfg.ndims
+    alpha = 0.5
+    beta = (1.0 - alpha) / (2.0 * nd)
+    out = arr
+    for it in range(1, its + comp_its + 1):
+        out = bnd.field_bc(out, "jx", cfg)
+        acc = alpha * out
+        for d in range(nd):
+            acc = acc + beta * (fld.shift(out, d, 1) + fld.shift(out, d, -1))
+        mask = None
+        # update interior only (Fortran 1..nx); reuse solver region mask is
+        # wider (0..nx) — build the exact one lazily on cfg
+        out = jnp.where(_interior_mask(cfg), acc, out)
+        if it >= its:
+            alpha = its * 0.5 + 1.0
+    return out
+
+
+_interior_mask_cache = {}
+
+
+def _interior_mask(cfg):
+    key = id(cfg)
+    if key not in _interior_mask_cache:
+        import numpy as np
+        grid = cfg.grid
+        ng = grid.ng
+        m = np.ones(grid.padded_shape(), bool)
+        for d in range(grid.ndims):
+            idx = np.arange(grid.padded_shape()[d])
+            mm = (idx >= ng) & (idx <= grid.n[d] + ng - 1)
+            shape = [1] * grid.ndims
+            shape[d] = idx.shape[0]
+            m &= mm.reshape(shape)
+        _interior_mask_cache[key] = jnp.asarray(m)
+    return _interior_mask_cache[key]
+
+
+def make_step_functions(cfg):
+    """Build the jitted step halves, closing over the static config."""
+    plan = fld.FieldSolverPlan(cfg)
+    pplan = psh.PushPlan(cfg)
+    dt = cfg.dt
+    dtype = cfg.dtype
+
+    def fields_half(state: SimState) -> SimState:
+        f, cpml = fld.update_e_field(state.fields, cfg, plan, state.cpml)
+        f = bnd.efield_bcs(f, cfg)
+        f, cpml = fld.update_b_field(f, cfg, plan, cpml)
+        f = bnd.bfield_bcs(f, cfg, mpi_only=True)
+        return state._replace(fields=f, cpml=cpml)
+
+    def bfield_final_bcs(state: SimState, dt_eff, time) -> SimState:
+        """boundary.F90:574-595 + laser.f90 outflow bcs."""
+        phases = las.update_laser_phases(cfg, state, dt_eff)
+        state = state._replace(
+            lasers=state.lasers._replace(integral_phase=phases))
+        f = bnd.bfield_bcs(state.fields, cfg, mpi_only=False)
+        for hi in (False, True):
+            bd = const.BD_X_MAX if hi else const.BD_X_MIN
+            if cfg.needs_outflow_bcs(bd):
+                f = las.outflow_bcs_x(f, cfg, state._replace(fields=f),
+                                      dt_eff, time, hi, dtype)
+        f = bnd.bfield_bcs(f, cfg, mpi_only=True)
+        return state._replace(fields=f)
+
+    def fields_final(state: SimState) -> SimState:
+        f, cpml = fld.update_b_field(state.fields, cfg, plan, state.cpml)
+        state = state._replace(fields=f, cpml=cpml)
+        state = bfield_final_bcs(state, dt, state.time)
+        f, cpml = fld.update_e_field(state.fields, cfg, plan, state.cpml)
+        f = bnd.efield_bcs(f, cfg)
+        return state._replace(fields=f, cpml=cpml)
+
+    def push_all(state: SimState) -> SimState:
+        f = state.fields
+        zero = jnp.zeros_like(f.jx)
+        f = f._replace(jx=zero, jy=zero, jz=zero)
+        contributions = []
+        new_slabs = []
+        for sp_cfg, slab in zip(cfg.species, state.species):
+            if sp_cfg.species_type == const.SpeciesType.PHOTON:
+                slab = psh.push_photons(slab, pplan)
+            elif not sp_cfg.immobile:
+                slab, contrib = psh.push_species(state.fields, slab, sp_cfg,
+                                                pplan)
+                if contrib is not None:
+                    contributions.append(contrib)
+            slab = bnd.particle_bcs(slab, sp_cfg, cfg)
+            new_slabs.append(slab)
+        f = psh.deposit_currents(f, contributions, dtype)
+        f = bnd.current_bcs(f, cfg)
+        return state._replace(fields=f, species=tuple(new_slabs))
+
+    def current_finish(state: SimState) -> SimState:
+        """current_smooth.F90:29-45 (summation bcs already applied)."""
+        f = state.fields
+        jx = bnd.field_bc(f.jx, "jx", cfg)
+        jy = bnd.field_bc(f.jy, "jy", cfg)
+        jz = bnd.field_bc(f.jz, "jz", cfg)
+        if cfg.smooth_currents:
+            its = cfg.smooth_iterations
+            comp = 1 if cfg.smooth_compensation else 0
+            jx = smooth_array(jx, cfg, its, comp)
+            jy = smooth_array(jy, cfg, its, comp)
+            jz = smooth_array(jz, cfg, its, comp)
+        return state._replace(fields=f._replace(jx=jx, jy=jy, jz=jz))
+
+    def step_a(state: SimState) -> SimState:
+        """fields_half → push → current_finish → step++/time+=dt/2.
+        Leaves the state at the mid-step output point."""
+        state = fields_half(state)
+        push_on = state.time >= cfg.particle_push_start_time
+        if cfg.species:
+            state = jax.lax.cond(push_on, push_all, lambda s: s, state) \
+                if cfg.particle_push_start_time > 0 else push_all(state)
+            state = current_finish(state)
+        return state._replace(step=state.step + 1,
+                              time=state.time + 0.5 * dt)
+
+    def step_b(state: SimState) -> SimState:
+        """time += dt/2 → fields_final → moving window."""
+        state = state._replace(time=state.time + 0.5 * dt)
+        state = fields_final(state)
+        if cfg.move_window:
+            from . import window as win
+            state = win.moving_window(state, cfg)
+        return state._replace()
+
+    def init_b_boundaries(state: SimState) -> SimState:
+        """The dt/2 bfield_final_bcs trick at startup
+        (epoch1d.F90:153-159)."""
+        state = state._replace(time=state.time + 0.5 * dt)
+        return bfield_final_bcs(state, 0.5 * dt, state.time)
+
+    return {
+        "step_a": jax.jit(step_a, donate_argnums=0),
+        "step_b": jax.jit(step_b, donate_argnums=0),
+        "init_b_boundaries": jax.jit(init_b_boundaries),
+        "fields_half": fields_half,
+        "push_all": push_all,
+    }
+
+
+def make_full_step(cfg):
+    """One fused step (output-free) for scan-driven runs and benchmarks."""
+    fns = make_step_functions(cfg)
+    a, b = fns["step_a"], fns["step_b"]
+
+    def full(state, _):
+        return b(a(state)), None
+
+    def run_n(state, n: int):
+        state, _ = jax.lax.scan(full, state, None, length=n)
+        return state
+
+    return jax.jit(run_n, static_argnums=1)
