@@ -168,9 +168,13 @@ def make_step_functions(cfg):
         return bfield_final_bcs(state, 0.5 * dt, state.time)
 
     return {
-        "step_a": jax.jit(step_a, donate_argnums=0),
-        "step_b": jax.jit(step_b, donate_argnums=0),
+        # no buffer donation here: callers may hold references across the
+        # dump callback; the benchmark path jits its own donated composite.
+        "step_a": jax.jit(step_a),
+        "step_b": jax.jit(step_b),
         "init_b_boundaries": jax.jit(init_b_boundaries),
+        "step_a_raw": step_a,
+        "step_b_raw": step_b,
         "fields_half": fields_half,
         "push_all": push_all,
     }
@@ -179,7 +183,7 @@ def make_step_functions(cfg):
 def make_full_step(cfg):
     """One fused step (output-free) for scan-driven runs and benchmarks."""
     fns = make_step_functions(cfg)
-    a, b = fns["step_a"], fns["step_b"]
+    a, b = fns["step_a_raw"], fns["step_b_raw"]
 
     def full(state, _):
         return b(a(state)), None
@@ -188,4 +192,4 @@ def make_full_step(cfg):
         state, _ = jax.lax.scan(full, state, None, length=n)
         return state
 
-    return jax.jit(run_n, static_argnums=1)
+    return jax.jit(run_n, static_argnums=1, donate_argnums=0)

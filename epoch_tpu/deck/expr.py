@@ -37,21 +37,22 @@ _TOKEN_RE = re.compile(
 # binary word-operators (lt/gt/eq/and/or and the standalone exponent 'e')
 _WORD_OPS = {"lt", "gt", "eq", "and", "or", "e"}
 
-# operator → (precedence, right_associative). Matches shunt.F90 precedences:
-# unary minus binds tightest, then ^ / e, then * /, then + -, then comparisons.
+# operator → (precedence, right_associative).  Matches the reference table
+# (constants.F90:320-325): and/or 0, comparisons 1, +/- 2, */÷ 3,
+# ^/e/unary± 4 (right associative) — so -2^2 = -(2^2).
 _PREC = {
-    "or": (1, False),
-    "and": (2, False),
-    "lt": (3, False),
-    "gt": (3, False),
-    "eq": (3, False),
-    "+": (4, False),
-    "-": (4, False),
-    "*": (5, False),
-    "/": (5, False),
-    "^": (6, True),
-    "e": (7, True),
-    "neg": (8, True),
+    "or": (0, False),
+    "and": (0, False),
+    "lt": (1, False),
+    "gt": (1, False),
+    "eq": (1, False),
+    "+": (2, False),
+    "-": (2, False),
+    "*": (3, False),
+    "/": (3, False),
+    "^": (4, True),
+    "e": (4, True),
+    "neg": (4, True),
 }
 
 # functions → number of args (-1 = variadic, resolved at ')')

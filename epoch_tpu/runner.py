@@ -1,0 +1,109 @@
+"""High-level run driver + CLI.
+
+The reference binary reads the output directory from stdin or a
+``USE_DATA_DIRECTORY`` file and always loads ``input.deck``
+(``epoch1d.F90:64-91``); ``epoch_tpu`` keeps that contract:
+
+    echo . | python -m epoch_tpu            # like  echo . | ./bin/epoch1d
+    python -m epoch_tpu <data_dir>
+
+Stop conditions (diagnostics.F90:3222): a ``STOP`` file in the data dir
+halts with a restart dump, ``STOP_NODUMP`` without one.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time as _time
+
+import numpy as np
+
+from .core.sim import Simulation
+from .io.diagnostics import OutputManager
+
+
+class Runner:
+    def __init__(self, data_dir: str, deck_name: str = "input.deck",
+                 seed: int = 0, stdout=sys.stdout):
+        self.data_dir = data_dir
+        self.sim = Simulation(os.path.join(data_dir, deck_name), seed=seed)
+        self.out = OutputManager(self.sim.cfg, self.sim.deck, data_dir,
+                                 n_zeros=self.sim.deck.control.n_zeros)
+        self.stdout = stdout
+        self._t0 = _time.time()
+
+    def run(self, max_steps=None):
+        sim = self.sim
+        cfg = sim.cfg
+        st = sim.state
+        deck = sim.deck
+        check_every = max(deck.control.check_stop_frequency, 1)
+        stdout_freq = deck.control.stdout_frequency
+        self.out.maybe_dump(sim, st)          # initial dump
+        nsteps = cfg.nsteps if cfg.nsteps >= 0 else None
+        if max_steps is not None:
+            nsteps = min(nsteps, max_steps) if nsteps is not None else max_steps
+        halt = False
+        while not halt:
+            t = float(st.time)
+            s = int(st.step)
+            if (nsteps is not None and s >= nsteps) or t >= cfg.t_end:
+                break
+            st = sim.fns["step_a"](st)
+            s = int(st.step)
+            if stdout_freq and s % stdout_freq == 0:
+                self._status_line(st)
+            self.out.maybe_dump(sim, st)
+            if s % check_every == 0:
+                halt = self._check_stop()
+            st = sim.fns["step_b"](st)
+        sim.state = st
+        self.out.maybe_dump(sim, st, last=True)
+        return st
+
+    def _status_line(self, st):
+        # per-step stdout line with runtime + ETA (diagnostics.F90:245-282)
+        t = float(st.time)
+        frac = min(t / self.sim.cfg.t_end, 1.0) if self.sim.cfg.t_end else 0.0
+        wall = _time.time() - self._t0
+        eta = wall / frac - wall if frac > 0 else 0.0
+        print(f" Time {t:14.6e}  step {int(st.step):8d}  "
+              f"wall {wall:8.1f}s  eta {eta:8.1f}s", file=self.stdout)
+
+    def _check_stop(self):
+        for name, dump in (("STOP", True), ("STOP_NODUMP", False)):
+            p = os.path.join(self.data_dir, name)
+            if os.path.exists(p):
+                os.remove(p)
+                if dump:
+                    self.out.maybe_dump(self.sim, self.sim.state, force=True)
+                print(f" Halting on {name} file", file=self.stdout)
+                return True
+        return False
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if argv and argv[0] == "VERSION_INFO":
+        from . import __version__
+        print(f"epoch_tpu {__version__}")
+        return 0
+    if argv:
+        data_dir = argv[0]
+    else:
+        # stdin / USE_DATA_DIRECTORY protocol (epoch1d.F90:64-91)
+        use_file = "USE_DATA_DIRECTORY"
+        if os.path.exists(use_file):
+            data_dir = open(use_file).read().strip()
+        else:
+            data_dir = sys.stdin.readline().strip()
+    if not data_dir:
+        print("no data directory given", file=sys.stderr)
+        return 1
+    runner = Runner(data_dir)
+    runner.run()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

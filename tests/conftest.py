@@ -1,0 +1,23 @@
+import os
+
+# CPU with 8 virtual devices for sharding tests; double precision everywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+try:
+    # force CPU even if another plugin initialised first
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
+REFERENCE = "/root/reference"
+
+
+def reference_deck(rel):
+    return os.path.join(REFERENCE, rel)
