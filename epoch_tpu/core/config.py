@@ -96,6 +96,7 @@ class SimConfig:
     window_v_x: Optional[Callable] = None
     window_start_time: float = 0.0
     window_stop_time: float = math.inf
+    window_plans: tuple = ()   # per-species insertion plans (window.py)
     particle_push_start_time: float = 0.0
     deck: Any = None         # original DeckConfig (host-side only)
 

@@ -166,7 +166,7 @@ def build_config(deck: DeckConfig) -> SimConfig:
                                   deck.control.field_order)
 
     win = deck.window
-    return SimConfig(
+    cfg = SimConfig(
         grid=grid,
         dt=dt,
         t_end=deck.control.t_end,
@@ -193,6 +193,11 @@ def build_config(deck: DeckConfig) -> SimConfig:
         particle_push_start_time=deck.control.particle_tstart,
         deck=deck,
     )
+    if cfg.move_window:
+        from .window import window_plan
+        cfg = dataclasses.replace(
+            cfg, window_plans=tuple(window_plan(cfg, deck)))
+    return cfg
 
 
 def _initial_fields(deck: DeckConfig, grid: Grid, dtype) -> Fields:

@@ -1,12 +1,24 @@
 """Moving window (housekeeping/window.F90).
 
-Shifts the grid with the pulse for LWFA-style runs: when the accumulated
-window motion exceeds one cell, all field (and CPML psi) arrays roll left by
-a cell, departed particles are removed and fresh plasma is injected in the
-incoming column from the deck density/temperature/drift expressions.
+Keeps a finite grid tracking a light-speed front (LWFA workloads).  The
+reference shifts the global coordinate arrays and walks linked lists
+(window.F90:57-120); the TPU design keeps the *static* grid arrays and moves
+a ``window_offset`` cell counter in the state instead: particle coordinates
+are absolute, and every grid-relative computation adds ``offset*dx``.
+A shift event (≤1 cell/step by CFL... up to 2 handled via two conditional
+rolls) does, entirely inside jit:
+
+* fields (and CPML psi) slide left one cell + incoming-edge fix rows
+  (shift_fields, window.F90:98-136);
+* departed particles (x < new x_min) are killed (remove_particles :260);
+* the incoming column is refilled from the deck density/temperature/drift
+  expressions with the counter-based device RNG (insert_particles :182).
 """
 from __future__ import annotations
 
+import math
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -14,49 +26,210 @@ from .. import constants as const
 from .state import SimState
 
 
+def window_plan(cfg, deck):
+    """Precompute static insertion info per species (host side)."""
+    plans = []
+    grid = cfg.grid
+    nd = grid.ndims
+    # number of boundary cells = product of transverse extents
+    n_col = int(np.prod(grid.n[1:])) if nd > 1 else 1
+    for sp_blk, sp_cfg in zip(deck.species, cfg.species):
+        npc = sp_blk.npart_per_cell
+        if npc < 0 and sp_blk.npart > 0:
+            npc = sp_blk.npart / max(int(np.prod(grid.n)), 1)
+        npc = max(npc, 0.0)
+        max_new = int(math.ceil(npc + 1)) * n_col
+        plans.append(dict(
+            npc=npc,
+            max_new=max_new,
+            density=sp_blk.density,
+            temp=sp_blk.temp,
+            drift=sp_blk.drift,
+            density_min=max(sp_blk.density_min, 0.0),
+            density_max=sp_blk.density_max,
+            mass=sp_cfg.mass,
+        ))
+    return plans
+
+
+def _shift_left(arr, axis=0):
+    """One-cell left slide with edge duplication (shift_field,
+    window.F90:141-153 — interior shifted; edge fixed afterwards)."""
+    idx = [slice(None)] * arr.ndim
+    idx[axis] = slice(1, None)
+    last = [slice(None)] * arr.ndim
+    last[axis] = slice(-1, None)
+    return jnp.concatenate([arr[tuple(idx)], arr[tuple(last)]], axis=axis)
+
+
 def moving_window(state: SimState, cfg) -> SimState:
-    """window.F90:350-397 — TPU version: fractional-cell accumulator +
-    lax.cond'd single-cell roll (CFL ⇒ at most one cell per step)."""
+    """window.F90:350-397."""
     if not cfg.move_window:
         return state
     t = state.time
-    active = jnp.logical_and(t >= cfg.window_start_time,
-                             t < cfg.window_stop_time)
+    dx = cfg.grid.delta[0]
     if cfg.window_v_x is not None:
         v = cfg.window_v_x({"time": t}, xp=jnp)
     else:
         v = const.c
-    dx = cfg.grid.delta[0]
+    active = jnp.logical_and(t >= cfg.window_start_time,
+                             t < cfg.window_stop_time)
     frac = state.window_frac + jnp.where(active, v * cfg.dt / dx, 0.0)
     nshift = jnp.floor(frac).astype(jnp.int32)
-    frac = frac - nshift
-
-    def do_shift(st):
-        return _shift_window(st, cfg)
-
+    frac = frac - nshift.astype(frac.dtype)
     state = state._replace(window_frac=frac)
-    state = jax.lax.cond(nshift > 0, do_shift, lambda s: s, state)
+
+    # CFL ⇒ at most ~1 cell/step; allow 2 via two conditional single shifts
+    for _ in range(2):
+        state = jax.lax.cond(nshift > 0, lambda s: _shift_once(s, cfg),
+                             lambda s: s, state)
+        nshift = nshift - 1
     return state
 
 
-def _shift_window(state: SimState, cfg) -> SimState:
-    """shift_fields (window.F90:98-130) + particle bookkeeping."""
+def _shift_once(state: SimState, cfg) -> SimState:
     grid = cfg.grid
     dx = grid.delta[0]
-
-    def roll_left(a):
-        return jnp.roll(a, -1, axis=0)
-
+    offset = state.window_offset
     f = state.fields
-    f = f._replace(**{k: roll_left(getattr(f, k)) for k in f._fields})
+
+    new_fields = {}
+    for name in f._fields:
+        new_fields[name] = _shift_left(getattr(f, name), axis=0)
+    f = f.__class__(**new_fields)
+
+    # incoming-edge fix rows (window.F90:113-128); saved boundary fields are
+    # zero for vacuum-start LWFA runs
+    ng = grid.ng
+    n = grid.n[0]
+    bcf = state.bc_fields or {}
+
+    def row(arr, fidx, val):
+        sl = [slice(None)] * arr.ndim
+        sl[0] = fidx + ng - 1
+        return arr.at[tuple(sl)].set(val)
+
+    def rowavg(arr, fidx, f1, f2):
+        sl1 = [slice(None)] * arr.ndim
+        sl1[0] = f1 + ng - 1
+        sl2 = [slice(None)] * arr.ndim
+        sl2[0] = f2 + ng - 1
+        val = 0.5 * (arr[tuple(sl1)] + arr[tuple(sl2)])
+        return row(arr, fidx, val)
+
+    ex = row(row(f.ex, n, bcf.get("ex_x_max", 0.0)),
+             n + 1, bcf.get("ex_x_max", 0.0))
+    ex = rowavg(ex, n - 1, n - 2, n)
+    ey = row(f.ey, n + 1, bcf.get("ey_x_max", 0.0))
+    ey = rowavg(ey, n, n - 1, n + 1)
+    ez = row(f.ez, n + 1, bcf.get("ez_x_max", 0.0))
+    ez = rowavg(ez, n, n - 1, n + 1)
+    bx = row(f.bx, n + 1, bcf.get("bx_x_max", 0.0))
+    bx = rowavg(bx, n, n - 1, n + 1)
+    by = row(f.by, n, bcf.get("by_x_max", 0.0))
+    by = rowavg(by, n - 1, n - 2, n)
+    bz = row(f.bz, n, bcf.get("bz_x_max", 0.0))
+    bz = rowavg(bz, n - 1, n - 2, n)
+    f = f._replace(ex=ex, ey=ey, ez=ez, bx=bx, by=by, bz=bz)
+
     cpml = state.cpml
     if cpml is not None:
         cpml = cpml.__class__(psi=tuple(
-            jnp.roll(p, -1, axis=1) for p in cpml.psi))
+            _shift_left(p, axis=1) for p in cpml.psi))
 
-    # window offset tracks how far the grid has moved; particle positions are
-    # absolute, so particles simply fall off the (moving) x_min edge and the
-    # fresh column is refilled by the window injector (round-2: insert_particles
-    # from deck expressions with the device RNG).
-    offset = state.window_offset + 1
-    return state._replace(fields=f, cpml=cpml, window_offset=offset)
+    new_offset = offset + 1
+    # new domain x_min after the shift
+    x_min_new = grid.lo[0] + new_offset.astype(f.ex.dtype) * dx
+
+    rng = state.rng
+    new_species = []
+    for i, (sp_cfg, slab) in enumerate(zip(cfg.species, state.species)):
+        plan = cfg.window_plans[i]
+        # remove departed particles (window.F90:260-281)
+        alive = slab.alive & (slab.x[:, 0] >= x_min_new)
+        weight = jnp.where(alive, slab.weight, 0.0)
+        slab = slab._replace(alive=alive, weight=weight)
+        if plan["max_new"] > 0 and plan["density"] is not None:
+            rng, sub = jax.random.split(rng)
+            slab = _insert_column(slab, plan, cfg, new_offset, sub)
+        new_species.append(slab)
+
+    return state._replace(fields=f, cpml=cpml, species=tuple(new_species),
+                          window_offset=new_offset, rng=rng)
+
+
+def _insert_column(slab, plan, cfg, offset, key):
+    """Refill the incoming column (insert_particles, window.F90:159-258)."""
+    grid = cfg.grid
+    nd = grid.ndims
+    dx = grid.delta[0]
+    dtype = slab.x.dtype
+    offset_f = offset.astype(dtype)
+    max_new = plan["max_new"]
+    npc = plan["npc"]
+    npc_int = int(math.floor(npc))
+    npc_frac = npc - npc_int
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    # transverse cell multi-index for each new slot
+    n_col = max_new // max(int(math.ceil(npc + 1)), 1)
+    per_cell = int(math.ceil(npc + 1))
+    slot = jnp.arange(max_new)
+    cell_t = slot // per_cell          # transverse cell id
+    sub = slot % per_cell              # particle index within the cell
+
+    # stochastic fractional particle (window.F90:205-210)
+    extra = (jax.random.uniform(k1, (n_col,)) < npc_frac).astype(jnp.int32)
+    count_per_cell = npc_int + extra   # (n_col,)
+    valid = sub < count_per_cell[cell_t]
+
+    # positions: x in the incoming column just past the old grid max
+    x0 = grid.grid_min(0) + (grid.n[0] - 1) * dx + 0.5 * dx + offset_f * dx
+    xs = x0 + jax.random.uniform(k2, (max_new,), dtype) * dx
+    pos = [xs]
+    names = ["x", "y", "z"]
+    ctx = {}
+    for d in range(1, nd):
+        centre = grid.grid_min(d) + cell_t.astype(dtype) * grid.delta[d]
+        u = jax.random.uniform(k3, (max_new,), dtype)
+        pos.append(centre + (u - 0.5) * grid.delta[d])
+    x_new = jnp.stack(pos, axis=1)
+    for d in range(nd):
+        ctx[names[d]] = x_new[:, d]
+    ctx["time"] = 0.0
+
+    dens = plan["density"](ctx, xp=jnp) * jnp.ones(max_new, dtype)
+    if plan["density_max"] > 0:
+        dens = jnp.minimum(dens, plan["density_max"])
+    dens = jnp.where(dens >= plan["density_min"], dens, 0.0)
+    wdata = dx / jnp.maximum(count_per_cell[cell_t].astype(dtype), 1.0) \
+        * float(np.prod(grid.delta[1:])) if nd > 1 else \
+        dx / jnp.maximum(count_per_cell[cell_t].astype(dtype), 1.0)
+    w_new = dens * wdata
+    valid = valid & (w_new > 0)
+
+    # momenta: thermal + drift at the insertion point
+    p_new = []
+    norms = jax.random.normal(k4, (max_new, 3), dtype)
+    for i in range(3):
+        temp = plan["temp"][i](ctx, xp=jnp) if plan["temp"][i] is not None else 0.0
+        drift = plan["drift"][i](ctx, xp=jnp) if plan["drift"][i] is not None else 0.0
+        std = jnp.sqrt(jnp.maximum(temp * const.kb * plan["mass"], 0.0))
+        p_new.append(norms[:, i] * std + drift)
+    p_new = jnp.stack(p_new, axis=1)
+
+    # append into dead slots (fixed capacity)
+    order = jnp.argsort(slab.alive)        # dead slots first
+    target = order[:max_new]
+    ok = valid & ~slab.alive[target]
+    x_upd = jnp.where(ok[:, None], x_new, slab.x[target])
+    p_upd = jnp.where(ok[:, None], p_new, slab.p[target])
+    w_upd = jnp.where(ok, w_new, slab.weight[target])
+    a_upd = jnp.where(ok, True, slab.alive[target])
+    return slab._replace(
+        x=slab.x.at[target].set(x_upd),
+        p=slab.p.at[target].set(p_upd),
+        weight=slab.weight.at[target].set(w_upd),
+        alive=slab.alive.at[target].set(a_upd),
+    )
