@@ -97,6 +97,10 @@ class SimConfig:
     window_start_time: float = 0.0
     window_stop_time: float = math.inf
     window_plans: tuple = ()   # per-species insertion plans (window.py)
+    # particle engine: 'scatter' (general, any BCs) or 'binned' (dense
+    # cell-slot grid, all-periodic only — the TPU hot path, core/binned.py)
+    engine: str = "scatter"
+    bin_k: int = 0             # slots per cell for the binned engine
     particle_push_start_time: float = 0.0
     deck: Any = None         # original DeckConfig (host-side only)
 

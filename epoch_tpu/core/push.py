@@ -31,15 +31,16 @@ THIRD = 1.0 / 3.0
 
 
 def _flat_index(cells, strides):
-    """Combine per-axis (N, W) index arrays into flat indices (N, W**nd)."""
+    """Combine per-axis (N, W) index arrays into flat indices (N, W**nd).
+    ``strides[d]`` = prod(padded_shape[d+1:])."""
     nd = len(cells)
     if nd == 1:
         return cells[0]
     if nd == 2:
-        return (cells[0][:, :, None] * strides[1] + cells[1][:, None, :]
+        return (cells[0][:, :, None] * strides[0] + cells[1][:, None, :]
                 ).reshape(cells[0].shape[0], -1)
-    return (cells[0][:, :, None, None] * strides[1] * strides[2]
-            + cells[1][:, None, :, None] * strides[2]
+    return (cells[0][:, :, None, None] * strides[0]
+            + cells[1][:, None, :, None] * strides[1]
             + cells[2][:, None, None, :]).reshape(cells[0].shape[0], -1)
 
 
@@ -57,12 +58,12 @@ def gather_field(field, base_cells, weights, strides):
         vals = flat[idx[0]]                                # (N, S)
         return jnp.sum(vals * weights[0], axis=1)
     if nd == 2:
-        fi = idx[0][:, :, None] * strides[1] + idx[1][:, None, :]
+        fi = idx[0][:, :, None] * strides[0] + idx[1][:, None, :]
         vals = flat[fi]                                    # (N, S, S)
         w = weights[0][:, :, None] * weights[1][:, None, :]
         return jnp.sum(vals * w, axis=(1, 2))
-    fi = (idx[0][:, :, None, None] * strides[1] * strides[2]
-          + idx[1][:, None, :, None] * strides[2]
+    fi = (idx[0][:, :, None, None] * strides[0]
+          + idx[1][:, None, :, None] * strides[1]
           + idx[2][:, None, None, :])
     vals = flat[fi]
     w = (weights[0][:, :, None, None] * weights[1][:, None, :, None]

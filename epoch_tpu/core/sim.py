@@ -197,7 +197,35 @@ def build_config(deck: DeckConfig) -> SimConfig:
         from .window import window_plan
         cfg = dataclasses.replace(
             cfg, window_plans=tuple(window_plan(cfg, deck)))
+    cfg = dataclasses.replace(cfg, engine=_select_engine(deck, cfg))
     return cfg
+
+
+def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
+    """Pick the particle engine.  'binned' (core/binned.py) is the dense TPU
+    hot path; it requires all-periodic particle/field boundaries, triangle
+    shape, no moving window and no photon species."""
+    choice = deck.control.pusher
+    if choice == "scatter":
+        return "scatter"
+    eligible = (
+        all(bc == const.BC.PERIODIC
+            for bc in cfg.bc_field[:2 * cfg.ndims])
+        and all(bc == const.BC.PERIODIC
+                for sp in cfg.species for bc in sp.bc_particle[:2 * cfg.ndims])
+        and cfg.grid.shape_fn == const.Shape.TRIANGLE
+        and not cfg.move_window
+        and all(sp.species_type != const.SpeciesType.PHOTON
+                for sp in cfg.species)
+        and len(cfg.species) > 0
+    )
+    if choice == "binned":
+        if not eligible:
+            raise ValueError(
+                "pusher=binned requires all-periodic boundaries, triangle "
+                "shape, no moving window and no photon species")
+        return "binned"
+    return "binned" if eligible else "scatter"
 
 
 def _initial_fields(deck: DeckConfig, grid: Grid, dtype) -> Fields:
@@ -241,22 +269,44 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
 
     fields = _initial_fields(deck, grid, dtype)
 
-    slabs = []
+    loaded = []
     new_species = []
     for sp_blk, sp_cfg in zip(deck.species, cfg.species):
         arrs, cap = loader.load_species(sp_blk, grid, rng, dtype)
-        slab = empty_slab(cap, grid.ndims, dtype)
-        if arrs is not None:
-            n = arrs["x"].shape[0]
-            slab = slab._replace(
-                x=slab.x.at[:n].set(arrs["x"]),
-                p=slab.p.at[:n].set(arrs["p"]),
-                weight=slab.weight.at[:n].set(arrs["weight"]),
-                alive=slab.alive.at[:n].set(arrs["alive"]),
-            )
-        slabs.append(slab)
+        loaded.append(arrs)
         new_species.append(dataclasses.replace(sp_cfg, cap=cap))
     cfg = dataclasses.replace(cfg, species=tuple(new_species))
+
+    slabs = []
+    if cfg.engine == "binned":
+        from .binned import bin_from_arrays
+        n_cells = int(np.prod(grid.n))
+        kmax = 4
+        for arrs in loaded:
+            if arrs is not None:
+                ppc = arrs["x"].shape[0] / n_cells
+                kmax = max(kmax, int(math.ceil(
+                    ppc * deck.control.bin_headroom)) + 2)
+        K = ((kmax + 7) // 8) * 8      # lane-friendly slot count
+        cfg = dataclasses.replace(cfg, bin_k=K)
+        for arrs in loaded:
+            if arrs is None:
+                arrs = dict(x=np.zeros((0, grid.ndims)), p=np.zeros((0, 3)),
+                            weight=np.zeros((0,)))
+            slabs.append(bin_from_arrays(
+                arrs["x"], arrs["p"], arrs["weight"], grid, K))
+    else:
+        for arrs, sp_cfg in zip(loaded, cfg.species):
+            slab = empty_slab(sp_cfg.cap, grid.ndims, dtype)
+            if arrs is not None:
+                n = arrs["x"].shape[0]
+                slab = slab._replace(
+                    x=slab.x.at[:n].set(arrs["x"]),
+                    p=slab.p.at[:n].set(arrs["p"]),
+                    weight=slab.weight.at[:n].set(arrs["weight"]),
+                    alive=slab.alive.at[:n].set(arrs["alive"]),
+                )
+            slabs.append(slab)
 
     cpml = None
     if cfg.any_cpml:
@@ -328,10 +378,11 @@ class Simulation:
         # init: particle bcs + efield bcs + half-dt laser trick
         # (epoch1d.F90:141-159)
         st = self.state
-        new_slabs = []
-        for sp_cfg, slab in zip(self.cfg.species, st.species):
-            new_slabs.append(bnd.particle_bcs(slab, sp_cfg, self.cfg))
-        st = st._replace(species=tuple(new_slabs))
+        if self.cfg.engine != "binned":
+            new_slabs = []
+            for sp_cfg, slab in zip(self.cfg.species, st.species):
+                new_slabs.append(bnd.particle_bcs(slab, sp_cfg, self.cfg))
+            st = st._replace(species=tuple(new_slabs))
         st = st._replace(fields=bnd.efield_bcs(st.fields, self.cfg))
         st = self.fns["init_b_boundaries"](st)
         self.state = st

@@ -106,10 +106,16 @@ def make_step_functions(cfg):
         f = bnd.efield_bcs(f, cfg)
         return state._replace(fields=f, cpml=cpml)
 
+    if cfg.engine == "binned":
+        from . import binned as binmod
+        bplan = binmod.BinnedPlan(cfg)
+
     def push_all(state: SimState) -> SimState:
         f = state.fields
         zero = jnp.zeros_like(f.jx)
         f = f._replace(jx=zero, jy=zero, jz=zero)
+        if cfg.engine == "binned":
+            return _push_all_binned(state, f)
         contributions = []
         new_slabs = []
         for sp_cfg, slab in zip(cfg.species, state.species):
@@ -125,6 +131,30 @@ def make_step_functions(cfg):
         f = psh.deposit_currents(f, contributions, dtype)
         f = bnd.current_bcs(f, cfg)
         return state._replace(fields=f, species=tuple(new_slabs))
+
+    def _push_all_binned(state: SimState, f) -> SimState:
+        grid = cfg.grid
+        ng = grid.ng
+        interior = {nm: grid.interior(getattr(state.fields, nm))
+                    for nm in ("ex", "ey", "ez", "bx", "by", "bz")}
+        jx = jy = jz = None
+        new_species = []
+        for sp_cfg, b in zip(cfg.species, state.species):
+            if sp_cfg.immobile:
+                new_species.append(b)
+                continue
+            b, cur = binmod.push_deposit_binned(interior, b, sp_cfg, bplan)
+            new_species.append(b)
+            if cur is not None:
+                jx = cur[0] if jx is None else jx + cur[0]
+                jy = cur[1] if jy is None else jy + cur[1]
+                jz = cur[2] if jz is None else jz + cur[2]
+        sl = tuple(slice(ng, ng + n) for n in grid.n)
+        if jx is not None:
+            f = f._replace(jx=f.jx.at[sl].set(jx),
+                           jy=f.jy.at[sl].set(jy),
+                           jz=f.jz.at[sl].set(jz))
+        return state._replace(fields=f, species=tuple(new_species))
 
     def current_finish(state: SimState) -> SimState:
         """current_smooth.F90:29-45 (summation bcs already applied)."""

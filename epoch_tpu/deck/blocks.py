@@ -96,6 +96,8 @@ class ControlBlock:
     particle_shape: const.Shape = const.Shape.TRIANGLE  # compile-time in ref
     precision: str = "double"          # 'double' | 'single' (TPU perf mode)
     n_zeros: int = 4
+    pusher: str = "auto"               # 'auto' | 'binned' | 'scatter'
+    bin_headroom: float = 2.0          # slot capacity / mean ppc (binned)
 
 
 @dataclass

@@ -297,6 +297,10 @@ class DeckParser:
                 c.particle_shape = B.SHAPE_NAMES[val.strip().lower()]
             elif el == "precision":
                 c.precision = val.strip().lower()
+            elif el == "pusher" or el == "engine":
+                c.pusher = val.strip().lower()
+            elif el == "bin_headroom":
+                c.bin_headroom = self.num(val)
             # silently accept remaining legacy keys for now
         self._update_ctx()
 

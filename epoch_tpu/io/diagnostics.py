@@ -20,6 +20,15 @@ from .sdf import SDFWriter
 IOType = const.IOType
 
 
+def get_slab(cfg, state, i):
+    """Species state as a flat ParticleSlab (converts binned storage)."""
+    sp = state.species[i]
+    if hasattr(sp, "xi"):          # BinnedSpecies
+        from ..core.binned import as_slab
+        return as_slab(sp, cfg.grid)
+    return sp
+
+
 # ---------------------------------------------------------------------------
 # derived variables (calc_df.F90:35-1231)
 # ---------------------------------------------------------------------------
@@ -55,12 +64,12 @@ def particle_to_grid(slab, grid, values=None):
         out = out.at[idx[0].reshape(-1)].add(
             (vals[:, None] * wts[0]).reshape(-1))
     elif nd == 2:
-        fi = (idx[0][:, :, None] * strides[1] + idx[1][:, None, :])
+        fi = (idx[0][:, :, None] * strides[0] + idx[1][:, None, :])
         wv = vals[:, None, None] * wts[0][:, :, None] * wts[1][:, None, :]
         out = out.at[fi.reshape(-1)].add(wv.reshape(-1))
     else:
-        fi = (idx[0][:, :, None, None] * strides[1] * strides[2]
-              + idx[1][:, None, :, None] * strides[2]
+        fi = (idx[0][:, :, None, None] * strides[0]
+              + idx[1][:, None, :, None] * strides[1]
               + idx[2][:, None, None, :])
         wv = (vals[:, None, None, None] * wts[0][:, :, None, None]
               * wts[1][:, None, :, None] * wts[2][:, None, None, :])
@@ -96,21 +105,21 @@ def derived_variable(name, cfg, state, species_idx=None):
         return (gamma - 1.0) * sp.mass * const.c ** 2
 
     if name == "number_density":
-        acc = sum(particle_to_grid(state.species[i], grid) for i in idxs)
+        acc = sum(particle_to_grid(get_slab(cfg, state, i), grid) for i in idxs)
         return np.asarray(_fold_and_strip(acc, cfg)) * ivol
     if name == "charge_density":
-        acc = sum(particle_to_grid(state.species[i], grid) * cfg.species[i].charge
+        acc = sum(particle_to_grid(get_slab(cfg, state, i), grid) * cfg.species[i].charge
                   for i in idxs)
         return np.asarray(_fold_and_strip(acc, cfg)) * ivol
     if name == "mass_density":
-        acc = sum(particle_to_grid(state.species[i], grid) * cfg.species[i].mass
+        acc = sum(particle_to_grid(get_slab(cfg, state, i), grid) * cfg.species[i].mass
                   for i in idxs)
         return np.asarray(_fold_and_strip(acc, cfg)) * ivol
     if name in ("ekbar", "average_particle_energy"):
         num = 0.0
         den = 0.0
         for i in idxs:
-            slab, sp = state.species[i], cfg.species[i]
+            slab, sp = get_slab(cfg, state, i), cfg.species[i]
             num = num + particle_to_grid(slab, grid, ke(slab, sp))
             den = den + particle_to_grid(slab, grid)
         num = _fold_and_strip(num, cfg)
@@ -121,7 +130,7 @@ def derived_variable(name, cfg, state, species_idx=None):
         num = 0.0
         den = 0.0
         for i in idxs:
-            slab = state.species[i]
+            slab = get_slab(cfg, state, i)
             num = num + particle_to_grid(slab, grid, slab.p[:, comp])
             den = den + particle_to_grid(slab, grid)
         num = _fold_and_strip(num, cfg)
@@ -131,7 +140,7 @@ def derived_variable(name, cfg, state, species_idx=None):
         num = 0.0
         cnt = 0.0
         for i in idxs:
-            slab = state.species[i]
+            slab = get_slab(cfg, state, i)
             num = num + particle_to_grid(slab, grid, slab.weight)
             ones = jnp.where(slab.alive, 1.0, 0.0)
             cnt = cnt + particle_to_grid(
@@ -142,7 +151,7 @@ def derived_variable(name, cfg, state, species_idx=None):
     if name in ("ppc", "particles_per_cell"):
         cnt = 0.0
         for i in idxs:
-            slab = state.species[i]
+            slab = get_slab(cfg, state, i)
             ones = jnp.where(slab.alive, 1.0, 0.0)
             cnt = cnt + particle_to_grid(slab._replace(weight=ones), grid)
         return np.asarray(_fold_and_strip(cnt, cfg))
@@ -152,7 +161,7 @@ def derived_variable(name, cfg, state, species_idx=None):
         num = 0.0
         den = 0.0
         for i in idxs:
-            slab, sp = state.species[i], cfg.species[i]
+            slab, sp = get_slab(cfg, state, i), cfg.species[i]
             mc = sp.mass
             p2 = jnp.sum(slab.p ** 2, axis=1) / 3.0
             num = num + particle_to_grid(slab, grid, p2 / (mc * const.kb))
@@ -176,7 +185,8 @@ def total_field_energy(cfg, state):
 
 def total_particle_energy(cfg, state):
     tot = 0.0
-    for sp, slab in zip(cfg.species, state.species):
+    for i, sp in enumerate(cfg.species):
+        slab = get_slab(cfg, state, i)
         p2 = np.asarray(jnp.sum(slab.p ** 2, axis=1))
         w = np.asarray(jnp.where(slab.alive, slab.weight, 0.0))
         mc = sp.mass * const.c
@@ -229,7 +239,7 @@ def dist_fn_axis_values(dfn_dir, slab, sp):
 def compute_dist_fn(dfn, cfg, state, species_idx):
     """N-D weighted histogram for one species → (edges list, hist array)."""
     grid = cfg.grid
-    slab = state.species[species_idx]
+    slab = get_slab(cfg, state, species_idx)
     sp = cfg.species[species_idx]
     w = np.asarray(jnp.where(slab.alive, slab.weight, 0.0))
     alive = w > 0
@@ -429,7 +439,8 @@ class OutputManager:
 
     def _write_particles(self, w, state, part_vars, mask_map):
         cfg = self.cfg
-        for i, (sp, slab) in enumerate(zip(cfg.species, state.species)):
+        for i, sp in enumerate(cfg.species):
+            slab = get_slab(cfg, state, i)
             alive = np.asarray(slab.alive)
             coords = np.asarray(slab.x)[alive]
             mesh_id = f"grid/{sp.name}"
