@@ -72,11 +72,16 @@ def main():
         f.write(DECK.format(nx=nx, ny=ny, ppc=ppc,
                             lx=nx * cell, ly=ny * cell))
     sim = Simulation(os.path.join(d, "input.deck"))
-    npart = sum(int(s.alive.sum()) for s in sim.state.species)
+
+    def count(s):
+        if hasattr(s, "alive"):
+            return int(s.alive.sum())
+        return int((s.w > 0).sum())
+    npart = sum(count(s) for s in sim.state.species)
 
     run_n = make_full_step(sim.cfg)
-    # warmup (compile + 2 steps)
-    st = run_n(sim.state, 2)
+    # warmup with the same step count (single compile of the scanned step)
+    st = run_n(sim.state, steps)
     jax.block_until_ready(st.fields.ex)
     t0 = time.perf_counter()
     st = run_n(st, steps)

@@ -92,12 +92,12 @@ class BinnedPlan:
             self.fj = (self.fac / (cfg.dt * d[1] * d[2]),
                        self.fac / (cfg.dt * d[0] * d[2]),
                        self.fac / (cfg.dt * d[0] * d[1]))
-        # After the half-drift a particle's cell1 can differ from its bin by
-        # ±1, so gather offsets span cell1+support = −2..2 and deposition
-        # offsets span cell1+window = −3..3 (window = support+2,
-        # particles.F90:79-83).
-        self.gather_offsets = tuple(range(-2, 3))
-        self.offsets = tuple(range(-3, 4))
+        # The particle is re-binned onto its half-drift cell1 before the
+        # gather, so unstaggered weights live on −1..1 and staggered on
+        # −2..1: gather offsets −2..1.  The deposition window is the
+        # reference's support+2 = −2..2 (particles.F90:79-83).
+        self.gather_offsets = (-2, -1, 0, 1)
+        self.offsets = tuple(range(-2, 3))
 
 
 # ---------------------------------------------------------------------------
@@ -215,45 +215,56 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
     cm = q * 0.5 * plan.dt * ipart_mc          # fac-free kick factor
     ccm = cm * const.c
 
-    alive = w > 0
-
     u = [p[..., i] * ipart_mc for i in range(3)]
     gamma = jnp.sqrt(u[0] ** 2 + u[1] ** 2 + u[2] ** 2 + 1.0)
     root = plan.dtco2 / gamma
-    # half drift in grid units
-    xi_h = [xi[..., d] + u[d] * root / plan.delta[d] for d in range(nd)]
+    # half drift in grid units, then re-bin so bin == cell1 exactly
+    # (particles.F90:234-257); keeps the gather/deposit windows minimal
+    xi_h = jnp.stack([xi[..., d] + u[d] * root / plan.delta[d]
+                      for d in range(nd)], axis=-1)
+    binned = rebin(binned._replace(xi=jnp.where((w > 0)[..., None],
+                                                xi_h, xi)), plan)
+    xi = binned.xi
+    p = binned.p
+    w = binned.w
+    alive = w > 0
+    u = [p[..., i] * ipart_mc for i in range(3)]
 
-    # stagger-set cell offsets (relative to the bin) and cell fractions
-    # (particles.F90:248-287): cell1 = bin + c1, cell2 = bin + c2
-    c1 = [jnp.floor(x + 0.5) for x in xi_h]
-    cf1 = [c1[d] - xi_h[d] for d in range(nd)]
-    c2 = [jnp.floor(x) for x in xi_h]
-    cf2 = [c2[d] - xi_h[d] + 0.5 for d in range(nd)]
+    # cell fractions for the two stagger sets (particles.F90:248-287):
+    # cell1 = bin (ξ ∈ [-0.5, 0.5)), cell2 = bin + c2, c2 = floor(ξ)
+    xi_ax = [xi[..., d] for d in range(nd)]
+    cf1 = [-x for x in xi_ax]
+    c2 = [jnp.floor(x) for x in xi_ax]
+    cf2 = [c2[d] - xi_ax[d] + 0.5 for d in range(nd)]
 
     from .boundaries import STAGGER
     names = ("ex", "ey", "ez", "bx", "by", "bz")
-    # per-axis weights at each gather-window offset, both stagger sets
     gofs = plan.gather_offsets
-    gw = [[_weight(plan.shape, cf1[d], o - c1[d]) for o in gofs]
-          for d in range(nd)]
+    gw = [[_weight(plan.shape, cf1[d], o) for o in gofs] for d in range(nd)]
     hw = [[_weight(plan.shape, cf2[d], o - c2[d]) for o in gofs]
           for d in range(nd)]
+    # stack the six fields: one roll per offset tuple; per-offset there are
+    # only 2^nd distinct stagger weight products, shared across fields
+    fstack = jnp.stack([interior_fields[nm] for nm in names], axis=0)
+    stag_bits = {nm: tuple(int(STAGGER[nm][d]) for d in range(nd))
+                 for nm in names}
     accs = {nm: jnp.zeros(w.shape, dtype) for nm in names}
     for off in itertools.product(range(len(gofs)), repeat=nd):
         otup = tuple(gofs[i] for i in off)
-        for nm in names:
-            stag = STAGGER[nm]
+        rolled = _roll(fstack, (0,) + otup, nd + 1)
+        wprod = {}
+        for bits in itertools.product((0, 1), repeat=nd):
             ww = None
             for d in range(nd):
-                wd = hw[d][off[d]] if stag[d] else gw[d][off[d]]
+                wd = hw[d][off[d]] if bits[d] else gw[d][off[d]]
                 ww = wd if ww is None else ww * wd
-            f = _roll(interior_fields[nm], otup, nd)[..., None]
-            accs[nm] = accs[nm] + ww * f
+            wprod[bits] = ww
+        for k, nm in enumerate(names):
+            accs[nm] = accs[nm] + wprod[stag_bits[nm]] * rolled[k][..., None]
     if _debug is not None:
         _debug["accs"] = accs
         _debug["cf1"] = cf1
-        _debug["c1"] = c1
-        _debug["xi_h"] = xi_h
+        _debug["xi_h"] = xi_ax
     fac = plan.fac
     ex_p = fac * accs["ex"]
     ey_p = fac * accs["ey"]
@@ -290,7 +301,7 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
     vy = uy * rootc
     vz = uz * rootc
 
-    xi_new = [xi_h[d] + delta[d] for d in range(nd)]
+    xi_new = [xi_ax[d] + delta[d] for d in range(nd)]
     new_p = jnp.stack([ux, uy, uz], axis=-1) * part_mc
     new_p = jnp.where(alive[..., None], new_p, binned.p)
 
@@ -303,7 +314,7 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
         cf3 = [c3[d] - xi_dep[d] for d in range(nd)]
         # per-axis window weights at bin-relative offsets (gx from the
         # half-drift position, hx from t+1.5dt; particles.F90:420-434)
-        gx5 = [[_weight(plan.shape, cf1[d], o - c1[d])
+        gx5 = [[_weight(plan.shape, cf1[d], o)
                 for o in plan.offsets] for d in range(nd)]
         hx5 = [[_weight(plan.shape, cf3[d], o - c3[d])
                 for o in plan.offsets] for d in range(nd)]
@@ -331,8 +342,10 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
                 jz = jz + _roll_back(jnp.sum(fjz * vz * wy, axis=-1),
                                      (plan.offsets[i],), nd)
         elif nd == 2:
-            # (particles.F90 2d deposition loop structure)
+            # (particles.F90 2d deposition loop structure); the three current
+            # components are stacked so each offset does a single roll
             third = 1.0 / 3.0
+            acc3 = jnp.zeros((3,) + tuple(plan.n), dtype)
             jyh = [jnp.zeros_like(w) for _ in range(W)]
             for iy in range(W):
                 hy = dxw[1][iy]
@@ -349,11 +362,12 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
                     wzv = gx * yfac1 + hx * yfac2
                     jxh = jxh - fjx * wxv
                     jyh[ix] = jyh[ix] - fjy * wyv
-                    off = (plan.offsets[ix], plan.offsets[iy])
-                    jx = jx + _roll_back(jnp.sum(jxh, axis=-1), off, nd)
-                    jy = jy + _roll_back(jnp.sum(jyh[ix], axis=-1), off, nd)
-                    jz = jz + _roll_back(jnp.sum(fjz * vz * wzv, axis=-1),
-                                         off, nd)
+                    v3 = jnp.stack([jnp.sum(jxh, axis=-1),
+                                    jnp.sum(jyh[ix], axis=-1),
+                                    jnp.sum(fjz * vz * wzv, axis=-1)], axis=0)
+                    off = (0, plan.offsets[ix], plan.offsets[iy])
+                    acc3 = acc3 + _roll_back(v3, off, nd + 1)
+            jx, jy, jz = acc3[0], acc3[1], acc3[2]
         else:
             third = 1.0 / 3.0
             jyh = [jnp.zeros_like(w) for _ in range(W)]

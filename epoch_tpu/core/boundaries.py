@@ -217,14 +217,15 @@ def current_bcs(f: Fields, cfg) -> Fields:
     )
 
 
-def particle_bcs(slab, sp_cfg, cfg):
+def particle_bcs(slab, sp_cfg, cfg, key=None):
     """Apply domain particle BCs to a species slab
     (particle_bcs, boundary.F90:599-798).
 
-    Single-device version: periodic wrap / reflect / open-removal.  Thermal
-    re-emission is handled by the injector module.  With sharding, inter-rank
-    migration is a ppermute exchange (epoch_tpu.parallel.exchange).
+    Single-device version: periodic wrap / reflect / open-removal / thermal
+    re-emission.  With sharding, inter-rank migration is implicit (particle
+    decomposition) or a ppermute exchange (spatial decomposition tier).
     """
+    import jax
     grid = cfg.grid
     x = slab.x
     p = slab.p
@@ -242,32 +243,60 @@ def particle_bcs(slab, sp_cfg, cfg):
         out_hi = grid.outer_hi(d)
         wrap = grid.wrap_length(d)
 
-        if lo_field_cpml:
-            dead = xd < out_lo
-            alive = alive & ~dead
-        elif lo_bc == const.BC.PERIODIC:
-            xd = jnp.where(xd < lo, xd + wrap, xd)
-        elif lo_bc == const.BC.REFLECT:
-            hit = xd < lo
-            xd = jnp.where(hit, 2.0 * grid.lo[d] - xd, xd)
-            p = p.at[:, d].set(jnp.where(hit, -p[:, d], p[:, d]))
-        else:  # open / thermal fallback: remove beyond the outer edge
-            dead = xd < out_lo
-            alive = alive & ~dead
-
-        if hi_field_cpml:
-            dead = xd >= out_hi
-            alive = alive & ~dead
-        elif hi_bc == const.BC.PERIODIC:
-            xd = jnp.where(xd >= hi, xd - wrap, xd)
-        elif hi_bc == const.BC.REFLECT:
-            hit = xd >= hi
-            xd = jnp.where(hit, 2.0 * grid.hi[d] - xd, xd)
-            p = p.at[:, d].set(jnp.where(hit, -p[:, d], p[:, d]))
-        else:
-            dead = xd >= out_hi
-            alive = alive & ~dead
+        for hi_side in (False, True):
+            bc = hi_bc if hi_side else lo_bc
+            field_cpml = hi_field_cpml if hi_side else lo_field_cpml
+            if hi_side:
+                beyond = xd >= hi
+                beyond_outer = xd >= out_hi
+                edge = grid.hi[d]
+                outer_edge = out_hi
+                sgn = 1.0
+            else:
+                beyond = xd < lo
+                beyond_outer = xd < out_lo
+                edge = grid.lo[d]
+                outer_edge = out_lo
+                sgn = -1.0
+            if field_cpml:
+                alive = alive & ~beyond_outer
+            elif bc == const.BC.PERIODIC:
+                xd = jnp.where(beyond, xd - sgn * wrap, xd)
+            elif bc == const.BC.REFLECT:
+                xd = jnp.where(beyond, 2.0 * edge - xd, xd)
+                p = p.at[:, d].set(jnp.where(beyond, -p[:, d], p[:, d]))
+            elif bc in (const.BC.THERMAL, const.BC.HEAT_BATH) \
+                    and key is not None:
+                # thermal re-emission (boundary.F90:664-694): reflect about
+                # the outer edge, resample a flux-Maxwellian normal momentum
+                # and Maxwellian transverse momenta at ext_temp
+                from .slab_ops import sample_maxwellian_p, \
+                    sample_flux_maxwellian_p
+                key, k1, k2, k3 = jax.random.split(key, 4)
+                temps = _ext_temp(sp_cfg, 2 * d + (1 if hi_side else 0))
+                xd = jnp.where(beyond_outer, 2.0 * outer_edge - xd, xd)
+                ks = (k1, k2, k3)
+                for comp in range(3):
+                    if comp == d:
+                        newp = sample_flux_maxwellian_p(
+                            ks[comp], sp_cfg.mass, temps[comp], 0.0,
+                            -sgn, xd.shape)
+                    else:
+                        newp = sample_maxwellian_p(
+                            ks[comp], sp_cfg.mass, temps[comp], 0.0,
+                            xd.shape)
+                    p = p.at[:, comp].set(
+                        jnp.where(beyond_outer, newp, p[:, comp]))
+            else:  # open: remove beyond the outer edge
+                alive = alive & ~beyond_outer
 
         x = x.at[:, d].set(xd)
     weight = jnp.where(alive, weight, 0.0)
     return slab._replace(x=x, p=p, alive=alive, weight=weight)
+
+
+def _ext_temp(sp_cfg, boundary):
+    """Boundary temperatures (species_temp at the edge, helper.F90:42-45)."""
+    if sp_cfg.ext_temp and len(sp_cfg.ext_temp) > boundary:
+        return sp_cfg.ext_temp[boundary]
+    return (0.0, 0.0, 0.0)

@@ -101,6 +101,10 @@ class SimConfig:
     # cell-slot grid, all-periodic only — the TPU hot path, core/binned.py)
     engine: str = "scatter"
     bin_k: int = 0             # slots per cell for the binned engine
+    use_current_correction: bool = False
+    initial_currents: Any = None   # (jx0, jy0, jz0) padded arrays or None
+    injector_plans: tuple = ()     # InjectorPlan per deck injector block
+    ionise_plan: Any = None        # physics.ionise.IonisePlan or None
     particle_push_start_time: float = 0.0
     deck: Any = None         # original DeckConfig (host-side only)
 

@@ -129,6 +129,23 @@ def build_config(deck: DeckConfig) -> SimConfig:
 
     species = []
     for sp in deck.species:
+        # boundary temperatures for thermal bcs: species temperature
+        # evaluated at the domain edges (helper.F90:42-45)
+        ext_temp = []
+        for b in range(2 * grid.ndims):
+            ax = b // 2
+            edge = grid.hi[ax] if b % 2 else grid.lo[ax]
+            ctx = {"xyz"[ax]: edge, "time": 0.0}
+            for d in range(grid.ndims):
+                ctx.setdefault("xyz"[d], 0.5 * (grid.lo[d] + grid.hi[d]))
+            temps = []
+            for i in range(3):
+                try:
+                    temps.append(float(np.mean(sp.temp[i](ctx)))
+                                 if sp.temp[i] is not None else 0.0)
+                except Exception:
+                    temps.append(0.0)
+            ext_temp.append(tuple(temps))
         species.append(SpeciesConfig(
             name=sp.name,
             charge=sp.charge,
@@ -140,6 +157,7 @@ def build_config(deck: DeckConfig) -> SimConfig:
             bc_particle=tuple(sp.bc_particle),
             npart=sp.npart,
             npart_per_cell=sp.npart_per_cell,
+            ext_temp=tuple(ext_temp),
         ))
 
     lasers = []
@@ -198,6 +216,16 @@ def build_config(deck: DeckConfig) -> SimConfig:
         cfg = dataclasses.replace(
             cfg, window_plans=tuple(window_plan(cfg, deck)))
     cfg = dataclasses.replace(cfg, engine=_select_engine(deck, cfg))
+    if deck.injectors:
+        from .injectors import InjectorPlan
+        cfg = dataclasses.replace(cfg, injector_plans=tuple(
+            InjectorPlan(b, cfg, deck) for b in deck.injectors))
+    cfg = dataclasses.replace(
+        cfg, use_current_correction=deck.control.use_current_correction)
+    if deck.control.field_ionisation and any(
+            getattr(s, "ionise", False) for s in deck.species):
+        from ..physics.ionise import IonisePlan
+        cfg = dataclasses.replace(cfg, ionise_plan=IonisePlan(cfg, deck))
     return cfg
 
 
@@ -296,6 +324,16 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
             slabs.append(bin_from_arrays(
                 arrs["x"], arrs["p"], arrs["weight"], grid, K))
     else:
+        # ionisation products need capacity headroom scaled by their sources
+        if cfg.ionise_plan is not None:
+            caps = [s.cap for s in cfg.species]
+            for lv in cfg.ionise_plan.levels:
+                caps[lv["to"]] = max(caps[lv["to"]],
+                                     caps[lv["species"]] + caps[lv["to"]])
+                caps[lv["release"]] += caps[lv["species"]]
+            cfg = dataclasses.replace(cfg, species=tuple(
+                dataclasses.replace(s, cap=c)
+                for s, c in zip(cfg.species, caps)))
         for arrs, sp_cfg in zip(loaded, cfg.species):
             slab = empty_slab(sp_cfg.cap, grid.ndims, dtype)
             if arrs is not None:
@@ -335,7 +373,27 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
         window_frac=jnp.zeros((), dtype),
         rng=jax.random.PRNGKey(seed),
         bc_fields=bc_fields,
+        injector_depth=tuple(jnp.zeros((p.n_cells,), dtype)
+                             for p in cfg.injector_plans),
     )
+    if cfg.use_current_correction and cfg.species:
+        # calc_initial_current (io/calc_df.F90:1231): the DC current of the
+        # initial distribution, subtracted each step in current_finish
+        from ..io.diagnostics import get_slab, particle_to_grid
+        from .boundaries import current_summation_bcs
+        j0 = []
+        for comp in range(3):
+            acc = 0.0
+            for i, sp in enumerate(cfg.species):
+                slab = get_slab(cfg, state, i)
+                mc = sp.mass * const.c
+                u = slab.p / mc
+                gam = jnp.sqrt(1.0 + jnp.sum(u ** 2, axis=1))
+                v = slab.p[:, comp] / (sp.mass * gam)
+                acc = acc + particle_to_grid(slab, grid, v) * sp.charge
+            acc = current_summation_bcs(acc / grid.cell_volume, "", cfg)
+            j0.append(jnp.asarray(acc, dtype))
+        cfg = dataclasses.replace(cfg, initial_currents=tuple(j0))
     return cfg, state
 
 

@@ -86,6 +86,9 @@ class SimState(NamedTuple):
     rng: jax.Array            # jax PRNG key
     # boundary field memory for Silver-Mueller outflow (setup.F90:373-381)
     bc_fields: dict | None = None
+    # per-injector fractional emission accumulators
+    # (injector_block%depth, injectors.F90:276-283)
+    injector_depth: tuple = ()
 
 
 def zero_fields(padded_shape, dtype) -> Fields:

@@ -118,6 +118,11 @@ def make_step_functions(cfg):
             return _push_all_binned(state, f)
         contributions = []
         new_slabs = []
+        rng = state.rng
+        any_thermal = any(
+            bc in (const.BC.THERMAL, const.BC.HEAT_BATH)
+            for sp_cfg in cfg.species
+            for bc in sp_cfg.bc_particle[:2 * cfg.ndims])
         for sp_cfg, slab in zip(cfg.species, state.species):
             if sp_cfg.species_type == const.SpeciesType.PHOTON:
                 slab = psh.push_photons(slab, pplan)
@@ -126,8 +131,12 @@ def make_step_functions(cfg):
                                                 pplan)
                 if contrib is not None:
                     contributions.append(contrib)
-            slab = bnd.particle_bcs(slab, sp_cfg, cfg)
+            key = None
+            if any_thermal:
+                rng, key = jax.random.split(rng)
+            slab = bnd.particle_bcs(slab, sp_cfg, cfg, key=key)
             new_slabs.append(slab)
+        state = state._replace(rng=rng)
         f = psh.deposit_currents(f, contributions, dtype)
         f = bnd.current_bcs(f, cfg)
         return state._replace(fields=f, species=tuple(new_slabs))
@@ -168,16 +177,41 @@ def make_step_functions(cfg):
             jx = smooth_array(jx, cfg, its, comp)
             jy = smooth_array(jy, cfg, its, comp)
             jz = smooth_array(jz, cfg, its, comp)
+        if cfg.use_current_correction and cfg.initial_currents is not None:
+            # subtract the initial DC current (current_smooth.F90:39-43)
+            j0x, j0y, j0z = cfg.initial_currents
+            jx = jx - j0x
+            jy = jy - j0y
+            jz = jz - j0z
         return state._replace(fields=f._replace(jx=jx, jy=jy, jz=jz))
 
+    def run_injectors(state: SimState) -> SimState:
+        """injectors.F90:143-180."""
+        if not cfg.injector_plans:
+            return state
+        from . import injectors as inj
+        rng = state.rng
+        depths = list(state.injector_depth)
+        for i, plan in enumerate(cfg.injector_plans):
+            rng, sub = jax.random.split(rng)
+            state, depths[i] = inj.run_injector(state, plan, depths[i],
+                                                cfg, sub)
+        return state._replace(rng=rng, injector_depth=tuple(depths))
+
     def step_a(state: SimState) -> SimState:
-        """fields_half → push → current_finish → step++/time+=dt/2.
-        Leaves the state at the mid-step output point."""
+        """fields_half → injectors → push → current_finish →
+        step++/time+=dt/2.  Leaves the state at the mid-step output point."""
         state = fields_half(state)
         push_on = state.time >= cfg.particle_push_start_time
         if cfg.species:
+            state = run_injectors(state)
             state = jax.lax.cond(push_on, push_all, lambda s: s, state) \
                 if cfg.particle_push_start_time > 0 else push_all(state)
+            if cfg.ionise_plan is not None:
+                from ..physics.ionise import ionise_particles
+                rng, sub = jax.random.split(state.rng)
+                state, _ = ionise_particles(state._replace(rng=rng), cfg,
+                                            cfg.ionise_plan, sub)
             state = current_finish(state)
         return state._replace(step=state.step + 1,
                               time=state.time + 0.5 * dt)

@@ -147,6 +147,13 @@ class SpeciesBlock:
     ext_temp_x_max: list = dfield(default_factory=lambda: [0.0, 0.0, 0.0])
     ext_temp_y_min: list = dfield(default_factory=lambda: [0.0, 0.0, 0.0])
     ext_temp_y_max: list = dfield(default_factory=lambda: [0.0, 0.0, 0.0])
+    # --- ionisation chain wiring (deck_species_block.F90:301-341) ---
+    ionise: bool = False
+    ionisation_energy: float = 0.0
+    ionise_to_species_name: str = ""
+    release_species_name: str = ""
+    principal_n: int = 1
+    l_quantum: int = 0
 
 
 @dataclass

@@ -728,6 +728,45 @@ class DeckParser:
             for i in range(6):
                 if s.bc_particle[i] is None:
                     s.bc_particle[i] = cfg.boundaries.bc_particle[i]
+        self._expand_ionisation_chains()
+
+    def _expand_ionisation_chains(self):
+        """species with N ionisation_energies spawn derived species
+        name1..nameN, chained for field/collisional ionisation
+        (species_block_end, deck_species_block.F90:301-341)."""
+        cfg = self.cfg
+        new_species = []
+        for s in list(cfg.species):
+            new_species.append(s)
+            if not s.ionisation_energies:
+                continue
+            energies = s.ionisation_energies
+            releases = s.electron_species or [""]
+            if len(releases) == 1:
+                releases = releases * len(energies)
+            prev = s
+            for i, e_ion in enumerate(energies):
+                name = f"{s.name}{i + 1}"
+                derived = B.SpeciesBlock(
+                    name=name,
+                    charge=s.charge + (i + 1) * const.q0,
+                    mass=s.mass,
+                    bc_particle=list(s.bc_particle),
+                    species_type=const.SpeciesType.ION,
+                    atomic_number=s.atomic_number,
+                )
+                prev.ionise = True
+                prev.ionisation_energy = e_ion
+                prev.ionise_to_species_name = name
+                prev.release_species_name = releases[i] if i < len(releases) \
+                    else releases[-1]
+                # (n, l) of the outgoing electron by Madelung filling
+                from ..physics.ionise import madelung_nl
+                prev.principal_n, prev.l_quantum = madelung_nl(
+                    len(energies) - i)
+                new_species.append(derived)
+                prev = derived
+        cfg.species = new_species
 
 
 def _strip_parens(text: str) -> str:

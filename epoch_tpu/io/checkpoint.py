@@ -1,0 +1,136 @@
+"""Checkpoint / restart.
+
+The reference restart dump is an SDF file flagged ``restart`` containing the
+full field arrays, every particle record, per-rank RNG state, dt, step/time,
+window offset, laser phases and the input deck text
+(diagnostics.F90:1090,3412; reader setup.F90:822-1464).  Here a restart dump
+is an SDF file with the same logical content: the complete state pytree is
+serialised block-by-block, so a run can resume bit-exactly (counter-based
+RNG key included — the analogue of ``use_exact_restart``).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.state import SimState, Fields, CPMLState, LaserState, ParticleSlab
+from .sdf import SDFWriter, read as sdf_read
+
+
+def write_restart(path, cfg, state: SimState, deck_text: str = ""):
+    w = SDFWriter(path, step=int(state.step), time=float(state.time),
+                  restart=True)
+    grid = cfg.grid
+    # grid mesh for tool compatibility
+    w.write_plain_mesh("grid", "Grid/Grid",
+                       [grid.nodes(d) for d in range(grid.ndims)])
+    # full padded field arrays (the reference dumps full-domain arrays with
+    # stagger metadata; we keep ghosts for bit-exact resume)
+    for nm in state.fields._fields:
+        w.write_plain_variable(f"restart/{nm}", f"Restart/Fields/{nm}",
+                               np.asarray(getattr(state.fields, nm)), "grid")
+    if state.cpml is not None:
+        for k, stack in enumerate(state.cpml.psi):
+            w.write_plain_variable(f"restart/cpml_psi{k}",
+                                   f"Restart/CPML/psi{k}",
+                                   np.asarray(stack), "grid")
+    for i, sp in enumerate(cfg.species):
+        s = state.species[i]
+        if hasattr(s, "xi"):     # binned
+            w.write_plain_variable(f"restart/binned_xi/{sp.name}",
+                                   f"Restart/Binned/xi/{sp.name}",
+                                   np.asarray(s.xi), "grid")
+            w.write_plain_variable(f"restart/binned_p/{sp.name}",
+                                   f"Restart/Binned/p/{sp.name}",
+                                   np.asarray(s.p), "grid")
+            w.write_plain_variable(f"restart/binned_w/{sp.name}",
+                                   f"Restart/Binned/w/{sp.name}",
+                                   np.asarray(s.w), "grid")
+            w.write_constant(f"restart/binned_drop/{sp.name}",
+                             f"Restart/Binned/dropped/{sp.name}",
+                             int(s.n_dropped))
+        else:
+            w.write_plain_variable(f"restart/x/{sp.name}",
+                                   f"Restart/Particles/x/{sp.name}",
+                                   np.asarray(s.x), "grid")
+            w.write_plain_variable(f"restart/p/{sp.name}",
+                                   f"Restart/Particles/p/{sp.name}",
+                                   np.asarray(s.p), "grid")
+            w.write_plain_variable(f"restart/w/{sp.name}",
+                                   f"Restart/Particles/w/{sp.name}",
+                                   np.asarray(s.weight), "grid")
+            w.write_plain_variable(f"restart/alive/{sp.name}",
+                                   f"Restart/Particles/alive/{sp.name}",
+                                   np.asarray(s.alive).astype(np.int32),
+                                   "grid")
+    # scalars + RNG + laser phases (setup.F90:1483-1573 analogues)
+    w.write_constant("restart/time", "Restart/time", float(state.time))
+    w.write_constant("restart/step", "Restart/step", int(state.step))
+    w.write_constant("restart/dt", "Restart/dt", float(cfg.dt))
+    w.write_constant("restart/window_offset", "Restart/window_offset",
+                     int(state.window_offset))
+    w.write_constant("restart/window_frac", "Restart/window_frac",
+                     float(state.window_frac))
+    w.write_plain_variable("restart/rng", "Restart/rng",
+                           np.asarray(jax.random.key_data(state.rng)
+                                      if hasattr(jax.random, "key_data")
+                                      else state.rng).astype(np.int64),
+                           "grid")
+    w.write_plain_variable("restart/laser_phase", "Restart/laser_phase",
+                           np.asarray(state.lasers.integral_phase), "grid")
+    if deck_text:
+        w.write_datablock("input_deck", "Input Deck", deck_text.encode(),
+                          "text/plain")
+    w.close()
+
+
+def read_restart(path, cfg, template: SimState) -> SimState:
+    """Restore a SimState matching ``template``'s structure."""
+    d = sdf_read(path)
+    dtype = cfg.dtype
+
+    def arr(name):
+        return jnp.asarray(d[name].data.astype(dtype))
+
+    fields = template.fields._replace(**{
+        nm: arr(f"Restart/Fields/{nm}") for nm in template.fields._fields})
+    cpml = template.cpml
+    if cpml is not None:
+        cpml = CPMLState(psi=tuple(
+            arr(f"Restart/CPML/psi{k}") for k in range(len(cpml.psi))))
+    species = []
+    for i, sp in enumerate(cfg.species):
+        t = template.species[i]
+        if hasattr(t, "xi"):
+            species.append(t._replace(
+                xi=arr(f"Restart/Binned/xi/{sp.name}"),
+                p=arr(f"Restart/Binned/p/{sp.name}"),
+                w=arr(f"Restart/Binned/w/{sp.name}"),
+                n_dropped=jnp.asarray(
+                    d[f"Restart/Binned/dropped/{sp.name}"].data, jnp.int32),
+            ))
+        else:
+            species.append(t._replace(
+                x=arr(f"Restart/Particles/x/{sp.name}"),
+                p=arr(f"Restart/Particles/p/{sp.name}"),
+                weight=arr(f"Restart/Particles/w/{sp.name}"),
+                alive=jnp.asarray(
+                    d[f"Restart/Particles/alive/{sp.name}"].data != 0),
+            ))
+    rng_data = d["Restart/rng"].data.astype(np.uint32)
+    rng = jnp.asarray(rng_data)
+    if hasattr(jax.random, "wrap_key_data") and template.rng.dtype != jnp.uint32:
+        rng = jax.random.wrap_key_data(rng)
+    lasers = template.lasers._replace(
+        integral_phase=arr("Restart/laser_phase"))
+    return template._replace(
+        fields=fields, cpml=cpml, species=tuple(species), lasers=lasers,
+        time=jnp.asarray(d["Restart/time"].data, dtype),
+        step=jnp.asarray(d["Restart/step"].data, jnp.int32),
+        window_offset=jnp.asarray(d["Restart/window_offset"].data, jnp.int32),
+        window_frac=jnp.asarray(d["Restart/window_frac"].data, dtype),
+        rng=rng,
+    )

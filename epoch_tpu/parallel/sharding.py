@@ -62,8 +62,16 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "x"):
     else:
         cpml = None
 
-    def slab_sharding(slab: ParticleSlab):
+    def slab_sharding(slab):
         n = mesh.shape[axis]
+        if hasattr(slab, "xi"):
+            # binned storage: spatial decomposition along grid-x (dim 0) —
+            # the direct analogue of EPOCH's domain decomposition; rolls in
+            # the binned kernels become collective-permutes over ICI
+            if slab.w.shape[0] % n == 0:
+                part = NamedSharding(mesh, P(axis))
+                return type(slab)(xi=part, p=part, w=part, n_dropped=repl)
+            return jax.tree.map(lambda _: repl, slab)
         if slab.cap % n == 0:
             part = NamedSharding(mesh, P(axis))
             return ParticleSlab(
@@ -78,7 +86,8 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "x"):
     return SimState(
         fields=fields, cpml=cpml, species=species, lasers=lasers,
         time=repl, step=repl, window_offset=repl, window_frac=repl,
-        rng=repl, bc_fields=bc_fields)
+        rng=repl, bc_fields=bc_fields,
+        injector_depth=jax.tree.map(lambda _: repl, state.injector_depth))
 
 
 def shard_state(state: SimState, mesh: Mesh, axis: str = "x") -> SimState:

@@ -27,10 +27,24 @@ class Runner:
                  seed: int = 0, stdout=sys.stdout):
         self.data_dir = data_dir
         self.sim = Simulation(os.path.join(data_dir, deck_name), seed=seed)
+        # restart_snapshot = <file> resumes from a restart dump
+        # (deck_control_block 'restart_snapshot'; setup.F90:822)
+        rs = self.sim.deck.control.restart_snapshot
+        if rs:
+            from .io.checkpoint import read_restart
+            path = rs if os.path.isabs(rs) else os.path.join(data_dir, rs)
+            if not os.path.exists(path) and not rs.endswith(".sdf"):
+                path = path + ".sdf"
+            self.sim.state = read_restart(path, self.sim.cfg, self.sim.state)
         self.out = OutputManager(self.sim.cfg, self.sim.deck, data_dir,
                                  n_zeros=self.sim.deck.control.n_zeros)
         self.stdout = stdout
         self._t0 = _time.time()
+
+    def write_restart(self, name="restart.sdf"):
+        from .io.checkpoint import write_restart
+        write_restart(os.path.join(self.data_dir, name), self.sim.cfg,
+                      self.sim.state, deck_text=self.sim.deck.deck_text)
 
     def run(self, max_steps=None):
         sim = self.sim
@@ -76,7 +90,7 @@ class Runner:
             if os.path.exists(p):
                 os.remove(p)
                 if dump:
-                    self.out.maybe_dump(self.sim, self.sim.state, force=True)
+                    self.write_restart()
                 print(f" Halting on {name} file", file=self.stdout)
                 return True
         return False

@@ -14,6 +14,7 @@ from epoch_tpu.parallel import make_mesh, shard_state, make_sharded_step
 
 DECK = """
 begin:control
+  pusher = scatter
   nx = 64
   t_end = 1
   x_min = 0

@@ -17,6 +17,7 @@ from epoch_tpu.io.diagnostics import derived_variable
 def make_sim(tmp_path, extra_species="", nx=64, t_end=1.0):
     deck = f"""
 begin:control
+  pusher = scatter
   nx = {nx}
   t_end = {t_end}
   x_min = 0
@@ -49,6 +50,7 @@ def make_tracer_sim(tmp_path):
     """Single-particle style setup: zero-current tracers in frozen fields."""
     deck = """
 begin:control
+  pusher = scatter
   nx = 64
   t_end = 1
   x_min = 0
@@ -185,6 +187,7 @@ def test_energy_conservation_twostream_short(tmp_path):
     two-stream run (the reference gates physics on energy conservation)."""
     deck = """
 begin:control
+  pusher = scatter
   nx = 64
   t_end = 1
   x_min = 0
