@@ -105,6 +105,7 @@ class SimConfig:
     initial_currents: Any = None   # (jx0, jy0, jz0) padded arrays or None
     injector_plans: tuple = ()     # InjectorPlan per deck injector block
     ionise_plan: Any = None        # physics.ionise.IonisePlan or None
+    collision_plan: Any = None     # physics.collisions.CollisionPlan or None
     particle_push_start_time: float = 0.0
     deck: Any = None         # original DeckConfig (host-side only)
 

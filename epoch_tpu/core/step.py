@@ -207,6 +207,11 @@ def make_step_functions(cfg):
             state = run_injectors(state)
             state = jax.lax.cond(push_on, push_all, lambda s: s, state) \
                 if cfg.particle_push_start_time > 0 else push_all(state)
+            if cfg.collision_plan is not None:
+                from ..physics.collisions import particle_collisions
+                rng, sub = jax.random.split(state.rng)
+                state, _ = particle_collisions(state._replace(rng=rng), cfg,
+                                               cfg.collision_plan, sub)
             if cfg.ionise_plan is not None:
                 from ..physics.ionise import ionise_particles
                 rng, sub = jax.random.split(state.rng)

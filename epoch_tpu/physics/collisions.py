@@ -1,0 +1,277 @@
+"""Binary Coulomb collisions — Nanbu–Pérez model
+(physics_packages/collisions.F90: particle_collisions :118,
+inter/intra_collisions_np :959,1416, calc_coulomb_log :1811).
+
+Relativistic binary collisions between per-cell particle pairs: transform
+the pair to the centre-of-momentum frame, sample the cumulative scattering
+angle from Nanbu's distribution with Pérez et al. (PoP 19, 083104 (2012))
+piecewise inversion, rotate the COM momentum, and boost back.  The collision
+parameter s₁₂ carries the densities, Coulomb logarithm (optionally
+self-consistent) and the cold-plasma limit s'.
+
+TPU design: collisions run on the binned engine's slot grid, where per-cell
+pairing is free — a per-cell random shuffle is one lax.sort along the slot
+axis and pairs are adjacent slots (intra) or equal slots of the two species
+(inter).  The reference's linked-list walk + Fisher-Yates shuffle
+(shuffle_particle_list_random, collisions.F90:1747) maps to exactly this.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import constants as const
+
+PI4_EPS2_C4 = 4.0 * math.pi * const.epsilon0 ** 2 * const.c ** 4
+TWO_THIRDS = 2.0 / 3.0
+PI_FAC = (4.0 * math.pi / 3.0) ** (1.0 / 3.0)
+
+
+class CollisionPlan:
+    """Static pair table (coll_pairs, deck_collision_block)."""
+
+    def __init__(self, cfg, deck):
+        cb = deck.collisions
+        self.coulomb_log = cb.coulomb_log       # <0 → auto
+        self.pairs = []
+        ns = len(cfg.species)
+        for i in range(ns):
+            si = cfg.species[i]
+            if si.species_type == const.SpeciesType.PHOTON or si.charge == 0:
+                continue
+            for j in range(i, ns):
+                sj = cfg.species[j]
+                if sj.species_type == const.SpeciesType.PHOTON \
+                        or sj.charge == 0:
+                    continue
+                factor = 1.0 if cb.collide_all else \
+                    cb.collide_pairs.get(f"{si.name} {sj.name}", 0.0)
+                if factor > 0:
+                    self.pairs.append((i, j, factor))
+
+
+def _shuffle_alive_first(b, key):
+    """Per-cell random permutation with live slots packed first (one sort
+    along the slot axis)."""
+    K = b.K
+    nd = b.xi.shape[0]
+    u = jax.random.uniform(key, b.w.shape, b.w.dtype)
+    sort_key = jnp.where(b.w > 0, u, 2.0)       # dead slots last
+    ops = (sort_key, b.w) + tuple(b.xi[i] for i in range(nd)) \
+        + tuple(b.p[i] for i in range(3))
+    out = jax.lax.sort(ops, dimension=0, num_keys=1)
+    return b._replace(
+        w=out[1],
+        xi=jnp.stack([out[2 + i] for i in range(nd)]),
+        p=jnp.stack([out[2 + nd + i] for i in range(3)]),
+    )
+
+
+def _cos_chi(s12, r1, xp=jnp):
+    """Pérez et al. (2012) piecewise inversion of Nanbu's angle distribution
+    (collisions.F90:1046-1070)."""
+    r1c = xp.maximum(r1, 5e-9)
+    # s < 0.1
+    c_a = 1.0 + s12 * xp.log(r1c)
+    # 0.1 <= s < 3
+    a_inv = 0.0056958 + (0.9560202 + (-0.508139 + (0.47913906
+            + (-0.12788975 + 0.02389567 * s12) * s12) * s12) * s12) * s12
+    a = 1.0 / xp.maximum(a_inv, 1e-30)
+    c_b = a_inv * xp.log(xp.exp(-xp.minimum(a, 80.0))
+                         + 2.0 * r1 * xp.sinh(xp.minimum(a, 80.0)))
+    # 3 <= s < 6
+    a2 = 3.0 * xp.exp(-s12)
+    c_c = xp.log(xp.exp(-a2) + 2.0 * r1 * xp.sinh(a2)) \
+        / xp.maximum(a2, 1e-30)
+    # s >= 6: isotropic
+    c_d = 2.0 * r1 - 1.0
+    cosp = xp.where(s12 < 0.1, c_a,
+           xp.where(s12 < 3.0, c_b,
+           xp.where(s12 < 6.0, c_c, c_d)))
+    return xp.clip(cosp, -1.0, 1.0)
+
+
+def _scatter_pairs(p1_si, p2_si, m1, m2, q1, q2, s_fac, s_fac_prime,
+                   idens, jdens, r1, r2, valid):
+    """The pairwise NP scattering core (collisions.F90:1016-1140) on arrays
+    of shape (..., ) per momentum component; p*_si are (3, ...) in SI."""
+    xp = jnp
+    eps = 1e-30
+    p1 = p1_si / const.c
+    p2 = p2_si / const.c
+
+    # degenerate pairs can't collide
+    dif = p1 / const.m0 - p2 / const.m0
+    degenerate = (xp.sum((p1 / const.m0) ** 2, 0) < eps) \
+        & (xp.sum((p2 / const.m0) ** 2, 0) < eps)
+    degenerate |= xp.sum(dif ** 2, 0) < eps
+    ok = valid & ~degenerate
+
+    gm1 = xp.sqrt(xp.sum((p1 / m1) ** 2, 0) + 1.0) * m1
+    gm2 = xp.sqrt(xp.sum((p2 / m2) ** 2, 0) + 1.0) * m2
+    gm = gm1 + gm2
+    v1 = p1 / gm1
+    v2 = p2 / gm2
+    vc = (p1 + p2) / gm
+    vc_sq = xp.minimum(xp.sum(vc ** 2, 0), 1.0 - 1e-12)
+    gc = 1.0 / xp.sqrt(1.0 - vc_sq)
+    gc_m1_vc = (gc - 1.0) / xp.maximum(vc_sq, eps)
+
+    vdv1 = xp.sum(vc * v1, 0)
+    p3 = p1 + (gc_m1_vc * vdv1 - gc) * gm1 * vc
+    gm3 = (1.0 - vdv1) * gc * gm1
+    vdv2 = xp.sum(vc * v2, 0)
+    gm4 = (1.0 - vdv2) * gc * gm2
+
+    p_mag2 = xp.maximum(xp.sum(p3 ** 2, 0), eps)
+    p_mag = xp.sqrt(p_mag2)
+
+    fac = (q1 * q2) ** 2 * s_fac / (gm1 * gm2)
+    s12 = fac * gc * p_mag * const.c / gm * (gm3 * gm4 / p_mag2 + 1.0) ** 2
+    # cold-plasma upper limit (collisions.F90:1037-1043)
+    v_rel = gm * p_mag * const.c / xp.maximum(gm3 * gm4 * gc, eps)
+    s_prime = s_fac_prime * (m1 + m2) * v_rel / xp.maximum(
+        m1 * idens ** TWO_THIRDS, m2 * jdens ** TWO_THIRDS)
+    s12 = xp.minimum(s12, s_prime)
+
+    cosp = _cos_chi(s12, r1)
+    sinp = xp.sqrt(xp.maximum(1.0 - cosp ** 2, 0.0))
+    phi = r2 * 2.0 * math.pi
+
+    p_perp2 = p3[0] ** 2 + p3[1] ** 2
+    p_perp = xp.sqrt(p_perp2)
+    p_tot = xp.sqrt(p_perp2 + p3[2] ** 2)
+    ipp = 1.0 / (p_perp + 1e-300)
+    sc = sinp * xp.cos(phi)
+    ss = sinp * xp.sin(phi)
+    p3n = xp.stack([
+        p3[0] * p3[2] * ipp * sc - p3[1] * p_tot * ipp * ss + p3[0] * cosp,
+        p3[1] * p3[2] * ipp * sc + p3[0] * p_tot * ipp * ss + p3[1] * cosp,
+        -p_perp * sc + p3[2] * cosp,
+    ])
+    p4n = -p3n
+    vdp3 = xp.sum(vc * p3n, 0)
+    p5 = (p3n + (gc_m1_vc * vdp3 + gm3 * gc) * vc) * const.c
+    vdp4 = xp.sum(vc * p4n, 0)
+    p6 = (p4n + (gc_m1_vc * vdp4 + gm4 * gc) * vc) * const.c
+
+    new_p1 = xp.where(ok[None], p5, p1_si)
+    new_p2 = xp.where(ok[None], p6, p2_si)
+    return new_p1, new_p2
+
+
+def _cell_density(b, cell_volume):
+    return jnp.sum(b.w, axis=0) / cell_volume
+
+
+def _cell_ekbar(b, mass):
+    mc = mass * const.c
+    p2 = jnp.sum(b.p ** 2, axis=0)
+    gamma = jnp.sqrt(1.0 + p2 / mc ** 2)
+    ke = (gamma - 1.0) * mass * const.c ** 2
+    wsum = jnp.maximum(jnp.sum(b.w, axis=0), 1e-300)
+    return jnp.sum(ke * b.w, axis=0) / wsum
+
+
+def _cell_temp(b, mass):
+    """Per-cell temperature from <p²> (calc_coll_temperature)."""
+    wsum = jnp.maximum(jnp.sum(b.w, axis=0), 1e-300)
+    pm = [jnp.sum(b.p[i] * b.w, axis=0) / wsum for i in range(3)]
+    var = sum(jnp.sum((b.p[i] - pm[i][None]) ** 2 * b.w, axis=0) / wsum
+              for i in range(3))
+    return var / (3.0 * mass * const.kb)
+
+
+def coulomb_log_auto(ekbar1, temp2, dens1, dens2, q1, q2, m1):
+    """calc_coulomb_log (collisions.F90:1811-1840)."""
+    xp = jnp
+    ek = xp.maximum(ekbar1, 100.0 * const.q0)
+    t2 = xp.maximum(temp2, 100.0)
+    bmax = xp.sqrt(const.epsilon0 * const.q0 * t2
+                   / (abs(q2) * const.q0 * xp.maximum(dens2, 1e-300)))
+    b0 = abs(q1 * q2) / (8.0 * math.pi * const.epsilon0 * ek)
+    gamm = ek / (m1 * const.c ** 2) + 1.0
+    db = 2.0 * math.pi * const.h_bar / (xp.sqrt(gamm ** 2 - 1.0)
+                                        * m1 * const.c)
+    bmin = xp.maximum(b0, db)
+    ll = xp.maximum(1.0, xp.log(bmax / xp.maximum(bmin, 1e-300)))
+    return xp.where((dens1 <= 1.0) | (dens2 <= 1.0), 1.0, ll)
+
+
+def particle_collisions(state, cfg, plan: CollisionPlan, key):
+    """One collision pass over all enabled pairs (binned engine only)."""
+    from ..core.binned import BinnedSpecies
+    grid = cfg.grid
+    dvol = grid.cell_volume
+    dt = cfg.dt
+    species = list(state.species)
+
+    for (i, j, user_factor) in plan.pairs:
+        bi = species[i]
+        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        bi = _shuffle_alive_first(bi, k1)
+        m1 = cfg.species[i].mass
+        q1 = cfg.species[i].charge
+        idens = _cell_density(bi, dvol)
+        if i == j:
+            # intra-species: adjacent slot pairs (collisions.F90:731-958)
+            K = bi.K
+            Kh = K // 2
+            p_a = bi.p[:, 0:2 * Kh:2]
+            p_b = bi.p[:, 1:2 * Kh:2]
+            w_a = bi.w[0:2 * Kh:2]
+            w_b = bi.w[1:2 * Kh:2]
+            valid = (w_a > 0) & (w_b > 0)
+            fsum = jnp.maximum(jnp.sum(jnp.minimum(w_a, w_b), axis=0), 1e-300)
+            factor = user_factor / fsum
+            if plan.coulomb_log < 0:
+                ek = _cell_ekbar(bi, m1)
+                tj = _cell_temp(bi, m1)
+                ll = coulomb_log_auto(ek, tj, idens, idens, q1, q1, m1)
+            else:
+                ll = plan.coulomb_log
+            cell_fac = idens * idens * dt * factor * dvol
+            s_fac = cell_fac * ll / PI4_EPS2_C4
+            s_fac_p = cell_fac * PI_FAC
+            r1 = jax.random.uniform(k2, w_a.shape, bi.w.dtype)
+            r2 = jax.random.uniform(k3, w_a.shape, bi.w.dtype)
+            np1, np2 = _scatter_pairs(
+                p_a, p_b, m1, m1, q1, q1, s_fac[None], s_fac_p[None],
+                idens[None], idens[None], r1, r2, valid)
+            newp = bi.p
+            newp = newp.at[:, 0:2 * Kh:2].set(np1)
+            newp = newp.at[:, 1:2 * Kh:2].set(np2)
+            species[i] = bi._replace(p=newp)
+        else:
+            bj = _shuffle_alive_first(species[j], k4)
+            m2 = cfg.species[j].mass
+            q2 = cfg.species[j].charge
+            jdens = _cell_density(bj, dvol)
+            Kp = min(bi.K, bj.K)
+            p_a = bi.p[:, :Kp]
+            p_b = bj.p[:, :Kp]
+            w_a = bi.w[:Kp]
+            w_b = bj.w[:Kp]
+            valid = (w_a > 0) & (w_b > 0)
+            fsum = jnp.maximum(jnp.sum(jnp.minimum(w_a, w_b), axis=0), 1e-300)
+            factor = user_factor / fsum
+            if plan.coulomb_log < 0:
+                ek = _cell_ekbar(bi, m1)
+                tj = _cell_temp(bj, m2)
+                ll = coulomb_log_auto(ek, tj, idens, jdens, q1, q2, m1)
+            else:
+                ll = plan.coulomb_log
+            cell_fac = idens * jdens * dt * factor * dvol
+            s_fac = cell_fac * ll / PI4_EPS2_C4
+            s_fac_p = cell_fac * PI_FAC
+            r1 = jax.random.uniform(k2, w_a.shape, bi.w.dtype)
+            r2 = jax.random.uniform(k3, w_a.shape, bi.w.dtype)
+            np1, np2 = _scatter_pairs(
+                p_a, p_b, m1, m2, q1, q2, s_fac[None], s_fac_p[None],
+                idens[None], jdens[None], r1, r2, valid)
+            species[i] = bi._replace(p=bi.p.at[:, :Kp].set(np1))
+            species[j] = bj._replace(p=bj.p.at[:, :Kp].set(np2))
+    return state._replace(species=tuple(species)), key
