@@ -106,6 +106,7 @@ class SimConfig:
     injector_plans: tuple = ()     # InjectorPlan per deck injector block
     ionise_plan: Any = None        # physics.ionise.IonisePlan or None
     collision_plan: Any = None     # physics.collisions.CollisionPlan or None
+    qed_plan: Any = None           # physics.qed.QEDPlan or None
     particle_push_start_time: float = 0.0
     deck: Any = None         # original DeckConfig (host-side only)
 

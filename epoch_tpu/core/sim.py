@@ -234,6 +234,13 @@ def build_config(deck: DeckConfig) -> SimConfig:
                 "planned")
         from ..physics.collisions import CollisionPlan
         cfg = dataclasses.replace(cfg, collision_plan=CollisionPlan(cfg, deck))
+    if deck.qed.use_qed:
+        if cfg.engine == "binned":
+            raise NotImplementedError(
+                "QED emission requires the scatter engine in this version "
+                "(set pusher = scatter)")
+        from ..physics.qed import QEDPlan
+        cfg = dataclasses.replace(cfg, qed_plan=QEDPlan(cfg, deck))
     return cfg
 
 

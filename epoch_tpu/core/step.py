@@ -199,8 +199,14 @@ def make_step_functions(cfg):
         return state._replace(rng=rng, injector_depth=tuple(depths))
 
     def step_a(state: SimState) -> SimState:
-        """fields_half → injectors → push → current_finish →
-        step++/time+=dt/2.  Leaves the state at the mid-step output point."""
+        """qed → fields_half → injectors → push → collisions/ionise →
+        current_finish → step++/time+=dt/2 (main loop, epoch1d.F90:184-249).
+        Leaves the state at the mid-step output point."""
+        if cfg.qed_plan is not None:
+            from ..physics.qed import qed_update
+            rng, sub = jax.random.split(state.rng)
+            state, _ = qed_update(state._replace(rng=rng), cfg,
+                                  cfg.qed_plan, sub)
         state = fields_half(state)
         push_on = state.time >= cfg.particle_push_start_time
         if cfg.species:

@@ -60,13 +60,15 @@ def _shuffle_alive_first(b, key):
     nd = b.xi.shape[0]
     u = jax.random.uniform(key, b.w.shape, b.w.dtype)
     sort_key = jnp.where(b.w > 0, u, 2.0)       # dead slots last
-    ops = (sort_key, b.w) + tuple(b.xi[i] for i in range(nd)) \
-        + tuple(b.p[i] for i in range(3))
-    out = jax.lax.sort(ops, dimension=0, num_keys=1)
+    ops = tuple(jnp.moveaxis(a, 0, -1) for a in
+                (sort_key, b.w) + tuple(b.xi[i] for i in range(nd))
+                + tuple(b.p[i] for i in range(3)))
+    out = jax.lax.sort(ops, dimension=b.w.ndim - 1, num_keys=1)
+    back = [jnp.moveaxis(a, -1, 0) for a in out]
     return b._replace(
-        w=out[1],
-        xi=jnp.stack([out[2 + i] for i in range(nd)]),
-        p=jnp.stack([out[2 + nd + i] for i in range(3)]),
+        w=back[1],
+        xi=jnp.stack([back[2 + i] for i in range(nd)]),
+        p=jnp.stack([back[2 + nd + i] for i in range(3)]),
     )
 
 
