@@ -69,6 +69,34 @@ def _weight(shape, cf, r):
     return shapes.weight_at(shape, cf, r)
 
 
+def _tri_const(cf, r: int):
+    """Triangle weight at a *compile-time* integer offset: resolves to one
+    polynomial (or zero) at trace time — no runtime selects."""
+    if r == -1:
+        return 0.25 + cf * cf + cf
+    if r == 0:
+        return 1.5 - 2.0 * cf * cf
+    if r == 1:
+        return 0.25 + cf * cf - cf
+    return None     # outside support
+
+
+def _w_rel(cf, o: int, base, base_vals):
+    """Weight at offset ``o`` relative to an integer array ``base`` whose
+    values are restricted to ``base_vals``: select between the concrete
+    polynomials for each possible base value."""
+    out = None
+    for bv in base_vals:
+        poly = _tri_const(cf, o - bv)
+        if poly is None:
+            continue
+        term = jnp.where(base == bv, poly, 0.0)
+        out = term if out is None else out + term
+    if out is None:
+        return jnp.zeros_like(cf)
+    return out
+
+
 class BinnedPlan:
     """Static scalars (mirror of push.PushPlan)."""
 
@@ -246,8 +274,10 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
     from .boundaries import STAGGER
     names = ("ex", "ey", "ez", "bx", "by", "bz")
     gofs = plan.gather_offsets
-    gw = [[_weight(plan.shape, cf1[d], o) for o in gofs] for d in range(nd)]
-    hw = [[_weight(plan.shape, cf2[d], o - c2[d]) for o in gofs]
+    # unstaggered weights at compile-time offsets (zero terms vanish at
+    # trace time); staggered = one select between two concrete polynomials
+    gw = [[_tri_const(cf1[d], o) for o in gofs] for d in range(nd)]
+    hw = [[_w_rel(cf2[d], o, c2[d], (-1.0, 0.0)) for o in gofs]
           for d in range(nd)]
     fstack = jnp.stack([interior_fields[nm] for nm in names], axis=0)
     stag_bits = {nm: tuple(int(STAGGER[nm][d]) for d in range(nd))
@@ -255,16 +285,24 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
     accs = {nm: jnp.zeros(w.shape, dtype) for nm in names}
     for off in itertools.product(range(len(gofs)), repeat=nd):
         otup = tuple(gofs[i] for i in off)
-        rolled = _roll_grid(fstack, otup, 1)         # (6, *g)
         wprod = {}
         for bits in itertools.product((0, 1), repeat=nd):
             ww = None
+            dead = False
             for d in range(nd):
                 wd = hw[d][off[d]] if bits[d] else gw[d][off[d]]
+                if wd is None:
+                    dead = True
+                    break
                 ww = wd if ww is None else ww * wd
-            wprod[bits] = ww
+            wprod[bits] = None if dead else ww
+        if all(v is None for v in wprod.values()):
+            continue
+        rolled = _roll_grid(fstack, otup, 1)         # (6, *g)
         for k, nm in enumerate(names):
-            accs[nm] = accs[nm] + wprod[stag_bits[nm]] * rolled[k][None]
+            ww = wprod[stag_bits[nm]]
+            if ww is not None:
+                accs[nm] = accs[nm] + ww * rolled[k][None]
     if _debug is not None:
         _debug["accs"] = accs
         _debug["cf1"] = cf1
@@ -317,12 +355,17 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
         c3 = [jnp.floor(x + 0.5) for x in xi_dep]
         cf3 = [c3[d] - xi_dep[d] for d in range(nd)]
         W = len(plan.offsets)
+        bvals = (-1.0, 0.0, 1.0)
         # per-axis window weight vectors (gx from the half-drift position,
-        # hx−gx differences, and their running sums — the closed form of the
-        # reference's jxh/jyh prefix accumulation)
-        gx5 = [[_weight(plan.shape, cf1[d], o) for o in plan.offsets]
-               for d in range(nd)]
-        hx5 = [[_weight(plan.shape, cf3[d], o - c3[d]) for o in plan.offsets]
+        # hx−gx differences, and their running sums — the closed form of
+        # the reference's jxh/jyh prefix accumulation); concrete-offset
+        # polynomials keep everything select-free
+        def g_at(d, o):
+            v = _tri_const(cf1[d], o)
+            return jnp.zeros_like(w) if v is None else v
+
+        gx5 = [[g_at(d, o) for o in plan.offsets] for d in range(nd)]
+        hx5 = [[_w_rel(cf3[d], o, c3[d], bvals) for o in plan.offsets]
                for d in range(nd)]
         dxw = [[hx5[d][i] - gx5[d][i] for i in range(W)] for d in range(nd)]
         dcum = []
@@ -338,32 +381,46 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
         fjz = plan.fj[2] * live_w * q
         third = 1.0 / 3.0
 
-        acc3 = jnp.zeros((3,) + tuple(plan.n), dtype)
         if nd == 1:
+            planes = []
             for i in range(W):
                 wy = gx5[0][i] + 0.5 * dxw[0][i]
-                v3 = jnp.stack([
+                planes.append(jnp.stack([
                     jnp.sum(-fjx * dcum[0][i], axis=0),
                     jnp.sum(fjy * vy * wy, axis=0),
-                    jnp.sum(fjz * vz * wy, axis=0)])
-                acc3 = acc3 + _roll_back(v3, (plan.offsets[i],), 1)
+                    jnp.sum(fjz * vz * wy, axis=0)]))
+            acc3 = jnp.zeros((3,) + tuple(plan.n), dtype)
+            for i in range(W):
+                acc3 = acc3 + _roll_back(planes[i], (plan.offsets[i],), 1)
+            jx_c, jy_c, jz_c = acc3[0], acc3[1], acc3[2]
         elif nd == 2:
-            for iy in range(W):
-                hy = dxw[1][iy]
-                gy = gx5[1][iy]
-                yfac1 = gy + 0.5 * hy
-                yfac2 = third * hy + 0.5 * gy
-                for ix in range(W):
-                    hx = dxw[0][ix]
-                    gx = gx5[0][ix]
-                    xfac1 = gx + 0.5 * hx
+            # separable closed form: every (ix,iy) plane is an outer product
+            # of per-axis factors contracted over the slot axis; 25
+            # independent fused multiply-reduce ops + small roll-adds
+            xfac1 = [gx5[0][i] + 0.5 * dxw[0][i] for i in range(W)]
+            yfac1 = [gx5[1][j] + 0.5 * dxw[1][j] for j in range(W)]
+            yfac2 = [third * dxw[1][j] + 0.5 * gx5[1][j] for j in range(W)]
+            fz = fjz * vz
+            jx_c = jnp.zeros(tuple(plan.n), dtype)
+            jy_c = jnp.zeros(tuple(plan.n), dtype)
+            jz_c = jnp.zeros(tuple(plan.n), dtype)
+            for i in range(W):
+                for j in range(W):
+                    off = (plan.offsets[i], plan.offsets[j])
                     v3 = jnp.stack([
-                        jnp.sum(-fjx * dcum[0][ix] * yfac1, axis=0),
-                        jnp.sum(-fjy * xfac1 * dcum[1][iy], axis=0),
-                        jnp.sum(fjz * vz * (gx * yfac1 + hx * yfac2), axis=0)])
-                    off = (plan.offsets[ix], plan.offsets[iy])
-                    acc3 = acc3 + _roll_back(v3, off, 1)
+                        jnp.sum(-fjx * dcum[0][i] * yfac1[j], axis=0),
+                        jnp.sum(-fjy * xfac1[i] * dcum[1][j], axis=0),
+                        jnp.sum(fz * (gx5[0][i] * yfac1[j]
+                                      + dxw[0][i] * yfac2[j]), axis=0)])
+                    r3 = _roll_back(v3, off, 1)
+                    jx_c = jx_c + r3[0]
+                    jy_c = jy_c + r3[1]
+                    jz_c = jz_c + r3[2]
         else:
+            # 3d: same separable structure, contracted axis-by-axis
+            jx_c = jnp.zeros(tuple(plan.n), dtype)
+            jy_c = jnp.zeros(tuple(plan.n), dtype)
+            jz_c = jnp.zeros(tuple(plan.n), dtype)
             for iz in range(W):
                 hz = dxw[2][iz]
                 gz = gx5[2][iz]
@@ -388,8 +445,11 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
                                     * dcum[2][iz], axis=0)])
                         off = (plan.offsets[ix], plan.offsets[iy],
                                plan.offsets[iz])
-                        acc3 = acc3 + _roll_back(v3, off, 1)
-        currents = (acc3[0], acc3[1], acc3[2])
+                        acc = _roll_back(v3, off, 1)
+                        jx_c = jx_c + acc[0]
+                        jy_c = jy_c + acc[1]
+                        jz_c = jz_c + acc[2]
+        currents = (jx_c, jy_c, jz_c)
 
     new_xi = jnp.stack(xi_new)
     new_xi = jnp.where(alive[None], new_xi, binned.xi)

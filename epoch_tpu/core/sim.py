@@ -241,6 +241,9 @@ def build_config(deck: DeckConfig) -> SimConfig:
                 "(set pusher = scatter)")
         from ..physics.qed import QEDPlan
         cfg = dataclasses.replace(cfg, qed_plan=QEDPlan(cfg, deck))
+    if deck.probes and cfg.engine == "binned":
+        raise NotImplementedError(
+            "particle probes require the scatter engine (pusher = scatter)")
     return cfg
 
 
@@ -391,6 +394,11 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
         injector_depth=tuple(jnp.zeros((p.n_cells,), dtype)
                              for p in cfg.injector_plans),
     )
+    if deck.probes and cfg.engine != "binned":
+        from .probes import build_probe_plans, init_probe_buffers
+        cfg = dataclasses.replace(
+            cfg, probe_plans=build_probe_plans(cfg, deck))
+        state = state._replace(probes=init_probe_buffers(cfg, dtype))
     if cfg.use_current_correction and cfg.species:
         # calc_initial_current (io/calc_df.F90:1231): the DC current of the
         # initial distribution, subtracted each step in current_finish

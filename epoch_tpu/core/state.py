@@ -89,6 +89,9 @@ class SimState(NamedTuple):
     # per-injector fractional emission accumulators
     # (injector_block%depth, injectors.F90:276-283)
     injector_depth: tuple = ()
+    # per-probe capture buffers (particle_probe%sampled_particles,
+    # shared_data.F90:391-404): fixed-capacity slabs filled by the pusher
+    probes: tuple = ()
 
 
 def zero_fields(padded_shape, dtype) -> Fields:

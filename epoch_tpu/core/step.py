@@ -123,7 +123,9 @@ def make_step_functions(cfg):
             bc in (const.BC.THERMAL, const.BC.HEAT_BATH)
             for sp_cfg in cfg.species
             for bc in sp_cfg.bc_particle[:2 * cfg.ndims])
-        for sp_cfg, slab in zip(cfg.species, state.species):
+        probes = list(state.probes)
+        for si, (sp_cfg, slab) in enumerate(zip(cfg.species, state.species)):
+            x_old = slab.x
             if sp_cfg.species_type == const.SpeciesType.PHOTON:
                 slab = psh.push_photons(slab, pplan)
             elif not sp_cfg.immobile:
@@ -131,12 +133,18 @@ def make_step_functions(cfg):
                                                 pplan)
                 if contrib is not None:
                     contributions.append(contrib)
+            # probe plane crossings (particles.F90:518-557)
+            for pi, pplan_ in enumerate(cfg.probe_plans):
+                if si in pplan_.species:
+                    from . import probes as prb
+                    probes[pi] = prb.capture(probes[pi], pplan_, sp_cfg,
+                                             x_old, slab)
             key = None
             if any_thermal:
                 rng, key = jax.random.split(rng)
             slab = bnd.particle_bcs(slab, sp_cfg, cfg, key=key)
             new_slabs.append(slab)
-        state = state._replace(rng=rng)
+        state = state._replace(rng=rng, probes=tuple(probes))
         f = psh.deposit_currents(f, contributions, dtype)
         f = bnd.current_bcs(f, cfg)
         return state._replace(fields=f, species=tuple(new_slabs))

@@ -325,6 +325,13 @@ class IOBlockState:
         self.nstep_prev = 0
         self.first_call = True
         self.dump_at_times = sorted(block.dump_at_times)
+        # running averages (averaged_data_block, shared_data.F90:286-293)
+        self.avg_sum = {}
+        self.avg_count = 0
+
+    @property
+    def any_average(self):
+        return any(m & int(IOType.AVERAGE) for m in self.block.variables.values())
 
 
 class OutputManager:
@@ -340,9 +347,27 @@ class OutputManager:
         self.file_list = []
         os.makedirs(data_dir, exist_ok=True)
 
+    def accumulate_averages(self, state):
+        """average_field accumulation between dumps (diagnostics.F90:1434)."""
+        for st in self.blocks:
+            if not st.any_average:
+                continue
+            for var, mask in st.block.variables.items():
+                if not (mask & int(IOType.AVERAGE)) or var not in FIELD_VARS:
+                    continue
+                bid = FIELD_VARS[var][0]
+                arr = np.asarray(self.cfg.grid.interior(
+                    getattr(state.fields, bid)))
+                if var in st.avg_sum:
+                    st.avg_sum[var] += arr
+                else:
+                    st.avg_sum[var] = arr.copy()
+            st.avg_count += 1
+
     def maybe_dump(self, sim, state, last=False, force=False):
         """io_test (diagnostics.F90:1208-1420) — fire any due blocks and
         write one merged dump (the reference merges same-prefix blocks)."""
+        self.accumulate_averages(state)
         time = float(state.time)
         step = int(state.step)
         nsteps = self.cfg.nsteps
@@ -406,6 +431,14 @@ class OutputManager:
                 bid, name, units = FIELD_VARS[var]
                 arr = np.asarray(grid.interior(getattr(state.fields, bid)))
                 w.write_plain_variable(bid, name, arr, "grid", units)
+                if mask & int(IOType.AVERAGE):
+                    # time-averaged variant (diagnostics.F90 averaged vars)
+                    for st in self.blocks:
+                        if var in st.avg_sum and st.avg_count > 0:
+                            w.write_plain_variable(
+                                f"{bid}_averaged", f"{name}_averaged",
+                                st.avg_sum[var] / st.avg_count, "grid", units)
+                            break
             elif var in DERIVED_VARS:
                 key, name, units = DERIVED_VARS[var]
                 if mask & int(IOType.SPECIES):
@@ -431,11 +464,82 @@ class OutputManager:
                      if v in PARTICLE_VARS and self._fires(mask_map[v])]
         if part_vars:
             self._write_particles(w, state, part_vars, mask_map)
+        # probe captures (io/probes.F90:107)
+        for pi, plan in enumerate(getattr(cfg, "probe_plans", ()) or ()):
+            if pi < len(state.probes):
+                buf = state.probes[pi]
+                alive = np.asarray(buf.alive)
+                coords = np.asarray(buf.x)[alive]
+                mesh_id = f"grid/probe/{plan.name}"
+                w.write_point_mesh(mesh_id, f"Grid/Probe/{plan.name}", coords)
+                for comp, nm in enumerate(("Px", "Py", "Pz")):
+                    w.write_point_variable(
+                        f"probe/{plan.name}/{nm.lower()}",
+                        f"Probe/{plan.name}/{nm}",
+                        np.asarray(buf.p)[alive][:, comp], mesh_id, "kg.m/s")
+                w.write_point_variable(
+                    f"probe/{plan.name}/weight",
+                    f"Probe/{plan.name}/Weight",
+                    np.asarray(buf.weight)[alive], mesh_id, "")
+        # subsets (deck_subset_block.F90; random fraction / box / ranges)
+        for sub in self.deck.subsets:
+            self._write_subset(w, state, sub)
         w.write_run_info()
         w.close()
+        # reset per-window averages after a dump
+        for st in self.blocks:
+            st.avg_sum = {}
+            st.avg_count = 0
         self.file_list.append(fname)
         self.dump_index += 1
         self._update_visit()
+
+    def _write_subset(self, w, state, sub):
+        cfg = self.cfg
+        import numpy.random as npr
+        rng = np.random.default_rng(self.dump_index)
+        for sname in sub.include_species:
+            try:
+                si = [s.name for s in cfg.species].index(sname)
+            except ValueError:
+                continue
+            slab = get_slab(cfg, state, si)
+            sp = cfg.species[si]
+            keep = np.asarray(slab.alive).copy()
+            x = np.asarray(slab.x)
+            p = np.asarray(slab.p)
+            if sub.random_fraction < 1.0:
+                keep &= rng.uniform(size=keep.shape) < sub.random_fraction
+            for ax, (lo, hi) in sub.space_box.items():
+                d = "xyz".index(ax)
+                if d < cfg.ndims:
+                    if lo is not None:
+                        keep &= x[:, d] >= lo
+                    if hi is not None:
+                        keep &= x[:, d] <= hi
+            mc = sp.mass * const.c
+            p2 = (p ** 2).sum(1)
+            gamma = np.sqrt(1 + p2 / max(mc, 1e-300) ** 2)
+            vals = {"px": p[:, 0], "py": p[:, 1], "pz": p[:, 2],
+                    "gamma": gamma,
+                    "energy": (gamma - 1) * sp.mass * const.c ** 2}
+            for var, (lo, hi) in sub.ranges.items():
+                if var in vals:
+                    if lo is not None:
+                        keep &= vals[var] >= lo
+                    if hi is not None:
+                        keep &= vals[var] <= hi
+            mesh_id = f"grid/{sub.name}/{sname}"
+            w.write_point_mesh(mesh_id, f"Grid/{sub.name}/{sname}", x[keep])
+            for comp, nm in enumerate(("Px", "Py", "Pz")):
+                w.write_point_variable(
+                    f"{sub.name}/{nm.lower()}/{sname}",
+                    f"{nm}/{sub.name}/{sname}", p[keep][:, comp],
+                    mesh_id, "kg.m/s")
+            w.write_point_variable(
+                f"{sub.name}/weight/{sname}",
+                f"Weight/{sub.name}/{sname}",
+                np.asarray(slab.weight)[keep], mesh_id, "")
 
     def _write_particles(self, w, state, part_vars, mask_map):
         cfg = self.cfg
