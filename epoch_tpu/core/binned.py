@@ -122,11 +122,14 @@ class BinnedPlan:
             self.fj = (self.fac / (cfg.dt * d[1] * d[2]),
                        self.fac / (cfg.dt * d[0] * d[2]),
                        self.fac / (cfg.dt * d[0] * d[1]))
-        # re-binned onto cell1 before the gather ⇒ unstaggered support −1..1,
-        # staggered −2..1; deposition window = support+2 = −2..2
-        # (particles.F90:79-83)
-        self.gather_offsets = (-2, -1, 0, 1)
-        self.offsets = tuple(range(-2, 3))
+        # One rebin per step (at the end): the half-drift can move cell1 one
+        # bin away (c1 ∈ {-1,0,1}), so gather offsets span −2..2 and the
+        # deposition window (support+2 around cell1, particles.F90:79-83)
+        # spans −3..3.  Weight evaluation uses compile-time polynomials
+        # selected on the small integer cell offsets, so the wider windows
+        # cost far less than a second slot-sort would.
+        self.gather_offsets = tuple(range(-2, 3))
+        self.offsets = tuple(range(-3, 4))
 
     def grid_axis(self, d):
         """Array axis of grid dimension d in (K, *grid) arrays."""
@@ -247,39 +250,37 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
     cm = q * 0.5 * plan.dt * ipart_mc
     ccm = cm * const.c
 
-    # half drift in grid units, then re-bin so bin == cell1 exactly
-    # (particles.F90:234-257)
+    # half drift in grid units (particles.F90:234-257); entry ξ ∈ [-0.5,0.5)
     w = binned.w
     p = binned.p
-    u0 = p * ipart_mc                       # (3, K, *g)
-    gamma = jnp.sqrt(u0[0] ** 2 + u0[1] ** 2 + u0[2] ** 2 + 1.0)
-    root = plan.dtco2 / gamma
-    drift = jnp.stack([u0[d] * root / plan.delta[d] for d in range(nd)])
-    alive0 = w > 0
-    xi_h = jnp.where(alive0[None], binned.xi + drift, binned.xi)
-    binned = rebin(binned._replace(xi=xi_h), plan)
-    xi = binned.xi
-    p = binned.p
-    w = binned.w
     alive = w > 0
     u = [p[i] * ipart_mc for i in range(3)]
+    gamma = jnp.sqrt(u[0] ** 2 + u[1] ** 2 + u[2] ** 2 + 1.0)
+    root = plan.dtco2 / gamma
+    xi_ax = [jnp.where(alive, binned.xi[d] + u[d] * root / plan.delta[d],
+                       binned.xi[d]) for d in range(nd)]
 
-    # stagger-set cell fractions (particles.F90:248-287):
-    # cell1 = bin (ξ ∈ [-0.5, 0.5)), cell2 = bin + c2, c2 = floor(ξ)
-    xi_ax = [xi[d] for d in range(nd)]
-    cf1 = [-x for x in xi_ax]
+    # stagger-set cell offsets relative to the bin (particles.F90:248-287):
+    # cell1 = bin + c1 with c1 ∈ {-1,0,1}; cell2 = bin + c2, c2 ∈ {-1,0}
+    c1 = [jnp.floor(x + 0.5) for x in xi_ax]
+    cf1 = [c1[d] - xi_ax[d] for d in range(nd)]
     c2 = [jnp.floor(x) for x in xi_ax]
     cf2 = [c2[d] - xi_ax[d] + 0.5 for d in range(nd)]
 
     from .boundaries import STAGGER
     names = ("ex", "ey", "ez", "bx", "by", "bz")
     gofs = plan.gather_offsets
-    # unstaggered weights at compile-time offsets (zero terms vanish at
-    # trace time); staggered = one select between two concrete polynomials
-    gw = [[_tri_const(cf1[d], o) for o in gofs] for d in range(nd)]
+    # weights at compile-time offsets, selected on the small integer cell
+    # offsets (concrete polynomials — no generic where-chains)
+    gw = [[_w_rel(cf1[d], o, c1[d], (-1.0, 0.0, 1.0)) for o in gofs]
+          for d in range(nd)]
     hw = [[_w_rel(cf2[d], o, c2[d], (-1.0, 0.0)) for o in gofs]
           for d in range(nd)]
     fstack = jnp.stack([interior_fields[nm] for nm in names], axis=0)
+    # periodic-pad once; every window offset is then a *static slice* of the
+    # padded stack (no rolls in the hot loop)
+    gpad = max(-gofs[0], gofs[-1])
+    fpad = jnp.pad(fstack, ((0, 0),) + ((gpad, gpad),) * nd, mode="wrap")
     stag_bits = {nm: tuple(int(STAGGER[nm][d]) for d in range(nd))
                  for nm in names}
     accs = {nm: jnp.zeros(w.shape, dtype) for nm in names}
@@ -288,21 +289,16 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
         wprod = {}
         for bits in itertools.product((0, 1), repeat=nd):
             ww = None
-            dead = False
             for d in range(nd):
                 wd = hw[d][off[d]] if bits[d] else gw[d][off[d]]
-                if wd is None:
-                    dead = True
-                    break
                 ww = wd if ww is None else ww * wd
-            wprod[bits] = None if dead else ww
-        if all(v is None for v in wprod.values()):
-            continue
-        rolled = _roll_grid(fstack, otup, 1)         # (6, *g)
+            wprod[bits] = ww
+        sl = (slice(None),) + tuple(
+            slice(gpad + otup[d], gpad + otup[d] + plan.n[d])
+            for d in range(nd))
+        window = fpad[sl]                            # (6, *g) static slice
         for k, nm in enumerate(names):
-            ww = wprod[stag_bits[nm]]
-            if ww is not None:
-                accs[nm] = accs[nm] + ww * rolled[k][None]
+            accs[nm] = accs[nm] + wprod[stag_bits[nm]] * window[k][None]
     if _debug is not None:
         _debug["accs"] = accs
         _debug["cf1"] = cf1
@@ -355,16 +351,13 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
         c3 = [jnp.floor(x + 0.5) for x in xi_dep]
         cf3 = [c3[d] - xi_dep[d] for d in range(nd)]
         W = len(plan.offsets)
-        bvals = (-1.0, 0.0, 1.0)
+        bvals = (-2.0, -1.0, 0.0, 1.0, 2.0)
         # per-axis window weight vectors (gx from the half-drift position,
         # hx−gx differences, and their running sums — the closed form of
         # the reference's jxh/jyh prefix accumulation); concrete-offset
         # polynomials keep everything select-free
-        def g_at(d, o):
-            v = _tri_const(cf1[d], o)
-            return jnp.zeros_like(w) if v is None else v
-
-        gx5 = [[g_at(d, o) for o in plan.offsets] for d in range(nd)]
+        gx5 = [[_w_rel(cf1[d], o, c1[d], (-1.0, 0.0, 1.0))
+                for o in plan.offsets] for d in range(nd)]
         hx5 = [[_w_rel(cf3[d], o, c3[d], bvals) for o in plan.offsets]
                for d in range(nd)]
         dxw = [[hx5[d][i] - gx5[d][i] for i in range(W)] for d in range(nd)]
@@ -381,46 +374,42 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
         fjz = plan.fj[2] * live_w * q
         third = 1.0 / 3.0
 
+        # accumulate into a margin-padded J and fold the periodic margins
+        # once at the end: every window offset is a static-slice add
+        M = -plan.offsets[0]
+        jpad = jnp.zeros((3,) + tuple(n + 2 * M for n in plan.n), dtype)
+
+        def pad_add(jp, off, v3):
+            sl = (slice(None),) + tuple(
+                slice(M + off[d], M + off[d] + plan.n[d]) for d in range(nd))
+            return jp.at[sl].add(v3)
+
         if nd == 1:
-            planes = []
             for i in range(W):
                 wy = gx5[0][i] + 0.5 * dxw[0][i]
-                planes.append(jnp.stack([
+                v3 = jnp.stack([
                     jnp.sum(-fjx * dcum[0][i], axis=0),
                     jnp.sum(fjy * vy * wy, axis=0),
-                    jnp.sum(fjz * vz * wy, axis=0)]))
-            acc3 = jnp.zeros((3,) + tuple(plan.n), dtype)
-            for i in range(W):
-                acc3 = acc3 + _roll_back(planes[i], (plan.offsets[i],), 1)
-            jx_c, jy_c, jz_c = acc3[0], acc3[1], acc3[2]
+                    jnp.sum(fjz * vz * wy, axis=0)])
+                jpad = pad_add(jpad, (plan.offsets[i],), v3)
         elif nd == 2:
             # separable closed form: every (ix,iy) plane is an outer product
-            # of per-axis factors contracted over the slot axis; 25
-            # independent fused multiply-reduce ops + small roll-adds
+            # of per-axis factors contracted over the slot axis
             xfac1 = [gx5[0][i] + 0.5 * dxw[0][i] for i in range(W)]
             yfac1 = [gx5[1][j] + 0.5 * dxw[1][j] for j in range(W)]
             yfac2 = [third * dxw[1][j] + 0.5 * gx5[1][j] for j in range(W)]
             fz = fjz * vz
-            jx_c = jnp.zeros(tuple(plan.n), dtype)
-            jy_c = jnp.zeros(tuple(plan.n), dtype)
-            jz_c = jnp.zeros(tuple(plan.n), dtype)
             for i in range(W):
                 for j in range(W):
-                    off = (plan.offsets[i], plan.offsets[j])
                     v3 = jnp.stack([
                         jnp.sum(-fjx * dcum[0][i] * yfac1[j], axis=0),
                         jnp.sum(-fjy * xfac1[i] * dcum[1][j], axis=0),
                         jnp.sum(fz * (gx5[0][i] * yfac1[j]
                                       + dxw[0][i] * yfac2[j]), axis=0)])
-                    r3 = _roll_back(v3, off, 1)
-                    jx_c = jx_c + r3[0]
-                    jy_c = jy_c + r3[1]
-                    jz_c = jz_c + r3[2]
+                    jpad = pad_add(jpad, (plan.offsets[i], plan.offsets[j]),
+                                   v3)
         else:
             # 3d: same separable structure, contracted axis-by-axis
-            jx_c = jnp.zeros(tuple(plan.n), dtype)
-            jy_c = jnp.zeros(tuple(plan.n), dtype)
-            jz_c = jnp.zeros(tuple(plan.n), dtype)
             for iz in range(W):
                 hz = dxw[2][iz]
                 gz = gx5[2][iz]
@@ -443,12 +432,25 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
                                     * dcum[1][iy], axis=0),
                             jnp.sum(-fjz * (gx * yfac1 + hx * yfac2)
                                     * dcum[2][iz], axis=0)])
-                        off = (plan.offsets[ix], plan.offsets[iy],
-                               plan.offsets[iz])
-                        acc = _roll_back(v3, off, 1)
-                        jx_c = jx_c + acc[0]
-                        jy_c = jy_c + acc[1]
-                        jz_c = jz_c + acc[2]
+                        jpad = pad_add(jpad, (plan.offsets[ix],
+                                              plan.offsets[iy],
+                                              plan.offsets[iz]), v3)
+        # periodic fold of the margins (processor_summation_bcs analogue)
+        for d in range(nd):
+            ax = 1 + d
+            n = plan.n[d]
+
+            def slc(lo, hi):
+                sl = [slice(None)] * (nd + 1)
+                sl[ax] = slice(lo, hi)
+                return tuple(sl)
+
+            jpad = jpad.at[slc(n, n + M)].add(jpad[slc(0, M)])
+            jpad = jpad.at[slc(M, 2 * M)].add(jpad[slc(n + M, n + 2 * M)])
+        core = (slice(None),) + tuple(slice(M, M + plan.n[d])
+                                      for d in range(nd))
+        jcore = jpad[core]
+        jx_c, jy_c, jz_c = jcore[0], jcore[1], jcore[2]
         currents = (jx_c, jy_c, jz_c)
 
     new_xi = jnp.stack(xi_new)
