@@ -82,6 +82,58 @@ def sample_maxwellian(rng, mass, temp, drift):
     return rng.normal(loc=drift, scale=std)
 
 
+def sample_maxwell_juettner(rng, mass, temp, n, cutoff=20.0):
+    """Relativistic Maxwell-Jüttner |p| sampling
+    (momentum_from_temperature_relativistic,
+    particle_temperature.F90:213-318): f(p) ∝ p² exp(−γ mc²/kT), inverted
+    numerically per temperature; isotropic direction."""
+    mc = mass * const.c
+    theta = np.maximum(temp, 1.0) * const.kb / (mass * const.c ** 2)
+    p_out = np.zeros((n, 3))
+    # group identical temperatures for table reuse
+    theta_u, inv = np.unique(np.round(theta, 12), return_inverse=True)
+    for ti, th in enumerate(theta_u):
+        sel = inv == ti
+        m = int(sel.sum())
+        if m == 0 or th <= 0:
+            continue
+        umax = cutoff * max(np.sqrt(th * (th + 2)), th * cutoff / 4 + 1.0)
+        u = np.linspace(0, umax, 4096)
+        gam = np.sqrt(1.0 + u ** 2)
+        pdf = u ** 2 * np.exp(-(gam - 1.0) / th)
+        cdf = np.cumsum(pdf)
+        cdf /= cdf[-1]
+        r = rng.uniform(size=m)
+        mag = np.interp(r, cdf, u) * mc
+        # isotropic directions
+        mu = rng.uniform(-1, 1, m)
+        phi = rng.uniform(0, 2 * np.pi, m)
+        s = np.sqrt(1 - mu ** 2)
+        p_out[sel, 0] = mag * s * np.cos(phi)
+        p_out[sel, 1] = mag * s * np.sin(phi)
+        p_out[sel, 2] = mag * mu
+    return p_out
+
+
+def drift_lorentz_transform(p, mass, drift_p):
+    """Boost sampled momenta into a drifting frame
+    (drift_lorentz_transform, particle_temperature.F90:324-376)."""
+    mc = mass * const.c
+    pd = np.asarray(drift_p, float)
+    pd_mag2 = (pd ** 2).sum()
+    if pd_mag2 == 0:
+        return p
+    gd = np.sqrt(1.0 + pd_mag2 / mc ** 2)
+    vd = pd / (mass * gd)
+    beta = np.linalg.norm(vd) / const.c
+    nhat = pd / np.sqrt(pd_mag2)
+    gam = np.sqrt(1.0 + (p ** 2).sum(1) / mc ** 2)
+    p_par = p @ nhat
+    e = gam * mass * const.c ** 2
+    p_par_new = gd * (p_par + beta * e / const.c)
+    return p + np.outer(p_par_new - p_par, nhat)
+
+
 def flux_maxwellian(rng, mass, temp, drift, direction):
     """Rayleigh-weighted inflow momentum for thermal/injector boundaries
     (flux_momentum_from_temperature, particle_temperature.F90:401-452).
@@ -142,12 +194,20 @@ def load_species(sp_block, grid, rng, dtype, cap_headroom=1.25):
     cnt_at = counts[tuple(cells[:, d] for d in range(nd))]
     weight = dens_at * grid.cell_volume / np.maximum(cnt_at, 1)
 
-    # momenta (setup_particle_temperature + drift)
+    # momenta (setup_particle_temperature[-relativistic] + drift)
     p = np.zeros((total, 3))
-    for i in range(3):
-        temp = _eval_at_points(sp_block.temp[i], pos, grid, default=0.0)
-        drift = _eval_at_points(sp_block.drift[i], pos, grid, default=0.0)
-        p[:, i] = sample_maxwellian(rng, sp_block.mass, temp, drift)
+    if getattr(sp_block, "use_maxwell_juettner", False):
+        temp = _eval_at_points(sp_block.temp[0], pos, grid, default=0.0)
+        p = sample_maxwell_juettner(rng, sp_block.mass, temp, total,
+                                    cutoff=sp_block.fractional_tail_cutoff)
+        drift_vec = [float(np.mean(_eval_at_points(
+            sp_block.drift[i], pos, grid, default=0.0))) for i in range(3)]
+        p = drift_lorentz_transform(p, sp_block.mass, drift_vec)
+    else:
+        for i in range(3):
+            temp = _eval_at_points(sp_block.temp[i], pos, grid, default=0.0)
+            drift = _eval_at_points(sp_block.drift[i], pos, grid, default=0.0)
+            p[:, i] = sample_maxwellian(rng, sp_block.mass, temp, drift)
 
     arrs = dict(
         x=pos.astype(dtype),

@@ -154,6 +154,8 @@ class SpeciesBlock:
     release_species_name: str = ""
     principal_n: int = 1
     l_quantum: int = 0
+    use_maxwell_juettner: bool = False
+    fractional_tail_cutoff: float = 20.0
 
 
 @dataclass

@@ -375,7 +375,11 @@ class DeckParser:
                     idx = _BOUNDARY_NAMES[f"{m.group(1)}_{m.group(2)}"]
                     s.bc_particle[idx] = B.BC_NAMES[val.strip().lower()]
                     continue
-                if ell == "immobile":
+                if ell == "use_maxwell_juettner":
+                    s.use_maxwell_juettner = self.logical(val)
+                elif ell == "fractional_tail_cutoff":
+                    s.fractional_tail_cutoff = self.num(val)
+                elif ell == "immobile":
                     s.immobile = self.logical(val)
                 elif ell in ("zero_current", "tracer"):
                     s.zero_current = self.logical(val)

@@ -22,11 +22,39 @@ from .core.sim import Simulation
 from .io.diagnostics import OutputManager
 
 
+def welcome_message(stdout=sys.stdout):
+    """welcome.F90:33-178 analogue: code name, version, backend."""
+    from . import __version__
+    import jax
+    try:
+        devs = ", ".join(str(d) for d in jax.devices())
+    except Exception:
+        devs = "unknown"
+    print(f" epoch_tpu v{__version__} — TPU-native PIC "
+          f"(EPOCH capability parity)", file=stdout)
+    print(f" backend: {devs}", file=stdout)
+
+
 class Runner:
     def __init__(self, data_dir: str, deck_name: str = "input.deck",
                  seed: int = 0, stdout=sys.stdout):
         self.data_dir = data_dir
         self.sim = Simulation(os.path.join(data_dir, deck_name), seed=seed)
+        welcome_message(stdout)
+        # deck.status + stat file (setup.F90:455-553)
+        try:
+            with open(os.path.join(data_dir, "deck.status"), "w") as f:
+                f.write("Deck read OK\n")
+                c = self.sim.deck.control
+                f.write(f"nx={c.nx} ny={c.ny} nz={c.nz} "
+                        f"t_end={c.t_end} dt={self.sim.cfg.dt}\n")
+                f.write(f"engine={self.sim.cfg.engine}\n")
+                for s in self.sim.cfg.species:
+                    f.write(f"species {s.name}: cap={s.cap}\n")
+            with open(os.path.join(data_dir, "epoch_tpu.dat"), "w") as f:
+                f.write(f"dt {self.sim.cfg.dt}\n")
+        except OSError:
+            pass
         # restart_snapshot = <file> resumes from a restart dump
         # (deck_control_block 'restart_snapshot'; setup.F90:822)
         rs = self.sim.deck.control.restart_snapshot
