@@ -17,6 +17,7 @@ os.environ.setdefault("EPOCH_TPU_X64", "0")   # single precision for perf
 DECK = """
 begin:control
   precision = single
+  bin_headroom = 1.5
   nx = {nx}
   ny = {ny}
   t_end = 1.0

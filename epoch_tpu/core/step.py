@@ -264,15 +264,20 @@ def make_step_functions(cfg):
 
 
 def make_full_step(cfg):
-    """One fused step (output-free) for scan-driven runs and benchmarks."""
+    """One fused, donated step + an n-step driver for benchmarks.
+
+    A host loop over the single jitted step outperforms lax.scan here: the
+    scan carry forces relayout copies of the large state pytree each
+    iteration, while the donated jit reuses buffers in place.
+    """
     fns = make_step_functions(cfg)
     a, b = fns["step_a_raw"], fns["step_b_raw"]
-
-    def full(state, _):
-        return b(a(state)), None
+    full = jax.jit(lambda s: b(a(s)), donate_argnums=0)
 
     def run_n(state, n: int):
-        state, _ = jax.lax.scan(full, state, None, length=n)
+        for _ in range(n):
+            state = full(state)
         return state
 
-    return jax.jit(run_n, static_argnums=1, donate_argnums=0)
+    run_n.single_step = full
+    return run_n
