@@ -143,11 +143,27 @@ def flux_maxwellian(rng, mass, temp, drift, direction):
     return direction * sigma * np.sqrt(-2.0 * np.log(1.0 - u))
 
 
-def load_species(sp_block, grid, rng, dtype, cap_headroom=1.25):
+def species_density(sp_block, grid, dens_cache=None):
+    """Evaluate the (possibly layered, self/cross-referencing) density
+    expressions on the grid: `number_density = ...` lines are applied in
+    deck order with `density(species)` resolving to the previously
+    evaluated array (deck_species_block density stacking)."""
+    layers = getattr(sp_block, "density_layers", None) or \
+        ([sp_block.density] if sp_block.density is not None else [])
+    ctx = dict(dens_cache or {})
+    dens = np.zeros(grid.n)
+    for layer in layers:
+        ctx[f"density:{sp_block.name}"] = dens
+        dens = _eval_on_grid(layer, grid, extra_ctx=ctx)
+    return dens
+
+
+def load_species(sp_block, grid, rng, dtype, cap_headroom=1.25,
+                 dens_cache=None):
     """auto_load for one species → ParticleSlab arrays (numpy)."""
     nd = grid.ndims
     n_cells = int(np.prod(grid.n))
-    density = _eval_on_grid(sp_block.density, grid)
+    density = species_density(sp_block, grid, dens_cache)
     if sp_block.density_max > 0:
         density = np.minimum(density, sp_block.density_max)
     valid = density >= max(sp_block.density_min, 0.0)

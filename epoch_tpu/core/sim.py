@@ -86,10 +86,15 @@ def compute_dt(deck: DeckConfig, grid: Grid, solver, stencil) -> float:
     # plasma frequency limit (Bohm-Gross)
     dt_pf = math.inf
     k_max = 2.0 * math.pi / min(d)
+    dens_cache = {}
     for sp in deck.species:
+        has_dens = sp.density or getattr(sp, 'density_layers', None)
+        if has_dens:
+            dens_cache[f"density:{sp.name}"] = \
+                loader.species_density(sp, grid, dens_cache)
         if sp.species_type == const.SpeciesType.PHOTON or sp.mass <= 0:
             continue
-        dens = loader._eval_on_grid(sp.density, grid) if sp.density else None
+        dens = dens_cache.get(f"density:{sp.name}")
         if dens is None:
             continue
         if sp.density_max > 0:
@@ -317,8 +322,12 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
 
     loaded = []
     new_species = []
+    dens_cache = {}
     for sp_blk, sp_cfg in zip(deck.species, cfg.species):
-        arrs, cap = loader.load_species(sp_blk, grid, rng, dtype)
+        arrs, cap = loader.load_species(sp_blk, grid, rng, dtype,
+                                        dens_cache=dens_cache)
+        dens_cache[f"density:{sp_blk.name}"] = loader.species_density(
+            sp_blk, grid, dens_cache)
         loaded.append(arrs)
         new_species.append(dataclasses.replace(sp_cfg, cap=cap))
     cfg = dataclasses.replace(cfg, species=tuple(new_species))

@@ -39,10 +39,14 @@ def window_plan(cfg, deck):
             npc = sp_blk.npart / max(int(np.prod(grid.n)), 1)
         npc = max(npc, 0.0)
         max_new = int(math.ceil(npc + 1)) * n_col
+        layers = getattr(sp_blk, "density_layers", None) or \
+            ([sp_blk.density] if sp_blk.density is not None else [])
         plans.append(dict(
+            name=sp_blk.name,
             npc=npc,
             max_new=max_new,
             density=sp_blk.density,
+            density_layers=layers,
             temp=sp_blk.temp,
             drift=sp_blk.drift,
             density_min=max(sp_blk.density_min, 0.0),
@@ -151,14 +155,39 @@ def _shift_once(state: SimState, cfg) -> SimState:
         slab = slab._replace(alive=alive, weight=weight)
         if plan["max_new"] > 0 and plan["density"] is not None:
             rng, sub = jax.random.split(rng)
-            slab = _insert_column(slab, plan, cfg, new_offset, sub)
+            slab = _insert_column(slab, plan, cfg, new_offset, sub,
+                                  cfg.window_plans)
         new_species.append(slab)
 
     return state._replace(fields=f, cpml=cpml, species=tuple(new_species),
                           window_offset=new_offset, rng=rng)
 
 
-def _insert_column(slab, plan, cfg, offset, key):
+def _layers_at(plan, ctx):
+    """Evaluate a species' layered density stack at point ctx (deck-order
+    number_density lines with self-reference, deck_species_block)."""
+    dens = 0.0
+    for layer in plan["density_layers"]:
+        c = dict(ctx)
+        c[f"density:{plan['name']}"] = dens
+        dens = layer(c, xp=jnp)
+    return dens
+
+
+def _density_at(plan, ctx, all_plans):
+    """Evaluate plan's density at ctx, resolving ``density(other)``
+    cross references to earlier-declared species (evaluated at the same
+    points, matching the loader's deck-order cache semantics)."""
+    dens_ctx = dict(ctx)
+    for other in (all_plans or []):
+        if other is plan:
+            break
+        if other["density_layers"]:
+            dens_ctx[f"density:{other['name']}"] = _layers_at(other, dens_ctx)
+    return _layers_at(plan, dens_ctx)
+
+
+def _insert_column(slab, plan, cfg, offset, key, all_plans=None):
     """Refill the incoming column (insert_particles, window.F90:159-258)."""
     grid = cfg.grid
     nd = grid.ndims
@@ -199,7 +228,7 @@ def _insert_column(slab, plan, cfg, offset, key):
         ctx[names[d]] = x_new[:, d]
     ctx["time"] = 0.0
 
-    dens = plan["density"](ctx, xp=jnp) * jnp.ones(max_new, dtype)
+    dens = _density_at(plan, ctx, all_plans) * jnp.ones(max_new, dtype)
     if plan["density_max"] > 0:
         dens = jnp.minimum(dens, plan["density_max"])
     dens = jnp.where(dens >= plan["density_min"], dens, 0.0)

@@ -120,6 +120,7 @@ class SpeciesBlock:
     npart: int = -1                      # 'nparticles' / 'npart'
     npart_per_cell: float = -1.0
     density: Optional[Expression] = None
+    density_layers: list = dfield(default_factory=list)
     density_min: float = 0.0             # EPOCH default: no minimum
     density_max: float = -1.0            # <0 → unlimited
     temp: list = dfield(default_factory=lambda: [None, None, None])   # K
@@ -290,6 +291,7 @@ class InjectorBlock:
     species: str = ""
     npart_per_cell: float = -1.0
     density: Optional[Expression] = None
+    density_layers: list = dfield(default_factory=list)
     density_min: float = 0.0
     temp: list = dfield(default_factory=lambda: [None, None, None])
     drift: list = dfield(default_factory=lambda: [None, None, None])

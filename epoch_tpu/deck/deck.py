@@ -344,6 +344,7 @@ class DeckParser:
                 s.npart_per_cell = self.num(val)
             elif ell in ("density", "number_density", "rho"):
                 s.density = self.expr(val)
+                s.density_layers.append(s.density)
             elif ell in ("density_min", "number_density_min"):
                 s.density_min = self.num(val)
             elif ell in ("density_max", "number_density_max"):
