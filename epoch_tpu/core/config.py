@@ -107,6 +107,7 @@ class SimConfig:
     ionise_plan: Any = None        # physics.ionise.IonisePlan or None
     collision_plan: Any = None     # physics.collisions.CollisionPlan or None
     qed_plan: Any = None           # physics.qed.QEDPlan or None
+    brem_plan: Any = None          # physics.bremsstrahlung.BremPlan or None
     probe_plans: tuple = ()        # per-probe static descriptors
     particle_push_start_time: float = 0.0
     deck: Any = None         # original DeckConfig (host-side only)

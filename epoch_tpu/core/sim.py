@@ -246,6 +246,20 @@ def build_config(deck: DeckConfig) -> SimConfig:
                 "(set pusher = scatter)")
         from ..physics.qed import QEDPlan
         cfg = dataclasses.replace(cfg, qed_plan=QEDPlan(cfg, deck))
+    if deck.bremsstrahlung.use_bremsstrahlung:
+        if cfg.engine == "binned":
+            raise NotImplementedError(
+                "bremsstrahlung requires the scatter engine in this "
+                "version (set pusher = scatter)")
+        from ..physics.bremsstrahlung import BremPlan
+        plan = BremPlan(cfg, deck)
+        cfg = dataclasses.replace(cfg, brem_plan=plan)
+        if plan.produce_photons and not plan.photon_dynamics:
+            # stationary photons (bremsstrahlung_photon_dynamics = F)
+            sp = list(cfg.species)
+            sp[plan.photon_species] = dataclasses.replace(
+                sp[plan.photon_species], immobile=True)
+            cfg = dataclasses.replace(cfg, species=tuple(sp))
     if deck.probes and cfg.engine == "binned":
         raise NotImplementedError(
             "particle probes require the scatter engine (pusher = scatter)")
@@ -269,12 +283,14 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
         and all(sp.species_type != const.SpeciesType.PHOTON
                 for sp in cfg.species)
         and len(cfg.species) > 0
+        and not deck.bremsstrahlung.use_bremsstrahlung
     )
     if choice == "binned":
         if not eligible:
             raise ValueError(
                 "pusher=binned requires all-periodic boundaries, triangle "
-                "shape, no moving window and no photon species")
+                "shape, no moving window, no photon species and no "
+                "bremsstrahlung")
         return "binned"
     return "binned" if eligible else "scatter"
 

@@ -20,6 +20,15 @@ def append_particles(slab: ParticleSlab, x_new, p_new, w_new, valid):
     is the caller's responsibility).
     """
     m = valid.shape[0]
+    cap = slab.alive.shape[0]
+    if m > cap:
+        # more candidates than destination slots: keep valid ones first
+        corder = jnp.argsort(~valid)[:cap]
+        x_new = x_new[corder]
+        p_new = p_new[corder]
+        w_new = w_new[corder]
+        valid = valid[corder]
+        m = cap
     order = jnp.argsort(slab.alive)          # dead slots first
     target = order[:m]
     ok = valid & ~slab.alive[target]

@@ -127,7 +127,8 @@ def make_step_functions(cfg):
         for si, (sp_cfg, slab) in enumerate(zip(cfg.species, state.species)):
             x_old = slab.x
             if sp_cfg.species_type == const.SpeciesType.PHOTON:
-                slab = psh.push_photons(slab, pplan)
+                if not sp_cfg.immobile:   # photon_dynamics = F
+                    slab = psh.push_photons(slab, pplan)
             elif not sp_cfg.immobile:
                 slab, contrib = psh.push_species(state.fields, slab, sp_cfg,
                                                 pplan)
@@ -215,6 +216,11 @@ def make_step_functions(cfg):
             rng, sub = jax.random.split(state.rng)
             state, _ = qed_update(state._replace(rng=rng), cfg,
                                   cfg.qed_plan, sub)
+        if cfg.brem_plan is not None:
+            from ..physics.bremsstrahlung import brem_update
+            rng, sub = jax.random.split(state.rng)
+            state, _ = brem_update(state._replace(rng=rng), cfg,
+                                   cfg.brem_plan, sub)
         state = fields_half(state)
         push_on = state.time >= cfg.particle_push_start_time
         if cfg.species:

@@ -698,21 +698,26 @@ class DeckParser:
         b = self.cfg.bremsstrahlung
         for el, val in blk.elements:
             el = el.lower()
-            if el in ("use_bremsstrahlung", "bremsstrahlung"):
+            if el in ("use_bremsstrahlung", "bremsstrahlung", "enable"):
                 b.use_bremsstrahlung = self.logical(val)
-            elif el == "start_time":
+            elif el in ("start_time", "bremsstrahlung_start_time"):
                 b.start_time = self.num(val)
-            elif el == "produce_photons":
+            elif el in ("produce_photons", "produce_bremsstrahlung_photons"):
                 b.produce_photons = self.logical(val)
-            elif el == "photon_energy_min":
+            elif el in ("photon_energy_min", "min_photon_energy",
+                        "photon_energy_min_bremsstrahlung"):
                 b.photon_energy_min = self.num(val)
-            elif el == "photon_weight":
+            elif el in ("photon_weight", "photon_weight_multiplier"):
                 b.photon_weight = self.num(val)
-            elif el == "photon_dynamics":
+            elif el in ("photon_dynamics",
+                        "bremsstrahlung_photon_dynamics"):
                 b.photon_dynamics = self.logical(val)
             elif el == "use_plasma_screening":
                 b.use_plasma_screening = self.logical(val)
-            elif el == "table_location":
+            elif el in ("use_bremsstrahlung_recoil",
+                        "use_radiation_reaction"):
+                b.use_radiation_reaction = self.logical(val)
+            elif el in ("table_location", "bremsstrahlung_table_location"):
                 b.table_location = val.strip()
 
     def _finalise(self):
