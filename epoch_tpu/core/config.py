@@ -108,6 +108,9 @@ class SimConfig:
     collision_plan: Any = None     # physics.collisions.CollisionPlan or None
     qed_plan: Any = None           # physics.qed.QEDPlan or None
     brem_plan: Any = None          # physics.bremsstrahlung.BremPlan or None
+    split_plan: Any = None         # housekeeping.SplitPlan or None
+    migration_plan: Any = None     # housekeeping.MigrationPlan or None
+    track_ejected: bool = False    # 'ejected_particles' output requested
     probe_plans: tuple = ()        # per-probe static descriptors
     particle_push_start_time: float = 0.0
     deck: Any = None         # original DeckConfig (host-side only)

@@ -71,6 +71,23 @@ def gather_field(field, base_cells, weights, strides):
     return jnp.sum(vals * w, axis=(1, 2, 3))
 
 
+def gather_centred(padded, cfg, slab):
+    """Cell-centred grid variable at the particles with the particle shape
+    (grid_centred_var_at_particle, bremsstrahlung.F90:718-760; also the
+    fluid-grid lookup in particle_migration.F90:144-153)."""
+    grid = cfg.grid
+    pplan = PushPlan(cfg)
+    nd = grid.ndims
+    cells, ws = [], []
+    for d in range(nd):
+        rel = slab.x[:, d] - grid.grid_min(d)
+        c, cf = shapes.cell_and_frac(rel, 1.0 / grid.delta[d],
+                                     grid.shape_fn, grid.ng, False)
+        cells.append(jnp.clip(c, 0, grid.padded_shape()[d] - 1))
+        ws.append(shapes.support_weights(grid.shape_fn, cf))
+    return pplan.fac * gather_field(padded, cells, ws, pplan.strides)
+
+
 class PushPlan:
     """Static per-run scalars for the pusher (particles.F90:145-153)."""
 

@@ -263,6 +263,22 @@ def build_config(deck: DeckConfig) -> SimConfig:
     if deck.probes and cfg.engine == "binned":
         raise NotImplementedError(
             "particle probes require the scatter engine (pusher = scatter)")
+    if any(sb.split for sb in deck.species):
+        from .housekeeping import SplitPlan
+        cfg = dataclasses.replace(cfg, split_plan=SplitPlan(cfg, deck))
+    if deck.control.use_migration:
+        from .housekeeping import MigrationPlan
+        plan = MigrationPlan(cfg, deck)
+        if plan.any_active:
+            cfg = dataclasses.replace(cfg, migration_plan=plan)
+    if (cfg.split_plan is not None or cfg.migration_plan is not None) \
+            and cfg.engine == "binned":
+        raise NotImplementedError(
+            "particle splitting/migration require the scatter engine "
+            "(set pusher = scatter)")
+    if any("ejected_particles" in o.variables for o in deck.outputs) \
+            and cfg.engine != "binned":
+        cfg = dataclasses.replace(cfg, track_ejected=True)
     return cfg
 
 
@@ -284,6 +300,8 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
                 for sp in cfg.species)
         and len(cfg.species) > 0
         and not deck.bremsstrahlung.use_bremsstrahlung
+        and not any(sb.split for sb in deck.species)
+        and not deck.control.use_migration
     )
     if choice == "binned":
         if not eligible:
@@ -424,6 +442,14 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
         cfg = dataclasses.replace(
             cfg, probe_plans=build_probe_plans(cfg, deck))
         state = state._replace(probes=init_probe_buffers(cfg, dtype))
+    if cfg.migration_plan is not None:
+        from .housekeeping import init_fluid_grids
+        state = init_fluid_grids(cfg, state, cfg.migration_plan)
+    if cfg.track_ejected:
+        state = state._replace(ejected=tuple(
+            empty_slab(max(256, getattr(s, "cap", 256) // 2),
+                       grid.ndims, dtype)
+            for s in state.species))
     if cfg.use_current_correction and cfg.species:
         # calc_initial_current (io/calc_df.F90:1231): the DC current of the
         # initial distribution, subtracted each step in current_finish

@@ -92,6 +92,15 @@ class SimState(NamedTuple):
     # per-probe capture buffers (particle_probe%sampled_particles,
     # shared_data.F90:391-404): fixed-capacity slabs filled by the pusher
     probes: tuple = ()
+    # per-fluid-species EMA (temperature, density) grids for particle
+    # migration (migrate%fluid_energy/fluid_density,
+    # particle_migration.F90:90-113): stacked (2, *padded) arrays aligned
+    # with MigrationPlan.fluid_species
+    fluid_grids: tuple = ()
+    # per-species ejected-particle buffers (ejected_list,
+    # shared_data.F90:456; filled at open boundaries, boundary.F90:758-770;
+    # dumped + cleared by the 'ejected_particles' output key)
+    ejected: tuple = ()
 
 
 def zero_fields(padded_shape, dtype) -> Fields:

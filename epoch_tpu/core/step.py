@@ -124,6 +124,7 @@ def make_step_functions(cfg):
             for sp_cfg in cfg.species
             for bc in sp_cfg.bc_particle[:2 * cfg.ndims])
         probes = list(state.probes)
+        ejected = list(state.ejected)
         for si, (sp_cfg, slab) in enumerate(zip(cfg.species, state.species)):
             x_old = slab.x
             if sp_cfg.species_type == const.SpeciesType.PHOTON:
@@ -143,9 +144,18 @@ def make_step_functions(cfg):
             key = None
             if any_thermal:
                 rng, key = jax.random.split(rng)
+            pre = slab
             slab = bnd.particle_bcs(slab, sp_cfg, cfg, key=key)
+            if cfg.track_ejected and si < len(ejected):
+                # open-boundary exits land in the ejected buffer
+                # (boundary.F90:758-770)
+                from .slab_ops import append_particles
+                gone = pre.alive & ~slab.alive
+                ejected[si] = append_particles(
+                    ejected[si], pre.x, pre.p, pre.weight, gone)
             new_slabs.append(slab)
-        state = state._replace(rng=rng, probes=tuple(probes))
+        state = state._replace(rng=rng, probes=tuple(probes),
+                               ejected=tuple(ejected))
         f = psh.deposit_currents(f, contributions, dtype)
         f = bnd.current_bcs(f, cfg)
         return state._replace(fields=f, species=tuple(new_slabs))
@@ -232,6 +242,20 @@ def make_step_functions(cfg):
                 rng, sub = jax.random.split(state.rng)
                 state, _ = particle_collisions(state._replace(rng=rng), cfg,
                                                cfg.collision_plan, sub)
+            if cfg.split_plan is not None:
+                from . import housekeeping as hk
+                rng, sub = jax.random.split(state.rng)
+                state, _ = hk.split_particles(state._replace(rng=rng), cfg,
+                                              cfg.split_plan, sub)
+            if cfg.migration_plan is not None:
+                from . import housekeeping as hk
+                plan = cfg.migration_plan
+                # step has already ++'d below in the reference by the time
+                # migrate runs; match MOD(step, interval) on the new step
+                state = jax.lax.cond(
+                    (state.step + 1) % plan.interval == 0,
+                    lambda s: hk.migrate_particles(s, cfg, plan),
+                    lambda s: s, state)
             if cfg.ionise_plan is not None:
                 from ..physics.ionise import ionise_particles
                 rng, sub = jax.random.split(state.rng)

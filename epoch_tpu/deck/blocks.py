@@ -90,6 +90,9 @@ class ControlBlock:
     simplify_deck: bool = True
     print_constants: bool = False
     use_current_correction: bool = False
+    use_migration: bool = False           # particle_migration.F90
+    migration_interval: int = 1
+    npart_per_cell_min: int = 5           # split threshold (split_particle.F90:24)
     window_injectors: bool = False
     use_more_setup_memory: bool = False
     # --- TPU-framework extensions (not in the reference deck language) ---
@@ -136,6 +139,8 @@ class SpeciesBlock:
     ionise_to_species: list = dfield(default_factory=list)
     electron_species: list = dfield(default_factory=list)
     background_density: Optional[Expression] = None
+    split: bool = False           # pseudo-particle splitting (split_particle.F90)
+    npart_max: int = -1           # split cap on global particle count
     migrate: bool = False
     promote_to: str = ""
     demote_to: str = ""
@@ -322,6 +327,24 @@ class QEDBlock:
     photon_dynamics: bool = False
     qed_table_location: str = ""
     use_radiation_reaction: bool = True
+
+
+@dataclass
+class PartFromFileBlock:
+    """begin:particles_from_file (deck_part_from_file_block.F90): bulk
+    particle arrays from raw binary files of float64 records; ``offset``
+    applies to the *_data files declared after it."""
+    species: str = ""
+    x_data: str = ""
+    y_data: str = ""
+    z_data: str = ""
+    px_data: str = ""
+    py_data: str = ""
+    pz_data: str = ""
+    w_data: str = ""
+    id_data: str = ""
+    id_4byte: bool = False
+    offsets: dict = dfield(default_factory=dict)   # key -> byte offset
 
 
 @dataclass

@@ -87,6 +87,7 @@ class DeckConfig:
     probes: list = dfield(default_factory=list)
     subsets: list = dfield(default_factory=list)
     injectors: list = dfield(default_factory=list)
+    part_from_file: list = dfield(default_factory=list)
     collisions: B.CollisionsBlock = dfield(default_factory=B.CollisionsBlock)
     qed: B.QEDBlock = dfield(default_factory=B.QEDBlock)
     bremsstrahlung: B.BremsstrahlungBlock = dfield(default_factory=B.BremsstrahlungBlock)
@@ -291,6 +292,12 @@ class DeckParser:
                 c.stop_at_walltime = self.num(val)
             elif el == "use_current_correction":
                 c.use_current_correction = self.logical(val)
+            elif el in ("use_migration", "migrate_particles"):
+                c.use_migration = self.logical(val)
+            elif el == "migration_interval":
+                c.migration_interval = self.integer(val)
+            elif el == "npart_per_cell_min":
+                c.npart_per_cell_min = self.integer(val)
             elif el == "n_zeros":
                 c.n_zeros = self.integer(val)
             elif el == "particle_shape":
@@ -398,6 +405,10 @@ class DeckParser:
                     s.ionise_to_species = [v.strip() for v in _split_top_level(val)]
                 elif ell == "electron_species" or ell == "electron":
                     s.electron_species = [v.strip() for v in _split_top_level(val)]
+                elif ell == "split":
+                    s.split = self.logical(val)
+                elif ell == "npart_max":
+                    s.npart_max = self.integer(val)
                 elif ell == "migrate":
                     s.migrate = self.logical(val)
                 elif ell == "promote_to":
@@ -408,9 +419,9 @@ class DeckParser:
                     s.promote_multiplier = self.num(val)
                 elif ell == "demote_multiplier":
                     s.demote_multiplier = self.num(val)
-                elif ell == "promote_number_density":
+                elif ell in ("promote_number_density", "promote_density"):
                     s.promote_density = self.num(val)
-                elif ell == "demote_number_density":
+                elif ell in ("demote_number_density", "demote_density"):
                     s.demote_density = self.num(val)
                 elif ell == "fill_ghosts":
                     s.fill_ghosts = self.logical(val)
@@ -530,6 +541,37 @@ class DeckParser:
         self.cfg.outputs.append(o)
 
     _handle_output_global = _handle_output  # io_global merges into the same model
+
+    def _handle_particles_from_file(self, blk: RawBlock):
+        """begin:particles_from_file (deck_part_from_file_block.F90:125-
+        255); ``offset`` is sticky over the following *_data lines."""
+        p = B.PartFromFileBlock()
+        current_offset = 0
+        for el, val in blk.elements:
+            el = el.lower()
+            v = val.strip()
+            if el == "species":
+                p.species = v
+            elif el == "offset":
+                current_offset = self.integer(val)
+            elif el in ("x_data", "y_data", "z_data", "px_data",
+                        "py_data", "pz_data", "w_data"):
+                setattr(p, el, v)
+                p.offsets[el] = current_offset
+            elif el in ("id4_data", "id8_data"):
+                p.id_data = v
+                p.id_4byte = el == "id4_data"
+                p.offsets["id_data"] = current_offset
+        if not p.species:
+            raise DeckParseError(
+                "particles_from_file block without a species")
+        if not p.x_data:
+            raise DeckParseError(
+                f"particles_from_file for {p.species!r} has no x_data")
+        if not p.w_data:
+            raise DeckParseError(
+                f"particles_from_file for {p.species!r} has no w_data")
+        self.cfg.part_from_file.append(p)
 
     def _handle_dist_fn(self, blk: RawBlock):
         d = B.DistFnBlock()

@@ -66,6 +66,16 @@ def write_restart(path, cfg, state: SimState, deck_text: str = ""):
                                    f"Restart/Particles/alive/{sp.name}",
                                    np.asarray(s.alive).astype(np.int32),
                                    "grid")
+            w.write_plain_variable(f"restart/id/{sp.name}",
+                                   f"Restart/Particles/id/{sp.name}",
+                                   np.asarray(s.id).astype(np.int64),
+                                   "grid")
+            w.write_plain_variable(f"restart/od/{sp.name}",
+                                   f"Restart/Particles/od/{sp.name}",
+                                   np.asarray(s.opdepth), "grid")
+            w.write_plain_variable(f"restart/odb/{sp.name}",
+                                   f"Restart/Particles/odb/{sp.name}",
+                                   np.asarray(s.opdepth_brem), "grid")
     # scalars + RNG + laser phases (setup.F90:1483-1573 analogues)
     w.write_constant("restart/time", "Restart/time", float(state.time))
     w.write_constant("restart/step", "Restart/step", int(state.step))
@@ -81,6 +91,9 @@ def write_restart(path, cfg, state: SimState, deck_text: str = ""):
                            "grid")
     w.write_plain_variable("restart/laser_phase", "Restart/laser_phase",
                            np.asarray(state.lasers.integral_phase), "grid")
+    for k, g in enumerate(state.fluid_grids):
+        w.write_plain_variable(f"restart/fluid{k}", f"Restart/Fluid/{k}",
+                               np.asarray(g), "grid")
     if deck_text:
         w.write_datablock("input_deck", "Input Deck", deck_text.encode(),
                           "text/plain")
@@ -113,12 +126,21 @@ def read_restart(path, cfg, template: SimState) -> SimState:
                     d[f"Restart/Binned/dropped/{sp.name}"].data, jnp.int32),
             ))
         else:
+            extra = {}
+            if f"Restart/Particles/id/{sp.name}" in d:
+                extra["id"] = jnp.asarray(
+                    d[f"Restart/Particles/id/{sp.name}"].data.astype(
+                        np.int64))
+                extra["opdepth"] = arr(f"Restart/Particles/od/{sp.name}")
+                extra["opdepth_brem"] = arr(
+                    f"Restart/Particles/odb/{sp.name}")
             species.append(t._replace(
                 x=arr(f"Restart/Particles/x/{sp.name}"),
                 p=arr(f"Restart/Particles/p/{sp.name}"),
                 weight=arr(f"Restart/Particles/w/{sp.name}"),
                 alive=jnp.asarray(
                     d[f"Restart/Particles/alive/{sp.name}"].data != 0),
+                **extra,
             ))
     rng_data = d["Restart/rng"].data.astype(np.uint32)
     rng = jnp.asarray(rng_data)
@@ -126,7 +148,10 @@ def read_restart(path, cfg, template: SimState) -> SimState:
         rng = jax.random.wrap_key_data(rng)
     lasers = template.lasers._replace(
         integral_phase=arr("Restart/laser_phase"))
+    fluid_grids = tuple(arr(f"Restart/Fluid/{k}")
+                        for k in range(len(template.fluid_grids)))
     return template._replace(
+        fluid_grids=fluid_grids,
         fields=fields, cpml=cpml, species=tuple(species), lasers=lasers,
         time=jnp.asarray(d["Restart/time"].data, dtype),
         step=jnp.asarray(d["Restart/step"].data, jnp.int32),

@@ -308,13 +308,55 @@ DERIVED_VARS = {
     "average_pz": ("average_pz", "Derived/Particles_Average_Pz", "kg.m/s"),
 }
 
+def _gamma_of(s, sp):
+    import jax.numpy as jnp
+    if sp.species_type == const.SpeciesType.PHOTON or sp.mass <= 0:
+        return jnp.ones_like(s.weight)
+    mc = sp.mass * const.c
+    return jnp.sqrt(1.0 + jnp.sum((s.p / mc) ** 2, axis=1))
+
+
+def _velocity(s, sp, comp):
+    import jax.numpy as jnp
+    if sp.species_type == const.SpeciesType.PHOTON or sp.mass <= 0:
+        mag = jnp.maximum(jnp.sqrt(jnp.sum(s.p ** 2, axis=1)), 1e-300)
+        return const.c * s.p[:, comp] / mag
+    return s.p[:, comp] / (sp.mass * _gamma_of(s, sp))
+
+
+def _particle_ek(s, sp):
+    import jax.numpy as jnp
+    if sp.species_type == const.SpeciesType.PHOTON or sp.mass <= 0:
+        return const.c * jnp.sqrt(jnp.sum(s.p ** 2, axis=1))
+    return (_gamma_of(s, sp) - 1.0) * sp.mass * const.c ** 2
+
+
+# getters take (slab, species_cfg); deck_io_block.F90:528-580 key set
 PARTICLE_VARS = {
     "particles": None,   # triggers the point mesh
-    "px": ("px", "Particles/Px", "kg.m/s", lambda s: s.p[:, 0]),
-    "py": ("py", "Particles/Py", "kg.m/s", lambda s: s.p[:, 1]),
-    "pz": ("pz", "Particles/Pz", "kg.m/s", lambda s: s.p[:, 2]),
-    "particle_weight": ("weight", "Particles/Weight", "", lambda s: s.weight),
-    "id": ("id", "Particles/ID", "", lambda s: s.id),
+    "px": ("px", "Particles/Px", "kg.m/s", lambda s, sp: s.p[:, 0]),
+    "py": ("py", "Particles/Py", "kg.m/s", lambda s, sp: s.p[:, 1]),
+    "pz": ("pz", "Particles/Pz", "kg.m/s", lambda s, sp: s.p[:, 2]),
+    "vx": ("vx", "Particles/Vx", "m/s", lambda s, sp: _velocity(s, sp, 0)),
+    "vy": ("vy", "Particles/Vy", "m/s", lambda s, sp: _velocity(s, sp, 1)),
+    "vz": ("vz", "Particles/Vz", "m/s", lambda s, sp: _velocity(s, sp, 2)),
+    "particle_weight": ("weight", "Particles/Weight", "",
+                        lambda s, sp: s.weight),
+    "weight": ("weight", "Particles/Weight", "", lambda s, sp: s.weight),
+    "id": ("id", "Particles/ID", "", lambda s, sp: s.id),
+    "charge": ("charge", "Particles/Charge", "C",
+               lambda s, sp: sp.charge * (s.weight * 0 + 1.0)),
+    "mass": ("mass", "Particles/Mass", "kg",
+             lambda s, sp: sp.mass * (s.weight * 0 + 1.0)),
+    "rest_mass": ("mass", "Particles/Mass", "kg",
+                  lambda s, sp: sp.mass * (s.weight * 0 + 1.0)),
+    "ek": ("ek", "Particles/Ek", "J", _particle_ek),
+    "particle_energy": ("ek", "Particles/Ek", "J", _particle_ek),
+    "gamma": ("gamma", "Particles/Gamma", "", _gamma_of),
+    "relativistic_mass": ("relativistic_mass", "Particles/Relativistic Mass",
+                          "kg", lambda s, sp: sp.mass * _gamma_of(s, sp)),
+    "optical_depth": ("optical_depth", "Particles/Optical Depth", "",
+                      lambda s, sp: s.opdepth),
 }
 
 
@@ -345,7 +387,30 @@ class OutputManager:
         self.dump_index = 0
         self.n_zeros = n_zeros
         self.file_list = []
+        # lazy global particle-ID assignment (generate_particle_ids,
+        # partlist.F90:883): ids are handed out on the first dump that
+        # requests them; 0 marks unassigned
+        self.id_counter = 1
         os.makedirs(data_dir, exist_ok=True)
+
+    def _assign_ids(self, sim, state):
+        new_species = []
+        for s in state.species:
+            if hasattr(s, "xi"):         # binned storage carries no ids
+                new_species.append(s)
+                continue
+            ids = np.array(s.id)
+            need = np.asarray(s.alive) & (ids == 0)
+            n = int(need.sum())
+            if n:
+                ids[need] = np.arange(self.id_counter,
+                                      self.id_counter + n, dtype=ids.dtype)
+                self.id_counter += n
+            new_species.append(s._replace(id=jnp.asarray(ids)))
+        state = state._replace(species=tuple(new_species))
+        if sim is not None:
+            sim.state = state
+        return state
 
     def accumulate_averages(self, state):
         """average_field accumulation between dumps (diagnostics.F90:1434)."""
@@ -406,8 +471,22 @@ class OutputManager:
                 for var, mask in b.variables.items():
                     merged_mask[var] = merged_mask.get(var, 0) | mask
         if any_dump:
+            if "id" in merged_mask and self._fires(merged_mask["id"]):
+                state = self._assign_ids(sim, state)
             self.write_dump(sim, state, merged_mask)
-        return any_dump
+            if self._fires(merged_mask.get("ejected_particles", 0)) \
+                    and state.ejected:
+                # reset the buffers after writing (reset_ejected,
+                # diagnostics.F90:937-941)
+                state = state._replace(ejected=tuple(
+                    e._replace(alive=e.alive & False,
+                               weight=e.weight * 0.0)
+                    for e in state.ejected))
+                if sim is not None:
+                    sim.state = state
+        # the state is returned (and sim.state synced) because lazy ID
+        # assignment may have amended it; callers step the returned state
+        return state
 
     def _fires(self, mask):
         return (mask & int(IOType.ALWAYS)) != 0
@@ -464,6 +543,25 @@ class OutputManager:
                      if v in PARTICLE_VARS and self._fires(mask_map[v])]
         if part_vars:
             self._write_particles(w, state, part_vars, mask_map)
+        # ejected particles: dumped like a species named ejected_<name>
+        # (deck_species_block.F90:268-276) then cleared by maybe_dump
+        if self._fires(mask_map.get("ejected_particles", 0)) \
+                and state.ejected:
+            for i, sp in enumerate(cfg.species):
+                buf = state.ejected[i]
+                alive = np.asarray(buf.alive)
+                nm = f"ejected_{sp.name}"
+                mesh_id = f"grid/{nm}"
+                w.write_point_mesh(mesh_id, f"Grid/Particles/{nm}",
+                                   np.asarray(buf.x)[alive])
+                for comp, pn in enumerate(("Px", "Py", "Pz")):
+                    w.write_point_variable(
+                        f"{pn.lower()}/{nm}", f"Particles/{pn}/{nm}",
+                        np.asarray(buf.p)[alive][:, comp], mesh_id,
+                        "kg.m/s")
+                w.write_point_variable(
+                    f"weight/{nm}", f"Particles/Weight/{nm}",
+                    np.asarray(buf.weight)[alive], mesh_id, "")
         # probe captures (io/probes.F90:107)
         for pi, plan in enumerate(getattr(cfg, "probe_plans", ()) or ()):
             if pi < len(state.probes):
@@ -553,7 +651,7 @@ class OutputManager:
                 if var == "particles":
                     continue
                 bid, name, units, getter = PARTICLE_VARS[var]
-                data = np.asarray(getter(slab))[alive]
+                data = np.asarray(getter(slab, sp))[alive]
                 w.write_point_variable(f"{bid}/{sp.name}",
                                        f"{name}/{sp.name}", data,
                                        mesh_id, units)

@@ -87,7 +87,11 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "x"):
         fields=fields, cpml=cpml, species=species, lasers=lasers,
         time=repl, step=repl, window_offset=repl, window_frac=repl,
         rng=repl, bc_fields=bc_fields,
-        injector_depth=jax.tree.map(lambda _: repl, state.injector_depth))
+        injector_depth=jax.tree.map(lambda _: repl, state.injector_depth),
+        fluid_grids=tuple(
+            NamedSharding(mesh, P(None, axis))
+            if g.shape[1] % mesh.shape[axis] == 0 else repl
+            for g in state.fluid_grids))
 
 
 def shard_state(state: SimState, mesh: Mesh, axis: str = "x") -> SimState:

@@ -124,21 +124,10 @@ class BremPlan:
 
 
 def _gather_centred(padded, cfg, slab):
-    """Cell-centred grid variable at the particles with the particle
-    shape (grid_centred_var_at_particle :718-760)."""
-    from ..core import push as psh
-    from ..core import shapes
-    grid = cfg.grid
-    pplan = psh.PushPlan(cfg)
-    nd = grid.ndims
-    cells, ws = [], []
-    for d in range(nd):
-        rel = slab.x[:, d] - grid.grid_min(d)
-        c, cf = shapes.cell_and_frac(rel, 1.0 / grid.delta[d],
-                                     grid.shape_fn, grid.ng, False)
-        cells.append(jnp.clip(c, 0, grid.padded_shape()[d] - 1))
-        ws.append(shapes.support_weights(grid.shape_fn, cf))
-    return pplan.fac * psh.gather_field(padded, cells, ws, pplan.strides)
+    """Cell-centred grid variable at the particles
+    (grid_centred_var_at_particle :718-760)."""
+    from ..core.push import gather_centred
+    return gather_centred(padded, cfg, slab)
 
 
 def _density_grid(cfg, state, idx):

@@ -66,6 +66,14 @@ class Runner:
             self.sim.state = read_restart(path, self.sim.cfg, self.sim.state)
         self.out = OutputManager(self.sim.cfg, self.sim.deck, data_dir,
                                  n_zeros=self.sim.deck.control.n_zeros)
+        if rs:
+            # resume the lazy particle-ID counter past any assigned ids
+            import numpy as _np
+            top = 0
+            for s in self.sim.state.species:
+                if hasattr(s, "id"):
+                    top = max(top, int(_np.asarray(s.id).max(initial=0)))
+            self.out.id_counter = top + 1
         self.stdout = stdout
         self._t0 = _time.time()
 
@@ -81,7 +89,7 @@ class Runner:
         deck = sim.deck
         check_every = max(deck.control.check_stop_frequency, 1)
         stdout_freq = deck.control.stdout_frequency
-        self.out.maybe_dump(sim, st)          # initial dump
+        st = self.out.maybe_dump(sim, st)     # initial dump
         nsteps = cfg.nsteps if cfg.nsteps >= 0 else None
         if max_steps is not None:
             nsteps = min(nsteps, max_steps) if nsteps is not None else max_steps
@@ -95,12 +103,13 @@ class Runner:
             s = int(st.step)
             if stdout_freq and s % stdout_freq == 0:
                 self._status_line(st)
-            self.out.maybe_dump(sim, st)
+            st = self.out.maybe_dump(sim, st)
             if s % check_every == 0:
                 halt = self._check_stop()
             st = sim.fns["step_b"](st)
         sim.state = st
-        self.out.maybe_dump(sim, st, last=True)
+        st = self.out.maybe_dump(sim, st, last=True)
+        sim.state = st
         return st
 
     def _status_line(self, st):

@@ -1,0 +1,180 @@
+"""Particle splitting + species migration tests
+(housekeeping/split_particle.F90, particle_migration.F90)."""
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import epoch_tpu.constants as const
+from epoch_tpu.core import Simulation
+from epoch_tpu.core.step import make_full_step
+
+SPLIT_DECK = """
+begin:control
+  pusher = scatter
+  nx = 32
+  npart_per_cell_min = 4
+  t_end = 1
+  x_min = 0
+  x_max = 3.2e-5
+end:control
+begin:boundaries
+  bc_x_min = periodic
+  bc_x_max = periodic
+end:boundaries
+begin:species
+  name = electron
+  charge = -1
+  mass = 1.0
+  number_density = 1e10
+  nparticles_per_cell = 2
+  split = T
+  npart_max = 200
+end:species
+begin:output
+  dt_snapshot = 1
+end:output
+"""
+
+
+def test_split_underpopulated(tmp_path):
+    """2 ppc <= npart_per_cell_min -> every particle splits, weight
+    halves, total weight conserved, pair separated by < dx/2."""
+    p = tmp_path / "input.deck"
+    p.write_text(SPLIT_DECK)
+    sim = Simulation(str(p), seed=11)
+    st = sim.state
+    sl0 = st.species[0]
+    n0 = int(sl0.alive.sum())
+    w_tot0 = float(jnp.where(sl0.alive, sl0.weight, 0).sum())
+    assert n0 == 64
+
+    run = make_full_step(sim.cfg)
+    st = run(st, 1)
+    sl = st.species[0]
+    n1 = int(sl.alive.sum())
+    w_tot1 = float(jnp.where(sl.alive, sl.weight, 0).sum())
+    assert n1 == 2 * n0
+    assert abs(w_tot1 - w_tot0) < 1e-6 * w_tot0
+    # per-particle weight halved
+    w0 = w_tot0 / n0
+    assert np.allclose(np.asarray(sl.weight)[np.asarray(sl.alive)],
+                       0.5 * w0, rtol=1e-10)
+
+    # npart_max honoured: counts saturate at/"just over" the cap
+    st = run(st, 4)
+    n = int(st.species[0].alive.sum())
+    assert n <= 2 * 200   # one final doubling may overshoot the check
+
+
+MIGRATE_DECK = """
+begin:control
+  pusher = scatter
+  nx = 32
+  t_end = 1
+  x_min = 0
+  x_max = 3.2e-5
+  use_migration = T
+  migration_interval = 1
+end:control
+begin:boundaries
+  bc_x_min = periodic
+  bc_x_max = periodic
+end:boundaries
+begin:species
+  name = cold
+  charge = -1
+  mass = 1.0
+  number_density = 1e10
+  nparticles_per_cell = 8
+  temperature_ev = 1
+  migrate = T
+  promote_to = hot
+  promote_multiplier = 4
+end:species
+begin:species
+  name = hot
+  charge = -1
+  mass = 1.0
+  migrate = T
+  demote_to = cold
+  demote_multiplier = 0.1
+  demote_number_density = 1
+end:species
+begin:output
+  dt_snapshot = 1
+end:output
+"""
+
+
+def test_migration_promotes_hot_particles(tmp_path):
+    """Particles boosted far above the local 3 kB Te promote to the hot
+    species; the rest stay."""
+    p = tmp_path / "input.deck"
+    p.write_text(MIGRATE_DECK)
+    sim = Simulation(str(p), seed=7)
+    cfg = sim.cfg
+    assert cfg.migration_plan is not None
+    st = sim.state
+    cold = st.species[0]
+    n_cold0 = int(cold.alive.sum())
+    assert n_cold0 == 256 and int(st.species[1].alive.sum()) == 0
+
+    # boost 40 cold particles to ~30x thermal momentum
+    kT = const.q0 * 1.0
+    p_th = math.sqrt(3.0 * kT * const.m0)
+    pm = np.array(cold.p)
+    alive_idx = np.flatnonzero(np.asarray(cold.alive))[:40]
+    pm[alive_idx, 0] = 30.0 * p_th
+    st = st._replace(species=(cold._replace(p=jnp.asarray(pm)),)
+                     + st.species[1:])
+
+    w0 = float(jnp.where(cold.alive, cold.weight, 0).sum())
+    run = make_full_step(cfg)
+    st = run(st, 1)
+    n_hot = int(st.species[1].alive.sum())
+    n_cold = int(st.species[0].alive.sum())
+    assert n_hot == 40, n_hot
+    assert n_cold == n_cold0 - 40
+    # total particles and weight conserved
+    w1 = sum(float(jnp.where(s.alive, s.weight, 0).sum())
+             for s in st.species)
+    assert abs(w1 - w0) < 1e-6 * w0
+
+    # demotion: hot particles cool below threshold after enough steps of
+    # the EMA hot-grid tracking are NOT tested dynamically here (the
+    # fluid grids track the *cold* target for demotion); spot-check the
+    # demote plan wiring instead
+    plan = cfg.migration_plan
+    assert plan.demote_to[1] == 0 and plan.promote_to[0] == 1
+    assert plan.fluid_species == [0]
+
+
+def test_migration_demotes(tmp_path):
+    """A hot-species particle below the cold fluid threshold demotes."""
+    p = tmp_path / "input.deck"
+    p.write_text(MIGRATE_DECK)
+    sim = Simulation(str(p), seed=7)
+    cfg = sim.cfg
+    st = sim.state
+    cold, hot = st.species[0], st.species[1]
+    # place 5 essentially-stationary particles in the hot species
+    n_ins = 5
+    x = np.asarray(cold.x)[np.flatnonzero(np.asarray(cold.alive))[:n_ins]]
+    hot_x = np.array(hot.x)
+    hot_p = np.array(hot.p)
+    hot_w = np.array(hot.weight)
+    hot_a = np.array(hot.alive)
+    hot_x[:n_ins] = x
+    hot_p[:n_ins] = 0.0
+    hot_w[:n_ins] = 1.0
+    hot_a[:n_ins] = True
+    st = st._replace(species=(cold, hot._replace(
+        x=jnp.asarray(hot_x), p=jnp.asarray(hot_p),
+        weight=jnp.asarray(hot_w), alive=jnp.asarray(hot_a))))
+
+    run = make_full_step(cfg)
+    st = run(st, 1)
+    assert int(st.species[1].alive.sum()) == 0
+    assert int(st.species[0].alive.sum()) == 256 + n_ins
