@@ -282,3 +282,66 @@ def _np_weight(shp, cf, r):
         2: (0.5 - cf) ** 4,
     }
     return table[r]
+
+
+def load_from_file(pff, grid, base_dir=""):
+    """particles_from_file loader (custom_particle_load,
+    helper.F90:763-930 + simple_io.F90:109-180): raw binary files of
+    float64 records, one per particle, byte ``offset`` skipped.
+
+    Replaces the species' auto_load entirely.  Returns the same arrs
+    dict as load_species plus optional ``id``."""
+    import os
+
+    def read_f8(key):
+        path = getattr(pff, key)
+        if not path:
+            return None
+        full = path if os.path.isabs(path) else os.path.join(base_dir, path)
+        if not os.path.exists(full):
+            raise FileNotFoundError(
+                f"particles_from_file: {key} file {full!r} not found")
+        return np.fromfile(full, dtype=np.float64,
+                           offset=pff.offsets.get(key, 0))
+
+    x = read_f8("x_data")
+    w = read_f8("w_data")
+    n = x.shape[0]
+    if w.shape[0] != n:
+        raise ValueError(
+            f"particles_from_file for {pff.species!r}: x_data has {n} "
+            f"records but w_data has {w.shape[0]}")
+    nd = grid.ndims
+    pos = np.zeros((n, nd))
+    pos[:, 0] = x
+    for d, key in ((1, "y_data"), (2, "z_data")):
+        if d < nd:
+            arr = read_f8(key)
+            if arr is not None:
+                if arr.shape[0] != n:
+                    raise ValueError(
+                        f"particles_from_file for {pff.species!r}: "
+                        f"{key} record count mismatch")
+                pos[:, d] = arr
+    p = np.zeros((n, 3))
+    for c, key in enumerate(("px_data", "py_data", "pz_data")):
+        arr = read_f8(key)
+        if arr is not None:
+            if arr.shape[0] != n:
+                raise ValueError(
+                    f"particles_from_file for {pff.species!r}: "
+                    f"{key} record count mismatch")
+            p[:, c] = arr
+    arrs = dict(x=pos, p=p, weight=w, alive=np.ones(n, bool))
+    if pff.id_data:
+        full = pff.id_data if os.path.isabs(pff.id_data) \
+            else os.path.join(base_dir, pff.id_data)
+        dt = np.int32 if pff.id_4byte else np.int64
+        ids = np.fromfile(full, dtype=dt,
+                          offset=pff.offsets.get("id_data", 0))
+        if ids.shape[0] != n:
+            raise ValueError(
+                f"particles_from_file for {pff.species!r}: id record "
+                f"count mismatch")
+        arrs["id"] = ids.astype(np.int64)
+    return arrs

@@ -357,9 +357,17 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
     loaded = []
     new_species = []
     dens_cache = {}
+    pff_map = {p.species: p for p in getattr(deck, "part_from_file", ())}
     for sp_blk, sp_cfg in zip(deck.species, cfg.species):
-        arrs, cap = loader.load_species(sp_blk, grid, rng, dtype,
-                                        dens_cache=dens_cache)
+        if sp_blk.name in pff_map:
+            # particles_from_file replaces auto_load (helper.F90:763-930)
+            arrs = loader.load_from_file(pff_map[sp_blk.name], grid,
+                                         base_dir=deck.deck_dir)
+            n = arrs["x"].shape[0]
+            cap = max(256, int(math.ceil(n * 1.25 / 128.0)) * 128)
+        else:
+            arrs, cap = loader.load_species(sp_blk, grid, rng, dtype,
+                                            dens_cache=dens_cache)
         dens_cache[f"density:{sp_blk.name}"] = loader.species_density(
             sp_blk, grid, dens_cache)
         loaded.append(arrs)
@@ -405,6 +413,9 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
                     weight=slab.weight.at[:n].set(arrs["weight"]),
                     alive=slab.alive.at[:n].set(arrs["alive"]),
                 )
+                if "id" in arrs:
+                    slab = slab._replace(
+                        id=slab.id.at[:n].set(arrs["id"]))
             slabs.append(slab)
 
     cpml = None

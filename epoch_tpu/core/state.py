@@ -114,7 +114,8 @@ def empty_slab(cap: int, ndims: int, dtype) -> ParticleSlab:
         p=jnp.zeros((cap, 3), dtype),
         weight=jnp.zeros((cap,), dtype),
         alive=jnp.zeros((cap,), bool),
-        id=jnp.zeros((cap,), jnp.int32),
+        # int64 under x64 (PARTICLE_ID); silently int32 when x64 is off
+        id=jnp.zeros((cap,), jnp.int64),
         opdepth=jnp.zeros((cap,), dtype),
         opdepth_brem=jnp.zeros((cap,), dtype),
     )

@@ -94,6 +94,7 @@ class DeckConfig:
     constants: dict = dfield(default_factory=dict)   # name → RPN (inlined)
     ndims: int = 1
     deck_text: str = ""
+    deck_dir: str = ""       # directory of the deck file (relative paths)
 
     @property
     def species_names(self):
@@ -174,6 +175,8 @@ class DeckParser:
         raw = read_deck_lines(path)
         with open(path) as f:
             self.cfg.deck_text = f.read()
+        import os
+        self.cfg.deck_dir = os.path.dirname(os.path.abspath(path))
         # pass 1: constants + control + boundaries + species scalars (names)
         for blk in raw:
             if blk.name == "constant":
