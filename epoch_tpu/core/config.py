@@ -32,6 +32,9 @@ class SpeciesConfig:
     npart: int = -1
     npart_per_cell: float = -1.0
     ext_temp: tuple = ()    # ((lo,hi) per axis) of 3-vectors, thermal bcs
+    # delta-f background (density_back, (Tx,Ty,Tz)[K], (px,py,pz) drifts);
+    # None disables the method for this species (DELTAF_METHOD)
+    deltaf: Any = None
 
 
 @dataclass(frozen=True)

@@ -231,6 +231,24 @@ def load_species(sp_block, grid, rng, dtype, cap_headroom=1.25,
         weight=weight.astype(dtype),
         alive=np.ones(total, bool),
     )
+    if getattr(sp_block, "density_back", 0.0):
+        # delta-f phase-space volumes: pvol = 1 / (marker distribution)
+        # with the *local* loading temperature/drift
+        # (deltaf_load, deltaf_loader.F90:53-137)
+        m = sp_block.mass
+        two_kb_mass = 2.0 * const.kb * m
+        temps, drifts = [], []
+        for i in range(3):
+            temps.append(np.maximum(_eval_at_points(
+                sp_block.temp[i], pos, grid, default=0.0), 1e-300))
+            drifts.append(_eval_at_points(
+                sp_block.drift[i], pos, grid, default=0.0))
+        expo = sum((p[:, i] - drifts[i]) ** 2 / temps[i]
+                   for i in range(3)) / two_kb_mass
+        norm = np.sqrt((np.pi * two_kb_mass) ** 3
+                       * temps[0] * temps[1] * temps[2])
+        dist = np.exp(-expo) * cnt_at / grid.cell_volume / norm
+        arrs["pvol"] = (1.0 / np.maximum(dist, 1e-300)).astype(dtype)
     return arrs, cap
 
 

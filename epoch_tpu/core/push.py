@@ -262,6 +262,18 @@ def push_species(fields: Fields, slab: ParticleSlab, sp, plan: PushPlan,
                          plan.padded[d] - 1)
         cells_w.append(cells)
 
+    if getattr(sp, "deltaf", None) is not None:
+        # delta-f: subtract the static background f0 from the deposited
+        # current (particles.F90:405-408; f0 :521-553)
+        dens_b, temp_b, drift_b = sp.deltaf
+        two_kb_mass = 2.0 * const.kb * sp.mass
+        tb = [max(t, 1e-300) for t in temp_b]
+        expo = sum((new_p[:, i] - drift_b[i]) ** 2 / tb[i]
+                   for i in range(3)) / two_kb_mass
+        norm = dens_b / math.sqrt(
+            (math.pi * two_kb_mass) ** 3 * tb[0] * tb[1] * tb[2])
+        w = w - slab.pvol * norm * jnp.exp(-expo)
+
     live_w = jnp.where(slab.alive, w, 0.0)
     fjx = plan.fj[0] * live_w * q
     fjy = plan.fj[1] * live_w * q

@@ -132,6 +132,25 @@ def build_config(deck: DeckConfig) -> SimConfig:
     stencil = solver_coefficients(solver, deck.stencil, grid, dt)
     dtype = np.float64 if deck.control.precision == "double" else np.float32
 
+    # resolve deferred delta-f density_back expressions that reference
+    # other species' densities (twostream_deltaf.deck style)
+    if any(getattr(sp, "density_back_expr", None) is not None
+           for sp in deck.species):
+        dcache = {}
+        for sp in deck.species:
+            if sp.density or getattr(sp, "density_layers", None):
+                dcache[f"density:{sp.name}"] = \
+                    loader.species_density(sp, grid, dcache)
+            ex = getattr(sp, "density_back_expr", None)
+            if ex is not None:
+                names = ["x", "y", "z"]
+                ctx = dict(dcache)
+                for d in range(grid.ndims):
+                    ctx[names[d]] = grid.centres(d)[:1]
+                ctx["time"] = 0.0
+                val = ex(ctx, xp=np)
+                sp.density_back = float(np.mean(np.asarray(val)))
+
     species = []
     for sp in deck.species:
         # boundary temperatures for thermal bcs: species temperature
@@ -163,6 +182,9 @@ def build_config(deck: DeckConfig) -> SimConfig:
             npart=sp.npart,
             npart_per_cell=sp.npart_per_cell,
             ext_temp=tuple(ext_temp),
+            deltaf=(sp.density_back, tuple(sp.temp_back),
+                    tuple(sp.drift_back))
+            if getattr(sp, "density_back", 0.0) else None,
         ))
 
     lasers = []
@@ -301,6 +323,8 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
         and len(cfg.species) > 0
         and not deck.bremsstrahlung.use_bremsstrahlung
         and not any(sb.split for sb in deck.species)
+        and not any(getattr(sb, "density_back", 0.0)
+                    for sb in deck.species)   # delta-f
         and not deck.control.use_migration
     )
     if choice == "binned":
@@ -416,6 +440,9 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
                 if "id" in arrs:
                     slab = slab._replace(
                         id=slab.id.at[:n].set(arrs["id"]))
+                if "pvol" in arrs:
+                    slab = slab._replace(
+                        pvol=slab.pvol.at[:n].set(arrs["pvol"]))
             slabs.append(slab)
 
     cpml = None

@@ -58,6 +58,9 @@ class ParticleSlab(NamedTuple):
     # optional per-particle optical depths etc. are added by physics packages
     opdepth: jax.Array        # (cap,) QED optical depth (photons.F90)
     opdepth_brem: jax.Array   # (cap,) bremsstrahlung optical depth
+    # delta-f phase-space volume (particle%pvol, DELTAF_METHOD builds);
+    # constant per particle after deltaf_load
+    pvol: jax.Array           # (cap,)
 
     @property
     def cap(self) -> int:
@@ -118,4 +121,5 @@ def empty_slab(cap: int, ndims: int, dtype) -> ParticleSlab:
         id=jnp.zeros((cap,), jnp.int64),
         opdepth=jnp.zeros((cap,), dtype),
         opdepth_brem=jnp.zeros((cap,), dtype),
+        pvol=jnp.zeros((cap,), dtype),
     )

@@ -139,6 +139,11 @@ class SpeciesBlock:
     ionise_to_species: list = dfield(default_factory=list)
     electron_species: list = dfield(default_factory=list)
     background_density: Optional[Expression] = None
+    # delta-f background (initial_conditions%*_back, DELTAF_METHOD)
+    density_back: float = 0.0
+    density_back_expr: Optional[Expression] = None  # deferred species refs
+    temp_back: list = dfield(default_factory=lambda: [0.0, 0.0, 0.0])
+    drift_back: list = dfield(default_factory=lambda: [0.0, 0.0, 0.0])
     split: bool = False           # pseudo-particle splitting (split_particle.F90)
     npart_max: int = -1           # split cap on global particle count
     migrate: bool = False

@@ -359,8 +359,15 @@ class DeckParser:
                 s.density_min = self.num(val)
             elif ell in ("density_max", "number_density_max"):
                 s.density_max = self.num(val)
-            elif ell in ("density_back", "number_density_back"):
-                s.background_density = self.expr(val)
+            elif ell in ("density_back", "number_density_back",
+                         "density_background",
+                         "number_density_background"):
+                # delta-f f0 density; may reference other species'
+                # densities (e.g. number_density(proton)) — defer those
+                try:
+                    s.density_back = self.num(val)
+                except DeckExprError:
+                    s.density_back_expr = self.expr(val)
             elif ell in ("temp", "temperature", "temp_k", "temperature_k"):
                 e = self.expr(val)
                 s.temp = [e, e, e]
@@ -408,6 +415,29 @@ class DeckParser:
                     s.ionise_to_species = [v.strip() for v in _split_top_level(val)]
                 elif ell == "electron_species" or ell == "electron":
                     s.electron_species = [v.strip() for v in _split_top_level(val)]
+                elif ell in ("temp_back", "temp_back_k", "temp_back_ev",
+                             "temperature_background",
+                             "temperature_background_k",
+                             "temperature_background_ev"):
+                    mult = const.q0 / const.kb \
+                        if ell.endswith("_ev") else 1.0
+                    s.temp_back = [self.num(val) * mult] * 3
+                elif ell.startswith("temp_") and ell.endswith(
+                        ("_back", "_back_k", "_back_ev",
+                         "_background", "_background_k", "_background_ev")) \
+                        and ell[5] in "xyz":
+                    mult = const.q0 / const.kb \
+                        if ell.endswith("_ev") else 1.0
+                    s.temp_back["xyz".index(ell[5])] = self.num(val) * mult
+                elif ell in ("drift_x_back", "drift_px_back",
+                             "drift_x_background", "drift_px_background"):
+                    s.drift_back[0] = self.num(val)
+                elif ell in ("drift_y_back", "drift_py_back",
+                             "drift_y_background", "drift_py_background"):
+                    s.drift_back[1] = self.num(val)
+                elif ell in ("drift_z_back", "drift_pz_back",
+                             "drift_z_background", "drift_pz_background"):
+                    s.drift_back[2] = self.num(val)
                 elif ell == "split":
                     s.split = self.logical(val)
                 elif ell == "npart_max":

@@ -76,6 +76,9 @@ def write_restart(path, cfg, state: SimState, deck_text: str = ""):
             w.write_plain_variable(f"restart/odb/{sp.name}",
                                    f"Restart/Particles/odb/{sp.name}",
                                    np.asarray(s.opdepth_brem), "grid")
+            w.write_plain_variable(f"restart/pvol/{sp.name}",
+                                   f"Restart/Particles/pvol/{sp.name}",
+                                   np.asarray(s.pvol), "grid")
     # scalars + RNG + laser phases (setup.F90:1483-1573 analogues)
     w.write_constant("restart/time", "Restart/time", float(state.time))
     w.write_constant("restart/step", "Restart/step", int(state.step))
@@ -134,6 +137,9 @@ def read_restart(path, cfg, template: SimState) -> SimState:
                 extra["opdepth"] = arr(f"Restart/Particles/od/{sp.name}")
                 extra["opdepth_brem"] = arr(
                     f"Restart/Particles/odb/{sp.name}")
+                if f"Restart/Particles/pvol/{sp.name}" in d:
+                    extra["pvol"] = arr(
+                        f"Restart/Particles/pvol/{sp.name}")
             species.append(t._replace(
                 x=arr(f"Restart/Particles/x/{sp.name}"),
                 p=arr(f"Restart/Particles/p/{sp.name}"),

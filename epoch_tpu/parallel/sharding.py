@@ -76,7 +76,7 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "x"):
             part = NamedSharding(mesh, P(axis))
             return ParticleSlab(
                 x=part, p=part, weight=part, alive=part, id=part,
-                opdepth=part, opdepth_brem=part)
+                opdepth=part, opdepth_brem=part, pvol=part)
         return jax.tree.map(lambda _: repl, slab)
 
     species = tuple(slab_sharding(s) for s in state.species)
