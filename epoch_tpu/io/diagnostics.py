@@ -391,6 +391,9 @@ class OutputManager:
         # partlist.F90:883): ids are handed out on the first dump that
         # requests them; 0 marks unassigned
         self.id_counter = 1
+        # (subset name, species name) -> set of registered particle ids
+        # (id_registry, particle_id_hash.F90:88-692)
+        self.persistent_members = {}
         os.makedirs(data_dir, exist_ok=True)
 
     def _assign_ids(self, sim, state):
@@ -471,7 +474,14 @@ class OutputManager:
                 for var, mask in b.variables.items():
                     merged_mask[var] = merged_mask.get(var, 0) | mask
         if any_dump:
-            if "id" in merged_mask and self._fires(merged_mask["id"]):
+            need_ids = "id" in merged_mask and self._fires(merged_mask["id"])
+            # persistent subsets track membership by particle id
+            # (build_persistent_subsets, diagnostics.F90:2510)
+            need_ids |= any(
+                s.persist_start_time is not None
+                or s.persist_start_step is not None
+                for s in self.deck.subsets)
+            if need_ids:
                 state = self._assign_ids(sim, state)
             self.write_dump(sim, state, merged_mask)
             if self._fires(merged_mask.get("ejected_particles", 0)) \
@@ -618,15 +628,36 @@ class OutputManager:
             mc = sp.mass * const.c
             p2 = (p ** 2).sum(1)
             gamma = np.sqrt(1 + p2 / max(mc, 1e-300) ** 2)
+            ids = np.asarray(slab.id)
             vals = {"px": p[:, 0], "py": p[:, 1], "pz": p[:, 2],
                     "gamma": gamma,
-                    "energy": (gamma - 1) * sp.mass * const.c ** 2}
+                    "energy": (gamma - 1) * sp.mass * const.c ** 2,
+                    "weight": np.asarray(slab.weight),
+                    "id": ids,
+                    "charge": np.full(keep.shape, sp.charge),
+                    "mass": np.full(keep.shape, sp.mass)}
             for var, (lo, hi) in sub.ranges.items():
                 if var in vals:
                     if lo is not None:
                         keep &= vals[var] >= lo
                     if hi is not None:
                         keep &= vals[var] <= hi
+            # persistent subsets: membership by id from the persist start
+            # (test_particle/diagnostics.F90:2510-2600); once registered a
+            # particle stays in the subset for every later dump
+            if sub.persist_start_time is not None \
+                    or sub.persist_start_step is not None:
+                t0 = sub.persist_start_time \
+                    if sub.persist_start_time is not None else -np.inf
+                s0 = sub.persist_start_step \
+                    if sub.persist_start_step is not None else -1
+                members = self.persistent_members.setdefault(
+                    (sub.name, sname), set())
+                if float(state.time) >= t0 and int(state.step) >= s0:
+                    members.update(int(i) for i in ids[keep] if i)
+                keep = np.asarray(slab.alive) & np.isin(
+                    ids, np.fromiter(members, dtype=ids.dtype,
+                                     count=len(members)))
             mesh_id = f"grid/{sub.name}/{sname}"
             w.write_point_mesh(mesh_id, f"Grid/{sub.name}/{sname}", x[keep])
             for comp, nm in enumerate(("Px", "Py", "Pz")):
