@@ -254,11 +254,6 @@ def build_config(deck: DeckConfig) -> SimConfig:
         from ..physics.ionise import IonisePlan
         cfg = dataclasses.replace(cfg, ionise_plan=IonisePlan(cfg, deck))
     if deck.collisions.use_collisions:
-        if cfg.engine != "binned":
-            raise NotImplementedError(
-                "collisions require the binned engine (all-periodic "
-                "boundaries) in this version; bounded-domain binning is "
-                "planned")
         from ..physics.collisions import CollisionPlan
         cfg = dataclasses.replace(cfg, collision_plan=CollisionPlan(cfg, deck))
     if deck.qed.use_qed:

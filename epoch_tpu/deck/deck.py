@@ -737,12 +737,22 @@ class DeckParser:
                 else:
                     cb.coulomb_log = self.num(val)
             elif el == "collide":
-                if val.strip().lower() == "all":
+                vv = val.strip()
+                if vv.lower() == "all":
                     cb.collide_all = True
-                elif val.strip().lower() == "none":
+                elif vv.lower() == "none":
                     cb.collide_all = False
                 else:
-                    cb.collide_pairs[val] = 1.0
+                    # "species1 species2 [on|off|factor]"
+                    parts = vv.split()
+                    if len(parts) >= 2:
+                        fac = 1.0
+                        if len(parts) >= 3:
+                            t = parts[2].lower()
+                            fac = 1.0 if t == "on" else \
+                                0.0 if t == "off" else self.num(parts[2])
+                        cb.collide_pairs[f"{parts[0]} {parts[1]}"] = fac
+                        cb.collide_pairs[f"{parts[1]} {parts[0]}"] = fac
             elif el == "collisional_ionisation":
                 cb.collisional_ionisation = self.logical(val)
             elif el == "use_nanbu":

@@ -47,8 +47,9 @@ class CollisionPlan:
                 if sj.species_type == const.SpeciesType.PHOTON \
                         or sj.charge == 0:
                     continue
-                factor = 1.0 if cb.collide_all else \
-                    cb.collide_pairs.get(f"{si.name} {sj.name}", 0.0)
+                factor = cb.collide_pairs.get(
+                    f"{si.name} {sj.name}",
+                    1.0 if cb.collide_all else 0.0)
                 if factor > 0:
                     self.pairs.append((i, j, factor))
 
@@ -99,21 +100,27 @@ def _cos_chi(s12, r1, xp=jnp):
 def _scatter_pairs(p1_si, p2_si, m1, m2, q1, q2, s_fac, s_fac_prime,
                    idens, jdens, r1, r2, valid):
     """The pairwise NP scattering core (collisions.F90:1016-1140) on arrays
-    of shape (..., ) per momentum component; p*_si are (3, ...) in SI."""
+    of shape (..., ) per momentum component; p*_si are (3, ...) in SI.
+
+    All momenta/masses are normalised by the lighter mass so every
+    intermediate is O(1) — in SI kg units p/c ~ 1e-31 and its square
+    underflows single precision (and defeated absolute eps floors)."""
     xp = jnp
     eps = 1e-30
-    p1 = p1_si / const.c
-    p2 = p2_si / const.c
+    m_ref = min(m1, m2)
+    m1h = m1 / m_ref
+    m2h = m2 / m_ref
+    p1 = p1_si / (const.c * m_ref)
+    p2 = p2_si / (const.c * m_ref)
 
     # degenerate pairs can't collide
-    dif = p1 / const.m0 - p2 / const.m0
-    degenerate = (xp.sum((p1 / const.m0) ** 2, 0) < eps) \
-        & (xp.sum((p2 / const.m0) ** 2, 0) < eps)
+    dif = p1 - p2
+    degenerate = (xp.sum(p1 ** 2, 0) < eps) & (xp.sum(p2 ** 2, 0) < eps)
     degenerate |= xp.sum(dif ** 2, 0) < eps
     ok = valid & ~degenerate
 
-    gm1 = xp.sqrt(xp.sum((p1 / m1) ** 2, 0) + 1.0) * m1
-    gm2 = xp.sqrt(xp.sum((p2 / m2) ** 2, 0) + 1.0) * m2
+    gm1 = xp.sqrt(xp.sum((p1 / m1h) ** 2, 0) + 1.0) * m1h
+    gm2 = xp.sqrt(xp.sum((p2 / m2h) ** 2, 0) + 1.0) * m2h
     gm = gm1 + gm2
     v1 = p1 / gm1
     v2 = p2 / gm2
@@ -131,9 +138,10 @@ def _scatter_pairs(p1_si, p2_si, m1, m2, q1, q2, s_fac, s_fac_prime,
     p_mag2 = xp.maximum(xp.sum(p3 ** 2, 0), eps)
     p_mag = xp.sqrt(p_mag2)
 
-    fac = (q1 * q2) ** 2 * s_fac / (gm1 * gm2)
+    fac = (q1 * q2) ** 2 * s_fac / (gm1 * gm2 * m_ref ** 2)
     s12 = fac * gc * p_mag * const.c / gm * (gm3 * gm4 / p_mag2 + 1.0) ** 2
-    # cold-plasma upper limit (collisions.F90:1037-1043)
+    # cold-plasma upper limit (collisions.F90:1037-1043); the mass
+    # normalisation cancels in v_rel
     v_rel = gm * p_mag * const.c / xp.maximum(gm3 * gm4 * gc, eps)
     s_prime = s_fac_prime * (m1 + m2) * v_rel / xp.maximum(
         m1 * idens ** TWO_THIRDS, m2 * jdens ** TWO_THIRDS)
@@ -156,9 +164,9 @@ def _scatter_pairs(p1_si, p2_si, m1, m2, q1, q2, s_fac, s_fac_prime,
     ])
     p4n = -p3n
     vdp3 = xp.sum(vc * p3n, 0)
-    p5 = (p3n + (gc_m1_vc * vdp3 + gm3 * gc) * vc) * const.c
+    p5 = (p3n + (gc_m1_vc * vdp3 + gm3 * gc) * vc) * const.c * m_ref
     vdp4 = xp.sum(vc * p4n, 0)
-    p6 = (p4n + (gc_m1_vc * vdp4 + gm4 * gc) * vc) * const.c
+    p6 = (p4n + (gc_m1_vc * vdp4 + gm4 * gc) * vc) * const.c * m_ref
 
     new_p1 = xp.where(ok[None], p5, p1_si)
     new_p2 = xp.where(ok[None], p6, p2_si)
@@ -203,9 +211,150 @@ def coulomb_log_auto(ekbar1, temp2, dens1, dens2, q1, q2, m1):
     return xp.where((dens1 <= 1.0) | (dens2 <= 1.0), 1.0, ll)
 
 
+def _sorted_view(slab, grid, key):
+    """Cell-sort a slab: random within-cell order, dead slots last
+    (reorder_particles_to_grid + shuffle_particle_list_random)."""
+    nd = grid.ndims
+    n_cell = int(np.prod(grid.n))
+    cells = 0
+    stride = 1
+    for d in reversed(range(nd)):
+        rel = slab.x[:, d] - grid.grid_min(d)
+        c = jnp.clip(jnp.floor(rel / grid.delta[d]).astype(jnp.int32),
+                     0, grid.n[d] - 1)
+        cells = cells + c * stride
+        stride *= grid.n[d]
+    u = jax.random.uniform(key, cells.shape)
+    skey = jnp.where(slab.alive, cells.astype(jnp.float64 if
+                     slab.x.dtype == jnp.float64 else jnp.float32)
+                     + u * 0.5, float(n_cell + 1))
+    perm = jnp.argsort(skey)
+    c = jnp.where(slab.alive, cells, n_cell)[perm]
+    N = c.shape[0]
+    start = jnp.searchsorted(c, c)
+    end = jnp.searchsorted(c, c, side="right")
+    return dict(perm=perm, c=c, p=slab.p[perm], w=slab.weight[perm],
+                alive=slab.alive[perm],
+                rank=jnp.arange(N) - start, cnt=end - start,
+                n_cell=n_cell)
+
+
+def _flat_cell_stats(sv, mass, n_cell, dvol):
+    """Per-cell density / ekbar / temperature from a sorted view
+    (calc_coll_number_density/_temperature/_ekbar)."""
+    w = jnp.where(sv["alive"], sv["w"], 0.0)
+    c = sv["c"]
+    wsum = jnp.zeros(n_cell + 1, w.dtype).at[c].add(w)
+    mc = mass * const.c
+    p2 = jnp.sum(sv["p"] ** 2, axis=1)
+    gamma = jnp.sqrt(1.0 + p2 / mc ** 2)
+    ke = (gamma - 1.0) * mass * const.c ** 2
+    kesum = jnp.zeros(n_cell + 1, w.dtype).at[c].add(ke * w)
+    wsafe = jnp.maximum(wsum, 1e-300)
+    pm = [jnp.zeros(n_cell + 1, w.dtype).at[c].add(sv["p"][:, i] * w)
+          / wsafe for i in range(3)]
+    var = sum(jnp.zeros(n_cell + 1, w.dtype).at[c].add(
+        (sv["p"][:, i] - pm[i][c]) ** 2 * w) / wsafe for i in range(3))
+    return dict(dens=wsum / dvol, ekbar=kesum / wsafe,
+                temp=var / (3.0 * mass * const.kb))
+
+
+def _collide_pair_scatter(species, cfg, plan, i, j, user_factor, key):
+    """Scatter-engine collisions for one species pair: cell-sorted
+    pairing (adjacent for intra, rank-matched unique pairs for inter,
+    truncated to the smaller per-cell count), then the NP core."""
+    grid = cfg.grid
+    dvol = grid.cell_volume
+    dt = cfg.dt
+    m1, q1 = cfg.species[i].mass, cfg.species[i].charge
+    key, k1, k2, k3, k4 = jax.random.split(key, 5)
+    svi = _sorted_view(species[i], grid, k1)
+    n_cell = svi["n_cell"]
+    stats_i = _flat_cell_stats(svi, m1, n_cell, dvol)
+
+    if i == j:
+        p = svi["p"]
+        p_b = jnp.roll(p, -1, 0)
+        w_b = jnp.roll(svi["w"], -1, 0)
+        alive_b = jnp.roll(svi["alive"], -1, 0)
+        c_b = jnp.roll(svi["c"], -1, 0)
+        valid = svi["alive"] & alive_b & (svi["c"] == c_b) \
+            & (svi["rank"] % 2 == 0)
+        c = svi["c"]
+        fsum = jnp.zeros(n_cell + 1, p.dtype).at[c].add(
+            jnp.where(valid, jnp.minimum(svi["w"], w_b), 0.0))
+        factor = user_factor / jnp.maximum(fsum, 1e-300)
+        idens = stats_i["dens"]
+        if plan.coulomb_log < 0:
+            ll = coulomb_log_auto(stats_i["ekbar"], stats_i["temp"],
+                                  idens, idens, q1, q1, m1)
+        else:
+            ll = plan.coulomb_log
+        cell_fac = idens * idens * dt * factor * dvol
+        s_fac = (cell_fac * ll / PI4_EPS2_C4)[c]
+        s_fac_p = (cell_fac * PI_FAC)[c]
+        di = idens[c]
+        r1 = jax.random.uniform(k2, c.shape, p.dtype)
+        r2 = jax.random.uniform(k3, c.shape, p.dtype)
+        np1, np2 = _scatter_pairs(p.T, p_b.T, m1, m1, q1, q1,
+                                  s_fac, s_fac_p, di, di, r1, r2, valid)
+        p_new = jnp.where(valid[:, None], np1.T, p)
+        back = jnp.roll(np2.T, 1, 0)
+        p_new = jnp.where(jnp.roll(valid, 1)[:, None], back, p_new)
+        slab = species[i]
+        species[i] = slab._replace(p=slab.p.at[svi["perm"]].set(p_new))
+        return species, key
+
+    m2, q2 = cfg.species[j].mass, cfg.species[j].charge
+    svj = _sorted_view(species[j], grid, k4)
+    stats_j = _flat_cell_stats(svj, m2, n_cell, dvol)
+    cell_ids = jnp.arange(n_cell + 1)
+    starts_j = jnp.searchsorted(svj["c"], cell_ids)
+    cnts_j = jnp.searchsorted(svj["c"], cell_ids, side="right") - starts_j
+    c = svi["c"]
+    cntj = cnts_j[c]
+    pairable = svi["alive"] & (svi["rank"] < jnp.minimum(svi["cnt"], cntj))
+    N_j = svj["c"].shape[0]
+    partner = jnp.where(pairable, starts_j[c] + svi["rank"], N_j)
+    pj = svj["p"][jnp.clip(partner, 0, N_j - 1)]
+    wj = svj["w"][jnp.clip(partner, 0, N_j - 1)]
+    fsum = jnp.zeros(n_cell + 1, pj.dtype).at[c].add(
+        jnp.where(pairable, jnp.minimum(svi["w"], wj), 0.0))
+    factor = user_factor / jnp.maximum(fsum, 1e-300)
+    idens, jdens = stats_i["dens"], stats_j["dens"]
+    if plan.coulomb_log < 0:
+        ll = coulomb_log_auto(stats_i["ekbar"], stats_j["temp"],
+                              idens, jdens, q1, q2, m1)
+    else:
+        ll = plan.coulomb_log
+    cell_fac = idens * jdens * dt * factor * dvol
+    s_fac = (cell_fac * ll / PI4_EPS2_C4)[c]
+    s_fac_p = (cell_fac * PI_FAC)[c]
+    r1 = jax.random.uniform(k2, c.shape, pj.dtype)
+    r2 = jax.random.uniform(k3, c.shape, pj.dtype)
+    np1, np2 = _scatter_pairs(svi["p"].T, pj.T, m1, m2, q1, q2,
+                              s_fac, s_fac_p, idens[c], jdens[c],
+                              r1, r2, pairable)
+    pi_new = jnp.where(pairable[:, None], np1.T, svi["p"])
+    slab_i = species[i]
+    species[i] = slab_i._replace(p=slab_i.p.at[svi["perm"]].set(pi_new))
+    # unique partner indices: scatter with out-of-range rows dropped
+    pj_sorted = svj["p"].at[partner].set(
+        jnp.where(pairable[:, None], np2.T, pj), mode="drop")
+    slab_j = species[j]
+    species[j] = slab_j._replace(p=slab_j.p.at[svj["perm"]].set(pj_sorted))
+    return species, key
+
+
 def particle_collisions(state, cfg, plan: CollisionPlan, key):
-    """One collision pass over all enabled pairs (binned engine only)."""
+    """One collision pass over all enabled pairs (both engines)."""
     from ..core.binned import BinnedSpecies
+    if not hasattr(state.species[0], "xi"):
+        species = list(state.species)
+        for (i, j, user_factor) in plan.pairs:
+            species, key = _collide_pair_scatter(species, cfg, plan, i, j,
+                                                 user_factor, key)
+        return state._replace(species=tuple(species)), key
     grid = cfg.grid
     dvol = grid.cell_volume
     dt = cfg.dt

@@ -110,3 +110,113 @@ def test_isotropisation(tmp_path):
     a1 = anisotropy(st)
     assert a0 > 50        # initial Tx/Ty ~ 100
     assert a1 < a0 * 0.9  # collisions transfer energy between axes
+
+
+def test_isotropisation_scatter(tmp_path):
+    """The scatter-engine (cell-sorted pairing) path relaxes anisotropy
+    too, and conserves momentum and energy to round-off."""
+    p = tmp_path / "input.deck"
+    p.write_text(DECK.replace("begin:control",
+                              "begin:control\n  pusher = scatter"))
+    sim = Simulation(str(p), seed=2)
+    cfg = sim.cfg
+    assert cfg.engine == "scatter"
+    st = sim.state
+
+    def stats(st):
+        s = st.species[0]
+        w = np.asarray(jnp.where(s.alive, s.weight, 0.0))
+        ps = np.asarray(s.p)
+        wsum = w.sum()
+        tx = (ps[:, 0] ** 2 * w).sum() / wsum
+        ty = (ps[:, 1] ** 2 * w).sum() / wsum
+        mom = (ps * w[:, None]).sum(0)
+        mc = const.m0 * const.c
+        gam = np.sqrt(1 + (ps ** 2).sum(1) / mc ** 2)
+        en = ((gam - 1) * w).sum() * const.m0 * const.c ** 2
+        return tx / ty, mom, en
+
+    a0, mom0, en0 = stats(st)
+    from epoch_tpu.physics.collisions import particle_collisions
+    key = jax.random.PRNGKey(7)
+    coll = jax.jit(lambda s, k: particle_collisions(
+        s, cfg, cfg.collision_plan, k))
+    for _ in range(60):
+        key, sub = jax.random.split(key)
+        st, _ = coll(st, sub)
+    a1, mom1, en1 = stats(st)
+    assert a0 > 50
+    assert a1 < a0 * 0.9, (a0, a1)
+    assert np.allclose(mom1, mom0, atol=1e-8 * np.abs(mom0).max() + 1e-30)
+    assert abs(en1 - en0) < 1e-8 * en0
+
+
+def test_inter_species_scatter_equilibration(tmp_path):
+    """Hot electrons + cold 'heavy electrons' exchange energy through
+    inter-species collisions on the scatter engine; totals conserved."""
+    deck = """
+begin:control
+  pusher = scatter
+  nx = 8
+  t_end = 1
+  x_min = 0
+  x_max = 8e-6
+end:control
+begin:boundaries
+  bc_x_min = periodic
+  bc_x_max = periodic
+end:boundaries
+begin:species
+  name = hot
+  charge = -1
+  mass = 1.0
+  number_density = 1e26
+  nparticles_per_cell = 32
+  temperature_ev = 1000
+end:species
+begin:species
+  name = cold
+  charge = -1
+  mass = 1.0
+  number_density = 1e26
+  nparticles_per_cell = 32
+  temperature_ev = 10
+end:species
+begin:collisions
+  use_collisions = T
+  coulomb_log = 5
+  collide = none
+  collide = hot cold on
+end:collisions
+begin:output
+  dt_snapshot = 1
+end:output
+"""
+    p = tmp_path / "input.deck"
+    p.write_text(deck)
+    sim = Simulation(str(p), seed=4)
+    cfg = sim.cfg
+    assert cfg.engine == "scatter"
+    assert len(cfg.collision_plan.pairs) == 1
+    st = sim.state
+
+    def ke(st, i):
+        s = st.species[i]
+        w = np.asarray(jnp.where(s.alive, s.weight, 0.0))
+        ps = np.asarray(s.p)
+        mc = cfg.species[i].mass * const.c
+        gam = np.sqrt(1 + (ps ** 2).sum(1) / mc ** 2)
+        return ((gam - 1) * w).sum() * cfg.species[i].mass * const.c ** 2
+
+    h0, c0 = ke(st, 0), ke(st, 1)
+    from epoch_tpu.physics.collisions import particle_collisions
+    key = jax.random.PRNGKey(9)
+    coll = jax.jit(lambda s, k: particle_collisions(
+        s, cfg, cfg.collision_plan, k))
+    for _ in range(80):
+        key, sub = jax.random.split(key)
+        st, _ = coll(st, sub)
+    h1, c1 = ke(st, 0), ke(st, 1)
+    assert c1 > 1.2 * c0, (c0, c1)        # cold heats
+    assert h1 < h0                         # hot cools
+    assert abs((h1 + c1) - (h0 + c0)) < 1e-8 * (h0 + c0)
