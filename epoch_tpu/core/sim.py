@@ -254,6 +254,10 @@ def build_config(deck: DeckConfig) -> SimConfig:
         from ..physics.ionise import IonisePlan
         cfg = dataclasses.replace(cfg, ionise_plan=IonisePlan(cfg, deck))
     if deck.collisions.use_collisions:
+        if deck.collisions.collisional_ionisation and cfg.engine == "binned":
+            raise NotImplementedError(
+                "collisional ionisation requires the scatter engine "
+                "(set pusher = scatter)")
         from ..physics.collisions import CollisionPlan
         cfg = dataclasses.replace(cfg, collision_plan=CollisionPlan(cfg, deck))
     if deck.qed.use_qed:
@@ -321,6 +325,7 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
         and not any(getattr(sb, "density_back", 0.0)
                     for sb in deck.species)   # delta-f
         and not deck.control.use_migration
+        and not deck.collisions.collisional_ionisation
     )
     if choice == "binned":
         if not eligible:
@@ -413,12 +418,19 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
                 arrs["x"], arrs["p"], arrs["weight"], grid, K))
     else:
         # ionisation products need capacity headroom scaled by their sources
+        ion_levels = []
         if cfg.ionise_plan is not None:
+            ion_levels += [(lv["species"], lv["to"], lv["release"])
+                           for lv in cfg.ionise_plan.levels]
+        if cfg.collision_plan is not None:
+            ion_levels += [(e["ion"], e["to"], e["release"])
+                           for e in getattr(cfg.collision_plan,
+                                            "ionise_entries", ())]
+        if ion_levels:
             caps = [s.cap for s in cfg.species]
-            for lv in cfg.ionise_plan.levels:
-                caps[lv["to"]] = max(caps[lv["to"]],
-                                     caps[lv["species"]] + caps[lv["to"]])
-                caps[lv["release"]] += caps[lv["species"]]
+            for src, to, release in ion_levels:
+                caps[to] = max(caps[to], caps[src] + caps[to])
+                caps[release] += caps[src]
             cfg = dataclasses.replace(cfg, species=tuple(
                 dataclasses.replace(s, cap=c)
                 for s, c in zip(cfg.species, caps)))

@@ -19,16 +19,18 @@ def append_particles(slab: ParticleSlab, x_new, p_new, w_new, valid):
     capacity are dropped silently (fixed-capacity policy; capacity headroom
     is the caller's responsibility).
     """
-    m = valid.shape[0]
     cap = slab.alive.shape[0]
-    if m > cap:
-        # more candidates than destination slots: keep valid ones first
-        corder = jnp.argsort(~valid)[:cap]
-        x_new = x_new[corder]
-        p_new = p_new[corder]
-        w_new = w_new[corder]
-        valid = valid[corder]
-        m = cap
+    # pack valid candidates first so the k-th valid candidate pairs with
+    # the k-th dead slot (otherwise a candidate whose index exceeds the
+    # dead-slot count maps onto a live slot and is dropped spuriously)
+    corder = jnp.argsort(~valid)
+    if valid.shape[0] > cap:
+        corder = corder[:cap]
+    x_new = x_new[corder]
+    p_new = p_new[corder]
+    w_new = w_new[corder]
+    valid = valid[corder]
+    m = valid.shape[0]
     order = jnp.argsort(slab.alive)          # dead slots first
     target = order[:m]
     ok = valid & ~slab.alive[target]

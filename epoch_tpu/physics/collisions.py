@@ -29,6 +29,26 @@ PI4_EPS2_C4 = 4.0 * math.pi * const.epsilon0 ** 2 * const.c ** 4
 TWO_THIRDS = 2.0 / 3.0
 PI_FAC = (4.0 * math.pi / 3.0) ** (1.0 / 3.0)
 
+# MBELL electron-impact ionisation coefficients (collisions.F90:82-112;
+# Haque et al., MBELL model) — indices [n-1, l], [n-1, l, i-1]
+E_REST_EV = const.m0 * const.c ** 2 / const.ev
+MRBEB_CONST = 2.0 * math.pi * const.a0 ** 2 * const.alpha_fine ** 4
+A_BELL = np.array([[0.5250, 0.0, 0.0],
+                   [0.5300, 0.6000, 0.0],
+                   [0.1300, 0.3880, 0.3500]]) * 1e-13
+_B_RAW = [
+    [-0.5100, -0.4100,  0.2500, 0.0, -0.4000, -0.2000, 0.0, 0.0,  1.6000],
+    [ 0.2000,  0.1500, -1.5000, 0.0, -0.7100, -0.2356, 0.0, 0.0, -3.0000],
+    [ 0.0500,  0.1500,  2.4000, 0.0,  0.6550,  0.5355, 0.0, 0.0,  4.0000],
+    [-0.0250, -0.2000,  3.2200, 0.0,  0.4250,  3.1500, 0.0, 0.0,  2.0000],
+    [-0.1000, -0.1500, -3.6670, 0.0, -0.7500, -8.5000, 0.0, 0.0, -5.0000],
+    [ 0.0000,  0.0000,  0.0000, 0.0,  0.0000,  5.0500, 0.0, 0.0, -1.5000],
+    [ 0.0000,  0.0000,  0.0000, 0.0,  0.0000,  0.3700, 0.0, 0.0,  3.5000],
+]
+# Fortran column-major reshape (3,3,7): n fastest, then l, then i
+B_BELL = np.array(_B_RAW).reshape(7, 3, 3).transpose(2, 1, 0) * 1e-13
+L_BELL = np.array([1.27, 0.542, 0.95]) * 1e-13
+
 
 class CollisionPlan:
     """Static pair table (coll_pairs, deck_collision_block)."""
@@ -52,6 +72,36 @@ class CollisionPlan:
                     1.0 if cb.collide_all else 0.0)
                 if factor > 0:
                     self.pairs.append((i, j, factor))
+        # electron-impact ionisation entries (collisional_ionisation,
+        # collisions.F90:229-462): one per (electron species, ionisable
+        # species) pair enabled in coll_pairs
+        self.collisional_ionisation = cb.collisional_ionisation
+        self.ionise_entries = []
+        if cb.collisional_ionisation:
+            for ie, se in enumerate(cfg.species):
+                if se.species_type != const.SpeciesType.ELECTRON:
+                    continue
+                for jj, (sbj, sj) in enumerate(zip(deck.species,
+                                                   cfg.species)):
+                    if not getattr(sbj, "ionise", False):
+                        continue
+                    factor = cb.collide_pairs.get(
+                        f"{se.name} {sj.name}",
+                        1.0 if cb.collide_all else 0.0)
+                    if factor <= 0:
+                        continue
+                    to = deck.species_index(sbj.ionise_to_species_name)
+                    rel = deck.species_index(sbj.release_species_name)
+                    end = to
+                    while getattr(deck.species[end], "ionise", False):
+                        end = deck.species_index(
+                            deck.species[end].ionise_to_species_name)
+                    self.ionise_entries.append(dict(
+                        e=ie, ion=jj, to=to, release=rel,
+                        e_ion_ev=sbj.ionisation_energy / const.ev,
+                        n1=sbj.principal_n, l=sbj.l_quantum,
+                        n2=deck.species[to].principal_n,
+                        q_full=cfg.species[end].charge))
 
 
 def _shuffle_alive_first(b, key):
@@ -234,7 +284,7 @@ def _sorted_view(slab, grid, key):
     start = jnp.searchsorted(c, c)
     end = jnp.searchsorted(c, c, side="right")
     return dict(perm=perm, c=c, p=slab.p[perm], w=slab.weight[perm],
-                alive=slab.alive[perm],
+                x=slab.x[perm], alive=slab.alive[perm],
                 rank=jnp.arange(N) - start, cnt=end - start,
                 n_cell=n_cell)
 
@@ -346,6 +396,156 @@ def _collide_pair_scatter(species, cfg, plan, i, j, user_factor, key):
     return species, key
 
 
+def _eiics_cm2(e_ke_i, entry, q_ion):
+    """Electron-impact ionisation cross section in cm²: MBELL for
+    (n<4, l<3), MRBEB otherwise (collisions.F90:577-623)."""
+    xp = jnp
+    i_ev = entry["e_ion_ev"]
+    n1, l, n2 = entry["n1"], entry["l"], entry["n2"]
+    red_ion = E_REST_EV / i_ev
+    red_inc = xp.maximum(e_ke_i / i_ev, 1.0 + 1e-12)
+    if n1 < 4 and l < 3:
+        gr = (1.0 + 2.0 * red_ion) / (red_inc + 2.0 * red_ion) \
+            * ((red_inc + red_ion) / (1.0 + red_ion)) ** 2 \
+            * ((1.0 + red_inc) * (red_inc + 2.0 * red_ion)
+               * (1.0 + red_ion) ** 2
+               / (red_ion ** 2 * (1.0 + 2.0 * red_ion)
+                  + red_inc * (red_inc + 2.0 * red_ion)
+                  * (1.0 + red_ion) ** 2)) ** 1.5
+        fion = 1.0 + 3.0 * xp.abs(
+            q_ion / (entry["q_full"] * red_inc)) ** L_BELL[l]
+        one_m = 1.0 - 1.0 / red_inc
+        acc = 0.0
+        for i in range(7):
+            acc = acc + B_BELL[n1 - 1, l, i] * one_m ** (i + 1)
+        eiics = (A_BELL[n1 - 1, l] * xp.log(red_inc) + acc) \
+            / (e_ke_i * i_ev)
+        return fion * gr * eiics
+    t = red_inc
+    tp = e_ke_i / E_REST_EV
+    bp = 1.0 / red_ion
+    bt2 = 1.0 - 1.0 / (1.0 + tp) ** 2
+    bb2 = 1.0 - 1.0 / (1.0 + bp) ** 2
+    mrbeb_c = const.hartree / i_ev / 2.0 \
+        * (0.3 * (q_ion / const.q0 / n1) ** 2
+           + 0.7 * ((q_ion / const.q0 + 1.0) / n2) ** 2)
+    return MRBEB_CONST / (bt2 + mrbeb_c * bb2) / bp \
+        * (0.5 * (xp.log(bt2 / (1.0 - bt2)) - bt2 - math.log(2.0 * bp))
+           * (1.0 - 1.0 / t ** 2)
+           + 1.0 - 1.0 / t
+           - xp.log(t) / (t + 1.0) * (1.0 + 2.0 * tp)
+           / (1.0 + 0.5 * tp) ** 2
+           + bp ** 2 / (1.0 + 0.5 * tp) ** 2 * (t - 1.0) / 2.0)
+
+
+def _flat_density(slab, grid, n_cell, dvol):
+    nd = grid.ndims
+    cells = 0
+    stride = 1
+    for d in reversed(range(nd)):
+        rel = slab.x[:, d] - grid.grid_min(d)
+        c = jnp.clip(jnp.floor(rel / grid.delta[d]).astype(jnp.int32),
+                     0, grid.n[d] - 1)
+        cells = cells + c * stride
+        stride *= grid.n[d]
+    w = jnp.where(slab.alive, slab.weight, 0.0)
+    return jnp.zeros(n_cell + 1, w.dtype).at[cells].add(w) / dvol
+
+
+def _collisional_ionise_pair(species, cfg, entry, key):
+    """Electron-impact ionisation for one (electron, ion) species pair
+    (preionise, collisions.F90:467-711), vectorised over cell-sorted
+    rank-matched pairs.
+
+    Divergences from the reference, both noted deliberate: the incident
+    electron's energy loss uses the reference's own lab-frame fallback
+    formula for every event (exact for slow ions; the reference's
+    ion-frame rotation path reduces to it); the immediate
+    ionising-vs-ejected electron scatter happens on the next step's
+    collision pass instead of in-place."""
+    grid = cfg.grid
+    dvol = grid.cell_volume
+    dt = cfg.dt
+    ie, jj = entry["e"], entry["ion"]
+    m_e = cfg.species[ie].mass
+    m_ion = cfg.species[jj].mass
+    q_ion = cfg.species[jj].charge
+    i_ev = entry["e_ion_ev"]
+    key, k1, k2, k3 = jax.random.split(key, 4)
+    sve = _sorted_view(species[ie], grid, k1)
+    svj = _sorted_view(species[jj], grid, k2)
+    n_cell = sve["n_cell"]
+
+    cell_ids = jnp.arange(n_cell + 1)
+    starts_j = jnp.searchsorted(svj["c"], cell_ids)
+    cnts_j = jnp.searchsorted(svj["c"], cell_ids, side="right") - starts_j
+    c = sve["c"]
+    pairable = sve["alive"] & (sve["rank"]
+                               < jnp.minimum(sve["cnt"], cnts_j[c]))
+    N_j = svj["c"].shape[0]
+    partner = jnp.where(pairable, starts_j[c] + sve["rank"], N_j)
+    psafe = jnp.clip(partner, 0, N_j - 1)
+    p_i = svj["p"][psafe]
+    w_i = svj["w"][psafe]
+    x_i = svj["x"][psafe]
+
+    # release-species (electron fluid) density for the rate
+    e_dens = _flat_density(species[entry["release"]], grid, n_cell, dvol)
+    np_cell = jnp.zeros(n_cell + 1, p_i.dtype).at[c].add(
+        jnp.where(pairable, sve["w"], 0.0))
+    fsum = jnp.zeros(n_cell + 1, p_i.dtype).at[c].add(
+        jnp.where(pairable, jnp.minimum(sve["w"], w_i), 0.0))
+    # prob_factor = -e_dens*np/factor*dt*1e-4 (cm²→m², preionise :524)
+    prob_factor = -e_dens * np_cell / jnp.maximum(fsum, 1e-300) * dt * 1e-4
+
+    # electron kinetic energy & speed in the ion frame (preionise :527-570)
+    p_e = sve["p"]
+    mec = m_e * const.c
+    e_e = const.c * jnp.sqrt(jnp.sum(p_e ** 2, 1) + mec ** 2)  # total E·...
+    gam_i = jnp.sqrt(jnp.sum((p_i / (m_ion * const.c)) ** 2, 1) + 1.0)
+    v_i = p_i / (m_ion * gam_i[:, None])
+    e_prime = gam_i * (e_e - jnp.sum(v_i * p_e, 1))        # ion-frame E
+    e_ke_i = (e_prime - m_e * const.c ** 2) / const.ev     # eV
+    e_ke_i = jnp.maximum(e_ke_i, 1e-30)
+    e_p2_i = jnp.maximum((e_prime ** 2 - (m_e * const.c ** 2) ** 2)
+                         / const.c ** 2, 1e-300)
+    e_v_i = jnp.sqrt(e_p2_i) * const.c ** 2 / e_prime
+
+    thresh = e_ke_i >= w_i / jnp.maximum(sve["w"], 1e-300) * i_ev
+    eiics = _eiics_cm2(e_ke_i, entry, q_ion)
+    u = jax.random.uniform(k3, c.shape, p_i.dtype)
+    prob = 1.0 - jnp.exp(prob_factor[c] * jnp.maximum(eiics, 0.0) * e_v_i)
+    fire = pairable & thresh & (u < prob)
+
+    # incident electron loses (w_i/w_e)·I of kinetic energy along its
+    # direction (the reference's lab-scaling branch, preionise :647-656)
+    e_new = (e_ke_i - w_i / jnp.maximum(sve["w"], 1e-300) * i_ev
+             + E_REST_EV) * const.ev
+    scale = jnp.sqrt(jnp.maximum((e_new / const.c) ** 2 - mec ** 2, 0.0)
+                     / e_p2_i)
+    p_e_new = jnp.where(fire[:, None], p_e * scale[:, None], p_e)
+    slab_e = species[ie]
+    species[ie] = slab_e._replace(p=slab_e.p.at[sve["perm"]].set(p_e_new))
+
+    # ejected electron carries the mass-fraction share of the ion momentum
+    # (preionise :687-692); the ion promotes to ionise_to_species
+    p_ej = (m_e / m_ion) * p_i
+    p_ion_new = p_i - p_ej
+    from ..core.slab_ops import append_particles
+    species[entry["release"]] = append_particles(
+        species[entry["release"]], x_i, p_ej, w_i, fire)
+    species[entry["to"]] = append_particles(
+        species[entry["to"]], x_i, p_ion_new, w_i, fire)
+    # kill the ionised ions in their original slab
+    fired_sorted = jnp.zeros(N_j + 1, bool).at[partner].max(fire)[:N_j]
+    alive_sorted = svj["alive"] & ~fired_sorted
+    slab_j = species[jj]
+    alive_new = slab_j.alive.at[svj["perm"]].set(alive_sorted)
+    species[jj] = slab_j._replace(
+        alive=alive_new, weight=jnp.where(alive_new, slab_j.weight, 0.0))
+    return species, key
+
+
 def particle_collisions(state, cfg, plan: CollisionPlan, key):
     """One collision pass over all enabled pairs (both engines)."""
     from ..core.binned import BinnedSpecies
@@ -354,6 +554,9 @@ def particle_collisions(state, cfg, plan: CollisionPlan, key):
         for (i, j, user_factor) in plan.pairs:
             species, key = _collide_pair_scatter(species, cfg, plan, i, j,
                                                  user_factor, key)
+        for entry in plan.ionise_entries:
+            species, key = _collisional_ionise_pair(species, cfg, entry,
+                                                    key)
         return state._replace(species=tuple(species)), key
     grid = cfg.grid
     dvol = grid.cell_volume
