@@ -192,6 +192,7 @@ def as_slab(binned: BinnedSpecies, grid) -> ParticleSlab:
         id=jnp.zeros(n, jnp.int32),
         opdepth=jnp.zeros(n, x.dtype),
         opdepth_brem=jnp.zeros(n, x.dtype),
+        pvol=jnp.zeros(n, x.dtype),
     )
 
 

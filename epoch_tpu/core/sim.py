@@ -334,7 +334,9 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
                 "shape, no moving window, no photon species and no "
                 "bremsstrahlung")
         return "binned"
-    return "binned" if eligible else "scatter"
+    # 3D binned deposit currently has a pathological compile time: never
+    # auto-select it (explicit pusher=binned remains available)
+    return "binned" if eligible and cfg.ndims <= 2 else "scatter"
 
 
 def _initial_fields(deck: DeckConfig, grid: Grid, dtype) -> Fields:

@@ -65,12 +65,16 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "x"):
     def slab_sharding(slab):
         n = mesh.shape[axis]
         if hasattr(slab, "xi"):
-            # binned storage: spatial decomposition along grid-x (dim 0) —
-            # the direct analogue of EPOCH's domain decomposition; rolls in
-            # the binned kernels become collective-permutes over ICI
-            if slab.w.shape[0] % n == 0:
-                part = NamedSharding(mesh, P(axis))
-                return type(slab)(xi=part, p=part, w=part, n_dropped=repl)
+            # binned storage: spatial decomposition along the grid-x axis
+            # (w is (K, *grid), xi/p are (nd|3, K, *grid)) — the direct
+            # analogue of EPOCH's domain decomposition; rolls in the
+            # binned kernels become collective-permutes over ICI
+            if slab.w.shape[1] % n == 0:
+                return type(slab)(
+                    xi=NamedSharding(mesh, P(None, None, axis)),
+                    p=NamedSharding(mesh, P(None, None, axis)),
+                    w=NamedSharding(mesh, P(None, axis)),
+                    n_dropped=repl)
             return jax.tree.map(lambda _: repl, slab)
         if slab.cap % n == 0:
             part = NamedSharding(mesh, P(axis))

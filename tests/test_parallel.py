@@ -73,3 +73,54 @@ def test_particles_actually_sharded(sim):
     st = shard_state(sim.state, mesh)
     sh = st.species[0].x.sharding
     assert not sh.is_fully_replicated
+
+
+def test_scatter_3d_smoke(tmp_path):
+    """3D two-species plasma runs on the scatter engine (auto-selected:
+    3D never auto-picks binned due to its compile cost)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from epoch_tpu.core import Simulation
+    from epoch_tpu.core.step import make_full_step
+    deck = """
+begin:control
+  nx = 8
+  ny = 6
+  nz = 6
+  t_end = 1
+  x_min = 0
+  x_max = 8e-6
+  y_min = 0
+  y_max = 6e-6
+  z_min = 0
+  z_max = 6e-6
+end:control
+begin:boundaries
+  bc_x_min = periodic
+  bc_x_max = periodic
+  bc_y_min = periodic
+  bc_y_max = periodic
+  bc_z_min = periodic
+  bc_z_max = periodic
+end:boundaries
+begin:species
+  name = electron
+  charge = -1
+  mass = 1.0
+  number_density = 1e24
+  nparticles_per_cell = 2
+  temperature_ev = 100
+end:species
+begin:output
+  dt_snapshot = 1
+end:output
+"""
+    (tmp_path / "input.deck").write_text(deck)
+    sim = Simulation(str(tmp_path / "input.deck"), seed=1)
+    assert sim.cfg.engine == "scatter"
+    run = make_full_step(sim.cfg)
+    st = run(sim.state, 5)
+    s = st.species[0]
+    assert int(s.alive.sum()) == 8 * 6 * 6 * 2
+    assert bool(jnp.all(jnp.isfinite(st.fields.ex)))
+    assert bool(jnp.all(jnp.isfinite(s.p)))
