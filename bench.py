@@ -65,7 +65,7 @@ def main():
     nx = int(os.environ.get("BENCH_NX", 256))
     ny = int(os.environ.get("BENCH_NY", 256))
     ppc = int(os.environ.get("BENCH_PPC", 8))
-    steps = int(os.environ.get("BENCH_STEPS", 20))
+    steps = int(os.environ.get("BENCH_STEPS", 50))
 
     d = tempfile.mkdtemp()
     cell = 2.0e-8

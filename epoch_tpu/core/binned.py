@@ -486,25 +486,16 @@ def rebin(binned: BinnedSpecies, plan) -> BinnedSpecies:
         cw = jnp.concatenate(cands_w, axis=0)               # (3K, *g)
         cxi = jnp.concatenate(cands_xi, axis=1)             # (nd, 3K, *g)
         cp = jnp.concatenate(cands_p, axis=1)
-        key = jnp.where(cw > 0, 0.0, 1.0).astype(w.dtype)
-        # sort along the slot axis; lax.sort wants the minor axis, so move
-        # slots last for the sort (cheap relayout vs a cross-lane sort)
-        def slots_last(a):
-            return jnp.moveaxis(a, 0, -1)
-
-        def slots_first(a):
-            return jnp.moveaxis(a, -1, 0)
-
-        ops = tuple(slots_last(a) for a in
-                    (key, cw) + tuple(cxi[i] for i in range(nd))
-                    + tuple(cp[i] for i in range(3)))
-        sorted_ops = jax.lax.sort(ops, dimension=cw.ndim - 1, num_keys=1)
+        # sort directly along the leading slot axis with -w as the key
+        # (live slots w>0 sort first; no separate key operand, one less
+        # payload of HBM traffic through the sort network)
+        ops = (-cw,) + tuple(cxi[i] for i in range(nd)) \
+            + tuple(cp[i] for i in range(3))
+        sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1)
         live_total = jnp.sum(cw > 0)
-        w = slots_first(sorted_ops[1])[:K]
-        xi = jnp.stack([slots_first(sorted_ops[2 + i])[:K]
-                        for i in range(nd)])
-        p = jnp.stack([slots_first(sorted_ops[2 + nd + i])[:K]
-                       for i in range(3)])
+        w = -sorted_ops[0][:K]
+        xi = jnp.stack([sorted_ops[1 + i][:K] for i in range(nd)])
+        p = jnp.stack([sorted_ops[1 + nd + i][:K] for i in range(3)])
         kept = jnp.sum(w > 0)
         dropped = dropped + (live_total - kept).astype(jnp.int32)
     return binned._replace(xi=xi, p=p, w=w, n_dropped=dropped)
