@@ -56,6 +56,7 @@ class CollisionPlan:
     def __init__(self, cfg, deck):
         cb = deck.collisions
         self.coulomb_log = cb.coulomb_log       # <0 → auto
+        self.use_nanbu = cb.use_nanbu           # False → Sentoku–Kemp
         self.pairs = []
         ns = len(cfg.species)
         for i in range(ns):
@@ -223,6 +224,126 @@ def _scatter_pairs(p1_si, p2_si, m1, m2, q1, q2, s_fac, s_fac_prime,
     return new_p1, new_p2
 
 
+def _new_coords(v):
+    """Orthonormal basis with c1 along v (new_coords,
+    collisions.F90:1697-1728); v is (3, ...)."""
+    xp = jnp
+    vmag = xp.sqrt(xp.maximum(xp.sum(v ** 2, 0), 1e-300))
+    vtrans = xp.sqrt(v[1] ** 2 + v[2] ** 2)
+    ok = vtrans > 1e-150
+    vt = xp.maximum(vtrans, 1e-150)
+    c1 = xp.where(ok, v / vmag,
+                  xp.stack([xp.ones_like(v[0]), v[1] * 0, v[2] * 0]))
+    c2 = xp.where(ok, xp.stack([v[0] * 0, v[2], -v[1]]) / vt,
+                  xp.stack([v[0] * 0, xp.ones_like(v[1]), v[2] * 0]))
+    c3 = xp.where(ok, xp.stack([vt ** 2, -v[0] * v[1], -v[0] * v[2]])
+                  / (vmag * vt),
+                  xp.stack([v[0] * 0, v[1] * 0, xp.ones_like(v[2])]))
+    return c1, c2, c3
+
+
+def _weighted_correction(wtr, p, p_scat, en, en_scat, mh, phi, apply):
+    """Sentoku & Kemp (2008) eqs. 21-26 energy-conserving correction for
+    unequal weights (weighted_particles_correction,
+    collisions.F90:1654-1693); normalised units (c=1, masses /m_ref)."""
+    xp = jnp
+    en_after = (1.0 - wtr) * en + wtr * en_scat
+    p_after = (1.0 - wtr)[None] * p + wtr[None] * p_scat
+    p_mag2 = xp.sum(p_after ** 2, 0)
+    gamma_en = en_after / mh
+    gamma_p = xp.sqrt(1.0 + p_mag2 / mh ** 2)
+    fix = apply & (gamma_p < gamma_en)
+    delta_p = mh * xp.sqrt(xp.maximum(gamma_en ** 2 - gamma_p ** 2, 0.0))
+    c1, c2, c3 = _new_coords(p_after)
+    corrected = p_after + delta_p[None] * (c2 * xp.cos(phi)[None]
+                                           + c3 * xp.sin(phi)[None])
+    return xp.where(fix[None], corrected, p_scat)
+
+
+def _scatter_pairs_sk(p1_si, p2_si, m1, m2, q1, q2, nu_fac, dens_eff,
+                      log_lambda, w1, w2, r1, r2, rphi, rcorr, valid):
+    """Sentoku–Kemp pairwise scattering core
+    (intra/inter_collisions_sk, collisions.F90:731-958,1166-1414):
+    Gaussian cumulative angle with variance nu = min(nu_coll*factor*np*dt,
+    0.02), rest-frame → COM angle transform, and the weighted-particle
+    energy correction.  Momenta/masses normalised by the lighter mass,
+    velocities in units of c."""
+    xp = jnp
+    eps = 1e-30
+    m_ref = min(m1, m2)
+    m1h, m2h = m1 / m_ref, m2 / m_ref
+    p1 = p1_si / (const.c * m_ref)
+    p2 = p2_si / (const.c * m_ref)
+    degenerate = (xp.sum(p1 ** 2, 0) < eps) & (xp.sum(p2 ** 2, 0) < eps)
+    degenerate |= xp.sum((p1 - p2) ** 2, 0) < eps
+    ok = valid & ~degenerate
+
+    e1 = xp.sqrt(xp.sum(p1 ** 2, 0) + m1h ** 2)
+    e2 = xp.sqrt(xp.sum(p2 ** 2, 0) + m2h ** 2)
+    vc = (p1 + p2) / (e1 + e2)
+    vc_sq = xp.minimum(xp.sum(vc ** 2, 0), 1.0 - 1e-12)
+    g = 1.0 / xp.sqrt(1.0 - vc_sq)
+    g_m1 = g ** 2 * vc_sq / (g + 1.0)
+
+    p1vc = xp.sum(p1 * vc, 0)
+    p2vc = xp.sum(p2 * vc, 0)
+    vs = xp.maximum(vc_sq, eps)
+    p3 = p1 + vc * (p1vc * g_m1 / vs - g * e1)[None]
+    p4 = p2 + vc * (p2vc * g_m1 / vs - g * e2)[None]
+    p3_mag = xp.sqrt(xp.maximum(xp.sum(p3 ** 2, 0), eps))
+    e3 = g * (e1 - p1vc)
+    e4 = g * (e2 - p2vc)
+    v3 = p3 / e3[None]
+    v4 = p4 / e4[None]
+    vr = (v3 - v4) / (1.0 - xp.sum(v3 * v4, 0))[None]
+    vrabs = xp.sqrt(xp.maximum(xp.sum(vr ** 2, 0), eps))
+
+    # collision frequency in SI (coll_freq :1627-1650)
+    mu = (m1 * m2) / (m1 + m2)
+    nu = (q1 * q2) ** 2 * dens_eff * log_lambda \
+        / (4.0 * math.pi * const.epsilon0 ** 2 * mu ** 2
+           * (vrabs * const.c) ** 3)
+    nu = xp.minimum(nu * nu_fac, 0.02)
+
+    r1c = (1.0 - 1e-10) * r1 + 0.5e-10
+    delta = xp.sqrt(-2.0 * nu * xp.log(r1c)) * xp.sin(2.0 * math.pi * r2)
+    sin_t = 2.0 * delta / (1.0 + delta ** 2)
+    cos_t = (1.0 - delta ** 2) / (1.0 + delta ** 2)
+
+    vcr = v3 if m1 > m2 else v4
+    vcr_mag = xp.sqrt(xp.sum(vcr ** 2, 0))
+    g_r = 1.0 / xp.sqrt(xp.maximum(1.0 - xp.sum(vcr ** 2, 0), 1e-12))
+    den = g_r * (cos_t - vcr_mag / xp.maximum(vrabs, eps))
+    big = 1e150
+    tan_cm = xp.where(xp.abs(den) > 1e-150, sin_t / den, big)
+    rt = xp.sqrt(1.0 + tan_cm ** 2)
+    sin_cm = tan_cm / rt
+    cos_cm = 1.0 / rt
+
+    c1, c2, c3 = _new_coords(vr)
+    phi = 2.0 * math.pi * rphi
+    p3n = p3_mag[None] * (c1 * cos_cm[None]
+                          + c2 * (sin_cm * xp.cos(phi))[None]
+                          + c3 * (sin_cm * xp.sin(phi))[None])
+    p4n = -p3n
+    p5 = p3n + vc * (xp.sum(p3n * vc, 0) * g_m1 / vs + g * e3)[None]
+    p6 = p4n + vc * (xp.sum(p4n * vc, 0) * g_m1 / vs + g * e4)[None]
+
+    # weighted-particle correction (:909-924)
+    e5 = xp.sqrt(xp.sum(p5 ** 2, 0) + m1h ** 2)
+    e6 = xp.sqrt(xp.sum(p6 ** 2, 0) + m2h ** 2)
+    wr = w1 / xp.maximum(w2, 1e-300)
+    phi2 = 2.0 * math.pi * rcorr
+    p5 = _weighted_correction(w2 / xp.maximum(w1, 1e-300), p1, p5, e1, e5,
+                              m1h, phi2, ok & (wr > 1.0 + 2e-16))
+    p6 = _weighted_correction(wr, p2, p6, e2, e6,
+                              m2h, phi2, ok & (wr < 1.0 - 2e-16))
+
+    new_p1 = xp.where(ok[None], p5 * (const.c * m_ref), p1_si)
+    new_p2 = xp.where(ok[None], p6 * (const.c * m_ref), p2_si)
+    return new_p1, new_p2
+
+
 def _cell_density(b, cell_volume):
     return jnp.sum(b.w, axis=0) / cell_volume
 
@@ -333,21 +454,37 @@ def _collide_pair_scatter(species, cfg, plan, i, j, user_factor, key):
         c = svi["c"]
         fsum = jnp.zeros(n_cell + 1, p.dtype).at[c].add(
             jnp.where(valid, jnp.minimum(svi["w"], w_b), 0.0))
-        factor = user_factor / jnp.maximum(fsum, 1e-300)
+        # intra-species: extra factor 2 (Nanbu sec. 4.1; :1002)
+        factor = user_factor / (2.0 * jnp.maximum(fsum, 1e-300))
         idens = stats_i["dens"]
         if plan.coulomb_log < 0:
             ll = coulomb_log_auto(stats_i["ekbar"], stats_i["temp"],
                                   idens, idens, q1, q1, m1)
         else:
             ll = plan.coulomb_log
-        cell_fac = idens * idens * dt * factor * dvol
-        s_fac = (cell_fac * ll / PI4_EPS2_C4)[c]
-        s_fac_p = (cell_fac * PI_FAC)[c]
-        di = idens[c]
         r1 = jax.random.uniform(k2, c.shape, p.dtype)
         r2 = jax.random.uniform(k3, c.shape, p.dtype)
-        np1, np2 = _scatter_pairs(p.T, p_b.T, m1, m1, q1, q1,
-                                  s_fac, s_fac_p, di, di, r1, r2, valid)
+        if plan.use_nanbu:
+            cell_fac = idens * idens * dt * factor * dvol
+            s_fac = (cell_fac * ll / PI4_EPS2_C4)[c]
+            s_fac_p = (cell_fac * PI_FAC)[c]
+            di = idens[c]
+            np1, np2 = _scatter_pairs(p.T, p_b.T, m1, m1, q1, q1,
+                                      s_fac, s_fac_p, di, di, r1, r2,
+                                      valid)
+        else:
+            # SK intra: np = Σ(w_a+w_b), factor = user/Σmin/2 (:760-783)
+            np_cell = jnp.zeros(n_cell + 1, p.dtype).at[c].add(
+                jnp.where(valid, svi["w"] + w_b, 0.0))
+            nu_fac = (user_factor / (2.0 * jnp.maximum(fsum, 1e-300))
+                      * np_cell * dt)[c]
+            ll_at = ll[c] if hasattr(ll, "shape") and ll.ndim else ll
+            key, kp, kc = jax.random.split(key, 3)
+            rphi = jax.random.uniform(kp, c.shape, p.dtype)
+            rcorr = jax.random.uniform(kc, c.shape, p.dtype)
+            np1, np2 = _scatter_pairs_sk(
+                p.T, p_b.T, m1, m1, q1, q1, nu_fac, idens[c], ll_at,
+                svi["w"], w_b, r1, r2, rphi, rcorr, valid)
         p_new = jnp.where(valid[:, None], np1.T, p)
         back = jnp.roll(np2.T, 1, 0)
         p_new = jnp.where(jnp.roll(valid, 1)[:, None], back, p_new)
@@ -377,14 +514,34 @@ def _collide_pair_scatter(species, cfg, plan, i, j, user_factor, key):
                               idens, jdens, q1, q2, m1)
     else:
         ll = plan.coulomb_log
-    cell_fac = idens * jdens * dt * factor * dvol
-    s_fac = (cell_fac * ll / PI4_EPS2_C4)[c]
-    s_fac_p = (cell_fac * PI_FAC)[c]
     r1 = jax.random.uniform(k2, c.shape, pj.dtype)
     r2 = jax.random.uniform(k3, c.shape, pj.dtype)
-    np1, np2 = _scatter_pairs(svi["p"].T, pj.T, m1, m2, q1, q2,
-                              s_fac, s_fac_p, idens[c], jdens[c],
-                              r1, r2, pairable)
+    if plan.use_nanbu:
+        cell_fac = idens * jdens * dt * factor * dvol
+        s_fac = (cell_fac * ll / PI4_EPS2_C4)[c]
+        s_fac_p = (cell_fac * PI_FAC)[c]
+        np1, np2 = _scatter_pairs(svi["p"].T, pj.T, m1, m2, q1, q2,
+                                  s_fac, s_fac_p, idens[c], jdens[c],
+                                  r1, r2, pairable)
+    else:
+        # SK inter: np = Σw of the longer list, dens = min(idens, jdens)
+        # (inter_collisions_sk :1205-1308)
+        wi_cell = jnp.zeros(n_cell + 1, pj.dtype).at[c].add(
+            jnp.where(svi["alive"], svi["w"], 0.0))
+        wj_cell = jnp.zeros(n_cell + 1, pj.dtype).at[svj["c"]].add(
+            jnp.where(svj["alive"], svj["w"], 0.0))
+        cnts_i = jnp.zeros(n_cell + 1, jnp.int32).at[c].add(
+            svi["alive"].astype(jnp.int32))
+        np_cell = jnp.where(cnts_i >= cnts_j, wi_cell, wj_cell)
+        nu_fac = (factor * np_cell * dt)[c]
+        ll_at = ll[c] if hasattr(ll, "shape") and ll.ndim else ll
+        dmin = jnp.minimum(idens, jdens)[c]
+        key, kp, kc = jax.random.split(key, 3)
+        rphi = jax.random.uniform(kp, c.shape, pj.dtype)
+        rcorr = jax.random.uniform(kc, c.shape, pj.dtype)
+        np1, np2 = _scatter_pairs_sk(
+            svi["p"].T, pj.T, m1, m2, q1, q2, nu_fac, dmin, ll_at,
+            svi["w"], wj, r1, r2, rphi, rcorr, pairable)
     pi_new = jnp.where(pairable[:, None], np1.T, svi["p"])
     slab_i = species[i]
     species[i] = slab_i._replace(p=slab_i.p.at[svi["perm"]].set(pi_new))
@@ -580,7 +737,8 @@ def particle_collisions(state, cfg, plan: CollisionPlan, key):
             w_b = bi.w[1:2 * Kh:2]
             valid = (w_a > 0) & (w_b > 0)
             fsum = jnp.maximum(jnp.sum(jnp.minimum(w_a, w_b), axis=0), 1e-300)
-            factor = user_factor / fsum
+            # intra-species: extra factor 2 (Nanbu sec. 4.1; :1002)
+            factor = user_factor / (2.0 * fsum)
             if plan.coulomb_log < 0:
                 ek = _cell_ekbar(bi, m1)
                 tj = _cell_temp(bi, m1)

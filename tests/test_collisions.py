@@ -220,3 +220,44 @@ end:output
     assert c1 > 1.2 * c0, (c0, c1)        # cold heats
     assert h1 < h0                         # hot cools
     assert abs((h1 + c1) - (h0 + c0)) < 1e-8 * (h0 + c0)
+
+
+def test_sentoku_kemp_scatter(tmp_path):
+    """use_nanbu = F selects the Sentoku-Kemp algorithm: anisotropy
+    relaxes, momentum is conserved exactly and energy to the SK
+    weighted-correction tolerance."""
+    p = tmp_path / "input.deck"
+    p.write_text(DECK.replace("begin:control",
+                              "begin:control\n  pusher = scatter")
+                     .replace("begin:collisions",
+                              "begin:collisions\n  use_nanbu = F"))
+    sim = Simulation(str(p), seed=2)
+    cfg = sim.cfg
+    assert cfg.collision_plan.use_nanbu is False
+    st = sim.state
+
+    def stats(st):
+        s = st.species[0]
+        w = np.asarray(jnp.where(s.alive, s.weight, 0.0))
+        ps = np.asarray(s.p)
+        tx = (ps[:, 0] ** 2 * w).sum()
+        ty = (ps[:, 1] ** 2 * w).sum()
+        mom = (ps * w[:, None]).sum(0)
+        mc = const.m0 * const.c
+        gam = np.sqrt(1 + (ps ** 2).sum(1) / mc ** 2)
+        en = ((gam - 1) * w).sum() * const.m0 * const.c ** 2
+        return tx / ty, mom, en
+
+    a0, mom0, en0 = stats(st)
+    from epoch_tpu.physics.collisions import particle_collisions
+    key = jax.random.PRNGKey(11)
+    coll = jax.jit(lambda s, k: particle_collisions(
+        s, cfg, cfg.collision_plan, k))
+    for _ in range(200):
+        key, sub = jax.random.split(key)
+        st, _ = coll(st, sub)
+    a1, mom1, en1 = stats(st)
+    assert a1 < a0 * 0.95, (a0, a1)
+    assert np.allclose(mom1, mom0, atol=1e-8 * np.abs(mom0).max() + 1e-30)
+    # equal weights -> no weighted correction -> exact energy conservation
+    assert abs(en1 - en0) < 1e-8 * en0
