@@ -1,19 +1,26 @@
-"""Binary Coulomb collisions — Nanbu–Pérez model
+"""Binary Coulomb collisions and electron-impact ionisation
 (physics_packages/collisions.F90: particle_collisions :118,
-inter/intra_collisions_np :959,1416, calc_coulomb_log :1811).
+intra/inter_collisions_sk :731,1166, intra/inter_collisions_np :959,1416,
+collisional_ionisation :229, preionise :467, calc_coulomb_log :1811).
 
-Relativistic binary collisions between per-cell particle pairs: transform
-the pair to the centre-of-momentum frame, sample the cumulative scattering
-angle from Nanbu's distribution with Pérez et al. (PoP 19, 083104 (2012))
-piecewise inversion, rotate the COM momentum, and boost back.  The collision
-parameter s₁₂ carries the densities, Coulomb logarithm (optionally
-self-consistent) and the cold-plasma limit s'.
+Two relativistic pairwise algorithms, selected by ``use_nanbu``:
+Nanbu–Pérez (default: cumulative angle from Nanbu's distribution with the
+Pérez et al. PoP 19, 083104 (2012) piecewise inversion and cold-plasma
+limit s') and Sentoku–Kemp (JCP 227, 6846 (2008): Gaussian cumulative
+angle with clamped collision frequency and the weighted-particle energy
+correction).  Electron-impact ionisation uses MBELL/MRBEB cross sections.
 
-TPU design: collisions run on the binned engine's slot grid, where per-cell
-pairing is free — a per-cell random shuffle is one lax.sort along the slot
-axis and pairs are adjacent slots (intra) or equal slots of the two species
-(inter).  The reference's linked-list walk + Fisher-Yates shuffle
-(shuffle_particle_list_random, collisions.F90:1747) maps to exactly this.
+TPU design, per engine:
+
+* binned — per-cell pairing is free on the slot grid: a per-cell random
+  shuffle is one lax.sort along the slot axis and pairs are adjacent
+  slots (intra) or equal slots of the two species (inter);
+* scatter — one argsort groups each species by cell with random
+  within-cell order (the linked-list walk + Fisher–Yates shuffle of
+  shuffle_particle_list_random :1747 collapses into the sort key); pairs
+  are adjacent sorted entries (intra) or per-cell rank-matched rows
+  truncated to the smaller count (inter), and per-cell densities and
+  temperatures come from flat segment sums.
 """
 from __future__ import annotations
 

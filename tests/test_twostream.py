@@ -80,7 +80,7 @@ def test_twostream_growth(tmp_path):
     assert gamma_th > 0
 
     st = sim.state
-    chunk = 200
+    chunk = 100
     times, energies = [], []
     nsteps = int(0.15 / cfg.dt)
     for _ in range(nsteps // chunk):
@@ -93,13 +93,16 @@ def test_twostream_growth(tmp_path):
 
     sat = energies.max()
     floor = energies.min()
-    # fit in the clean exponential window (noise floor ≪ E² ≪ saturation)
-    lo, hi = sat * 1e-4, sat * 3e-2
-    win = (energies > lo) & (energies < hi) & (times < times[np.argmax(energies)])
-    assert win.sum() >= 3, "no clean growth window found"
-    slope = np.polyfit(times[win], np.log(energies[win]), 1)[0]
-    gamma_sim = slope / 2.0     # E² grows at 2γ
     # instability must develop by many e-foldings
     assert sat > 1e2 * floor
-    assert 0.5 * gamma_th < gamma_sim < 1.5 * gamma_th, \
+    # the asymptotic rate only shows once the fastest mode dominates and
+    # before saturation: measure the PEAK local slope of ln E² (the early
+    # window is polluted by noise-seeded mode competition and reads low)
+    ln = np.log(energies)
+    local = np.gradient(ln, times) / 2.0
+    grow = (times < times[np.argmax(energies)]) \
+        & (energies > 1e-3 * sat) & (energies < 0.5 * sat)
+    assert grow.sum() >= 3, "no clean growth window found"
+    gamma_sim = float(local[grow].max())
+    assert 0.6 * gamma_th < gamma_sim < 1.3 * gamma_th, \
         (gamma_sim, gamma_th)
