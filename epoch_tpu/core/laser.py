@@ -70,68 +70,102 @@ def _row(arr, axis, idx):
     return tuple(sl)
 
 
-def outflow_bcs_x(f: Fields, cfg, state, dt, time, hi: bool, dtype):
-    """outflow_bcs_x_min / x_max (laser.f90:325-485).
+def outflow_bcs(f: Fields, cfg, state, dt, time, axis, hi: bool, dtype):
+    """outflow_bcs_{x,y,z}_{min,max} (1d laser.f90:325-485; the 2d/3d
+    variants add the transverse-derivative cross terms, e.g. 3d x_min
+    laser.f90 ``- lz*(bx(lp,:,k)-bx(lp,:,k-1))`` in the bz row and
+    ``- ly*(bx(lp,j,:)-bx(lp,j-1,:))`` in the by row).
 
-    Solves the incoming characteristic for the tangential B row just outside
-    the domain, with optional laser source terms; axis = x. ``dt`` is passed
+    Solves the incoming characteristic for the two tangential B rows just
+    outside the domain, with optional laser source terms.  For boundary
+    axis a with cyclic transverse axes t1=(a+1)%3, t2=(a+2)%3 the min-side
+    update is (verified against all three reference dimensionalities):
+
+        b_{t2}' = s*( 4*src1 + 2*(E_{t1,s} + c*B_{t2,s}) - 2*e_{t1}
+                      - l_{t2}*d_{t2} b_a + dt/eps0*j_{t1} + diff*b_{t2})
+        b_{t1}' = s*(-4*src2 - 2*(E_{t2,s} - c*B_{t1,s}) + 2*e_{t2}
+                      - l_{t1}*d_{t1} b_a - dt/eps0*j_{t2} + diff*b_{t1})
+
+    and the max side mirrors every sign except diff.  ``dt`` is passed
     explicitly because the init-time call uses dt/2 (epoch1d.F90:154-158).
     """
     grid = cfg.grid
+    nd = grid.ndims
     ng = grid.ng
-    bd = const.BD_X_MAX if hi else const.BD_X_MIN
+    bd = 2 * axis + (1 if hi else 0)
     bc = cfg.bc_field[bd]
     # Fortran laser row index (laser.f90:333-338,432-437)
     if bc == const.BC.CPML_LASER:
-        # boundary.F90:896-900, 960-965 (single-domain: nx_global_min = 1)
-        lp_f = (grid.n[0] - grid.cpml_thickness - cfg.fng + 1) if hi \
+        # boundary.F90:896-900, 960-965 (single-domain: n_global_min = 1)
+        lp_f = (grid.n[axis] - grid.cpml_thickness - cfg.fng + 1) if hi \
             else (grid.cpml_thickness + cfg.fng)
     else:
-        lp_f = grid.n[0] if hi else 1
+        lp_f = grid.n[axis] if hi else 1
     lp = lp_f + ng - 1      # python index of the boundary row
-    dx = grid.delta[0]
+    d_ax = grid.delta[axis]
     dtc2 = dt * const.c ** 2
-    lx = dtc2 / dx
-    s = 1.0 / (lx + const.c)
-    diff = lx - const.c
+    l_ax = dtc2 / d_ax
+    s = 1.0 / (l_ax + const.c)
+    diff = l_ax - const.c
     dt_eps = dt / const.epsilon0
 
-    ctx_coords = _transverse_coords(grid, 0, dtype)
+    ctx_coords = _transverse_coords(grid, axis, dtype)
     src1, src2 = laser_sources(cfg, bd, time, state.lasers.integral_phase,
                                dtype, ctx_coords)
 
     bcf = state.bc_fields
-    key = "x_max" if hi else "x_min"
+    names = ["x", "y", "z"]
+    key = f"{names[axis]}_{'max' if hi else 'min'}"
+    t1, t2 = (axis + 1) % 3, (axis + 2) % 3
+    e = [f.ex, f.ey, f.ez]
+    b = [f.bx, f.by, f.bz]
+    j = [f.jx, f.jy, f.jz]
+    bn = ["bx", "by", "bz"]
+    en = ["ex", "ey", "ez"]
 
-    if not hi:
-        bx = f.bx.at[_row(f.bx, 0, lp - 1)].set(bcf[f"bx_{key}"])
-        bz_new = s * (4.0 * src1
-                      + 2.0 * (bcf[f"ey_{key}"] + const.c * bcf[f"bz_{key}"])
-                      - 2.0 * f.ey[_row(f.ey, 0, lp)]
-                      + dt_eps * f.jy[_row(f.jy, 0, lp)]
-                      + diff * f.bz[_row(f.bz, 0, lp)])
-        by_new = s * (-4.0 * src2
-                      - 2.0 * (bcf[f"ez_{key}"] - const.c * bcf[f"by_{key}"])
-                      + 2.0 * f.ez[_row(f.ez, 0, lp)]
-                      - dt_eps * f.jz[_row(f.jz, 0, lp)]
-                      + diff * f.by[_row(f.by, 0, lp)])
-        bz = f.bz.at[_row(f.bz, 0, lp - 1)].set(bz_new)
-        by = f.by.at[_row(f.by, 0, lp - 1)].set(by_new)
-    else:
-        bx = f.bx.at[_row(f.bx, 0, lp + 1)].set(bcf[f"bx_{key}"])
-        bz_new = s * (-4.0 * src1
-                      - 2.0 * (bcf[f"ey_{key}"] - const.c * bcf[f"bz_{key}"])
-                      + 2.0 * f.ey[_row(f.ey, 0, lp)]
-                      - dt_eps * f.jy[_row(f.jy, 0, lp)]
-                      + diff * f.bz[_row(f.bz, 0, lp - 1)])
-        by_new = s * (4.0 * src2
-                      + 2.0 * (bcf[f"ez_{key}"] + const.c * bcf[f"by_{key}"])
-                      - 2.0 * f.ez[_row(f.ez, 0, lp)]
-                      + dt_eps * f.jz[_row(f.jz, 0, lp)]
-                      + diff * f.by[_row(f.by, 0, lp - 1)])
-        bz = f.bz.at[_row(f.bz, 0, lp)].set(bz_new)
-        by = f.by.at[_row(f.by, 0, lp)].set(by_new)
-    return f._replace(bx=bx, by=by, bz=bz)
+    def row(arr, idx):
+        return arr[_row(arr, axis, idx)]
+
+    def dtrans(arr, t, idx):
+        """d/dt-axis backward difference of arr's boundary row, scaled
+        by dt*c²/delta_t; zero when the axis doesn't exist (1d/2d)."""
+        if t >= nd:
+            return 0.0
+        r = row(arr, idx)
+        tt = t if t < axis else t - 1     # axis position in the row slice
+        shifted = jnp.roll(r, 1, axis=tt)
+        return (dtc2 / grid.delta[t]) * (r - shifted)
+
+    sgn = -1.0 if hi else 1.0
+    out = lp + 1 if hi else lp - 1          # row written outside the domain
+    dref = lp - 1 if hi else lp             # row feeding the diff term
+
+    b_axis_new = b[axis].at[_row(b[axis], axis, out)].set(
+        bcf[f"{bn[axis]}_{key}"])
+    bt2_new = s * (sgn * 4.0 * src1
+                   + 2.0 * sgn * bcf[f"{en[t1]}_{key}"]
+                   + 2.0 * const.c * bcf[f"{bn[t2]}_{key}"]
+                   - sgn * 2.0 * row(e[t1], lp)
+                   - sgn * dtrans(b[axis], t2, lp)
+                   + sgn * dt_eps * row(j[t1], lp)
+                   + diff * row(b[t2], dref))
+    bt1_new = s * (-sgn * 4.0 * src2
+                   - 2.0 * sgn * bcf[f"{en[t2]}_{key}"]
+                   + 2.0 * const.c * bcf[f"{bn[t1]}_{key}"]
+                   + sgn * 2.0 * row(e[t2], lp)
+                   - sgn * dtrans(b[axis], t1, lp)
+                   - sgn * dt_eps * row(j[t2], lp)
+                   + diff * row(b[t1], dref))
+    wrow = lp if hi else lp - 1             # written tangential-B row
+    upd = {bn[axis]: b_axis_new}
+    upd[bn[t2]] = b[t2].at[_row(b[t2], axis, wrow)].set(bt2_new)
+    upd[bn[t1]] = b[t1].at[_row(b[t1], axis, wrow)].set(bt1_new)
+    return f._replace(**upd)
+
+
+def outflow_bcs_x(f: Fields, cfg, state, dt, time, hi: bool, dtype):
+    """Backwards-compatible x-axis wrapper."""
+    return outflow_bcs(f, cfg, state, dt, time, 0, hi, dtype)
 
 
 def update_laser_phases(cfg, state, dt):

@@ -519,30 +519,41 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
 
 
 def _field_boundary_saves(fields: Fields, cfg) -> dict:
-    """ey_x_min etc. (setup_field_boundaries, setup.F90:363-388)."""
+    """ey_x_min etc. for every domain boundary (setup_field_boundaries,
+    setup.F90:363-388): components staggered along the boundary axis are
+    averaged over the two rows straddling the edge."""
     grid = cfg.grid
     ng = grid.ng
-    n = grid.n[0]
-    f0 = ng          # Fortran 1
-    f1 = n + ng - 1  # Fortran nx
-    if cfg.bc_field[const.BD_X_MIN] == const.BC.CPML_LASER:
-        f0 = (grid.cpml_thickness + cfg.fng - 1) + ng - 1
-    if cfg.bc_field[const.BD_X_MAX] == const.BC.CPML_LASER:
-        f1 = (n - grid.cpml_thickness - cfg.fng + 2) + ng - 1
-
-    def row(a, i):
-        sl = [slice(None)] * a.ndim
-        sl[0] = i
-        return a[tuple(sl)]
-
+    names = ["x", "y", "z"]
+    # stagger flags per axis: which of (ex,ey,ez,bx,by,bz) are staggered
+    # along that axis (Yee layout)
+    e_stag = {0: ("ex",), 1: ("ey",), 2: ("ez",)}
     out = {}
-    for key, i in (("x_min", f0), ("x_max", f1)):
-        out[f"ex_{key}"] = 0.5 * (row(fields.ex, i) + row(fields.ex, i - 1))
-        out[f"ey_{key}"] = row(fields.ey, i)
-        out[f"ez_{key}"] = row(fields.ez, i)
-        out[f"bx_{key}"] = row(fields.bx, i)
-        out[f"by_{key}"] = 0.5 * (row(fields.by, i) + row(fields.by, i - 1))
-        out[f"bz_{key}"] = 0.5 * (row(fields.bz, i) + row(fields.bz, i - 1))
+    for axis in range(grid.ndims):
+        n = grid.n[axis]
+        f0 = ng
+        f1 = n + ng - 1
+        if cfg.bc_field[2 * axis] == const.BC.CPML_LASER:
+            f0 = (grid.cpml_thickness + cfg.fng - 1) + ng - 1
+        if cfg.bc_field[2 * axis + 1] == const.BC.CPML_LASER:
+            f1 = (n - grid.cpml_thickness - cfg.fng + 2) + ng - 1
+
+        def row(a, i):
+            sl = [slice(None)] * a.ndim
+            sl[axis] = i
+            return a[tuple(sl)]
+
+        stag_e = e_stag[axis][0]
+        stag_b = [f"b{names[t]}" for t in range(3) if t != axis]
+        for side, i in (("min", f0), ("max", f1)):
+            key = f"{names[axis]}_{side}"
+            for nm in ("ex", "ey", "ez", "bx", "by", "bz"):
+                arr = getattr(fields, nm)
+                if nm == stag_e or nm in stag_b:
+                    out[f"{nm}_{key}"] = 0.5 * (row(arr, i)
+                                                + row(arr, i - 1))
+                else:
+                    out[f"{nm}_{key}"] = row(arr, i)
     return out
 
 

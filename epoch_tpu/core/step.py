@@ -90,11 +90,12 @@ def make_step_functions(cfg):
         state = state._replace(
             lasers=state.lasers._replace(integral_phase=phases))
         f = bnd.bfield_bcs(state.fields, cfg, mpi_only=False)
-        for hi in (False, True):
-            bd = const.BD_X_MAX if hi else const.BD_X_MIN
-            if cfg.needs_outflow_bcs(bd):
-                f = las.outflow_bcs_x(f, cfg, state._replace(fields=f),
-                                      dt_eff, time, hi, dtype)
+        for axis in range(cfg.ndims):
+            for hi in (False, True):
+                bd = 2 * axis + (1 if hi else 0)
+                if cfg.needs_outflow_bcs(bd):
+                    f = las.outflow_bcs(f, cfg, state._replace(fields=f),
+                                        dt_eff, time, axis, hi, dtype)
         f = bnd.bfield_bcs(f, cfg, mpi_only=True)
         return state._replace(fields=f)
 

@@ -404,6 +404,18 @@ class DeckParser:
                 elif ell == "identify":
                     s.identify = val.strip().lower()
                     s.species_type = _species_type_from_identify(s.identify)
+                    # identify also fixes charge/mass
+                    # (identify_species, deck_species_block.F90:1382-1424)
+                    ident = s.identify
+                    if ident == "electron":
+                        s.charge, s.mass = -const.q0, const.m0
+                    elif ident == "proton":
+                        s.charge, s.mass = const.q0, 1836.2 * const.m0
+                        s.atomic_number = max(s.atomic_number, 1)
+                    elif ident == "positron":
+                        s.charge, s.mass = const.q0, const.m0
+                    elif "photon" in ident:
+                        s.charge, s.mass = 0.0, 0.0
                 elif ell == "dump" or ell == "dumpmask":
                     s.dumpmask = self.dumpmask(val)
                 elif ell == "atomic_number" or ell == "atomic_no":

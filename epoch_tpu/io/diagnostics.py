@@ -357,6 +357,9 @@ PARTICLE_VARS = {
                           "kg", lambda s, sp: sp.mass * _gamma_of(s, sp)),
     "optical_depth": ("optical_depth", "Particles/Optical Depth", "",
                       lambda s, sp: s.opdepth),
+    "bremsstrahlung_optical_depth": (
+        "optical_depth_brem", "Particles/Bremsstrahlung Optical Depth", "",
+        lambda s, sp: s.opdepth_brem),
 }
 
 
