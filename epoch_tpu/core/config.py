@@ -114,6 +114,7 @@ class SimConfig:
     split_plan: Any = None         # housekeeping.SplitPlan or None
     migration_plan: Any = None     # housekeeping.MigrationPlan or None
     track_ejected: bool = False    # 'ejected_particles' output requested
+    dump_absorption: bool = False  # 'absorption' output requested
     probe_plans: tuple = ()        # per-probe static descriptors
     particle_push_start_time: float = 0.0
     deck: Any = None         # original DeckConfig (host-side only)

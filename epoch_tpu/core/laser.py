@@ -182,3 +182,67 @@ def update_laser_phases(cfg, state, dt):
         else:
             new.append(las.omega * state.time)
     return jnp.stack(new)
+
+
+def absorption_increments(f: Fields, cfg, state, dt, time, axis, hi, dtype):
+    """Poynting-flux energy bookkeeping at an outflow boundary
+    (calc_absorption, laser.f90:435-478): returns (d_absorb, d_inject).
+
+    Cell-centred field rows are used for every component (the reference
+    itself notes exact face-centring is impossible at open boundaries);
+    transverse staggering averages are dropped — a diagnostic-level
+    simplification."""
+    grid = cfg.grid
+    ng = grid.ng
+    bd = 2 * axis + (1 if hi else 0)
+    n = grid.n[axis]
+    ibc = (n if hi else 1) + ng - 1
+    direc = -1.0 if hi else 1.0
+    dd = 1.0
+    for d in range(grid.ndims):
+        if d != axis:
+            dd *= grid.delta[d]
+    t1, t2 = (axis + 1) % 3, (axis + 2) % 3
+    e = [f.ex, f.ey, f.ez]
+    b = [f.bx, f.by, f.bz]
+
+    def row(arr, idx):
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = idx
+        return arr[tuple(sl)]
+
+    def interior_t(rowarr):
+        sl = []
+        k = 0
+        for d in range(grid.ndims):
+            if d == axis:
+                continue
+            sl.append(slice(ng, ng + grid.n[d]))
+        return rowarr[tuple(sl)] if sl else rowarr
+
+    e1 = interior_t(row(e[t1], ibc))
+    e2 = interior_t(row(e[t2], ibc))
+    b1 = interior_t(0.5 * (row(b[t2], ibc - 1) + row(b[t2], ibc)))
+    b2 = interior_t(0.5 * (row(b[t1], ibc - 1) + row(b[t1], ibc)))
+    factor = dt * dd * direc
+    d_absorb = (factor / const.mu0) * jnp.sum(e1 * b1 - e2 * b2)
+
+    d_inject = jnp.zeros((), dtype)
+    ctx_coords = _transverse_coords(grid, axis, dtype)
+    for i, las in enumerate(cfg.lasers):
+        if las.boundary != bd:
+            continue
+        ctx = dict(ctx_coords)
+        ctx["time"] = time
+        t_env = 1.0
+        if las.t_profile is not None:
+            t_env = las.t_profile(ctx, xp=jnp)
+        profile = jnp.asarray(1.0, dtype)
+        if las.profile is not None:
+            profile = las.profile(ctx, xp=jnp) * jnp.ones_like(e1)
+        active = jnp.logical_and(time >= las.t_start, time <= las.t_end)
+        lfac = 0.5 * const.epsilon0 * const.c * factor \
+            * (t_env * las.amp) ** 2
+        d_inject = d_inject + jnp.where(
+            active, lfac * jnp.sum(profile ** 2 * jnp.ones_like(e1)), 0.0)
+    return d_absorb, d_inject

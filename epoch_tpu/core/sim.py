@@ -300,6 +300,8 @@ def build_config(deck: DeckConfig) -> SimConfig:
     if any("ejected_particles" in o.variables for o in deck.outputs) \
             and cfg.engine != "binned":
         cfg = dataclasses.replace(cfg, track_ejected=True)
+    if any("absorption" in o.variables for o in deck.outputs):
+        cfg = dataclasses.replace(cfg, dump_absorption=True)
     return cfg
 
 

@@ -90,14 +90,21 @@ def make_step_functions(cfg):
         state = state._replace(
             lasers=state.lasers._replace(integral_phase=phases))
         f = bnd.bfield_bcs(state.fields, cfg, mpi_only=False)
+        lasers = state.lasers
         for axis in range(cfg.ndims):
             for hi in (False, True):
                 bd = 2 * axis + (1 if hi else 0)
                 if cfg.needs_outflow_bcs(bd):
                     f = las.outflow_bcs(f, cfg, state._replace(fields=f),
                                         dt_eff, time, axis, hi, dtype)
+                    if cfg.dump_absorption:
+                        da, di = las.absorption_increments(
+                            f, cfg, state, dt_eff, time, axis, hi, dtype)
+                        lasers = lasers._replace(
+                            absorb_local=lasers.absorb_local + da,
+                            inject_local=lasers.inject_local + di)
         f = bnd.bfield_bcs(f, cfg, mpi_only=True)
-        return state._replace(fields=f)
+        return state._replace(fields=f, lasers=lasers)
 
     def fields_final(state: SimState) -> SimState:
         f, cpml = fld.update_b_field(state.fields, cfg, plan, state.cpml)

@@ -94,6 +94,10 @@ def write_restart(path, cfg, state: SimState, deck_text: str = ""):
                            "grid")
     w.write_plain_variable("restart/laser_phase", "Restart/laser_phase",
                            np.asarray(state.lasers.integral_phase), "grid")
+    w.write_constant("restart/laser_absorb", "Restart/laser_absorb",
+                     float(state.lasers.absorb_local))
+    w.write_constant("restart/laser_inject", "Restart/laser_inject",
+                     float(state.lasers.inject_local))
     for k, g in enumerate(state.fluid_grids):
         w.write_plain_variable(f"restart/fluid{k}", f"Restart/Fluid/{k}",
                                np.asarray(g), "grid")
@@ -154,6 +158,10 @@ def read_restart(path, cfg, template: SimState) -> SimState:
         rng = jax.random.wrap_key_data(rng)
     lasers = template.lasers._replace(
         integral_phase=arr("Restart/laser_phase"))
+    if "Restart/laser_absorb" in d:
+        lasers = lasers._replace(
+            absorb_local=jnp.asarray(d["Restart/laser_absorb"].data, dtype),
+            inject_local=jnp.asarray(d["Restart/laser_inject"].data, dtype))
     fluid_grids = tuple(arr(f"Restart/Fluid/{k}")
                         for k in range(len(template.fluid_grids)))
     return template._replace(

@@ -551,6 +551,17 @@ class OutputManager:
                 w.write_constant("total_particle_energy",
                                  "Total Particle Energy in Simulation (J)",
                                  total_particle_energy(cfg, state))
+        # laser absorption bookkeeping (diagnostics.F90:884-898)
+        if self._fires(mask_map.get("absorption", 0)):
+            inj = float(state.lasers.inject_local)
+            absd = float(state.lasers.absorb_local)
+            frac = absd / inj if inj > 0 else 0.0
+            w.write_constant("laser_enTotal",
+                             "Absorption/Total Laser Energy Injected (J)",
+                             inj)
+            w.write_constant("abs_frac",
+                             "Absorption/Fraction of Laser Energy "
+                             "Absorbed (%)", frac)
         # particle data
         part_vars = [v for v in mask_map
                      if v in PARTICLE_VARS and self._fires(mask_map[v])]

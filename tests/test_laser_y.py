@@ -75,3 +75,30 @@ def test_y_laser_injects_and_absorbs(tmp_path):
     assert abs(e_steady2 - e_steady1) < 0.12 * e_steady1, \
         (e_steady1, e_steady2)
     assert e_steady1 < 4.0 * e_half
+
+
+def test_absorption_bookkeeping(tmp_path):
+    """A laser into vacuum with an absorbing far boundary: after several
+    crossings the absorbed fraction approaches 1 and the injected energy
+    matches 0.5*eps0*c*E0^2*T*A within the cell-centred approximation."""
+    import jax.numpy as jnp
+    deck = DECK.format(t_end=1.0).replace(
+        "begin:output", "begin:output\n  absorption = always")
+    (tmp_path / "input.deck").write_text(deck)
+    sim = Simulation(str(tmp_path / "input.deck"))
+    cfg = sim.cfg
+    assert cfg.dump_absorption
+    st = sim.state
+    t_cross = 32e-6 / const.c
+    nsteps = int(3.0 * t_cross / cfg.dt)
+    for _ in range(nsteps):
+        st = sim.fns["step_b"](sim.fns["step_a"](st))
+    inj = float(st.lasers.inject_local)
+    absd = float(st.lasers.absorb_local)
+    # expected injection: 0.5 eps0 c amp² <sin²> ... the reference counts
+    # the peak envelope (no sin² average), so expect ≈ 0.5 eps0 c E0² T A
+    t_tot = nsteps * cfg.dt
+    expect = 0.5 * const.epsilon0 * const.c * (1e12) ** 2 * t_tot * 16e-6
+    assert 0.5 * expect < inj < 1.5 * expect, (inj, expect)
+    # beam transits and is absorbed: fraction near 1/2 (sin² average) to 1
+    assert 0.25 < absd / inj < 1.1, (absd, inj)
