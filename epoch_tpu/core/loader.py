@@ -212,7 +212,18 @@ def load_species(sp_block, grid, rng, dtype, cap_headroom=1.25,
 
     # momenta (setup_particle_temperature[-relativistic] + drift)
     p = np.zeros((total, 3))
-    if getattr(sp_block, "use_maxwell_juettner", False):
+    if getattr(sp_block, "dist_fn", None) is not None:
+        p = sample_dist_fn(sp_block, pos, grid, rng)
+        drift_vec = np.stack(
+            [_eval_at_points(sp_block.drift[i], pos, grid, default=0.0)
+             for i in range(3)], axis=1)
+        if np.any(drift_vec):
+            # mean-drift boost (the reference folds the drift into the
+            # rejection acceptance, sample_from_deck_expression :511-517;
+            # a deterministic boost reproduces the mean flow)
+            p = drift_lorentz_transform(p, sp_block.mass,
+                                        drift_vec.mean(0))
+    elif getattr(sp_block, "use_maxwell_juettner", False):
         temp = _eval_at_points(sp_block.temp[0], pos, grid, default=0.0)
         p = sample_maxwell_juettner(rng, sp_block.mass, temp, total,
                                     cutoff=sp_block.fractional_tail_cutoff)
@@ -363,3 +374,57 @@ def load_from_file(pff, grid, base_dir=""):
                 f"count mismatch")
         arrs["id"] = ids.astype(np.int64)
     return arrs
+
+
+def sample_dist_fn(sp_block, pos, grid, rng, max_its=2000):
+    """Accept-reject sampling of an arbitrary deck momentum distribution
+    (setup_particle_dist_fn, particle_temperature.F90:133-209 +
+    sample_from_deck_expression :458-524): uniform candidates over the
+    dist_fn_p*_range boxes accepted with probability dist_fn(p) — the
+    deck normalises the expression to a peak of <= 1, as the reference
+    requires."""
+    import numpy as xp
+    n = pos.shape[0]
+    names = ["x", "y", "z"]
+    base_ctx = {}
+    for d in range(grid.ndims):
+        base_ctx[names[d]] = pos[:, d]
+    _add_geom_ctx(base_ctx, grid)
+
+    los = np.zeros((n, 3))
+    his = np.zeros((n, 3))
+    for c in range(3):
+        rng_c = sp_block.dist_fn_ranges[c]
+        if rng_c is None:
+            continue
+        los[:, c] = np.broadcast_to(
+            np.asarray(rng_c[0](base_ctx, xp=xp), float), (n,))
+        his[:, c] = np.broadcast_to(
+            np.asarray(rng_c[1](base_ctx, xp=xp), float), (n,))
+
+    p = los.copy()           # zero-width components stay at their lo (0)
+    todo = np.ones(n, bool)
+    for _ in range(max_its):
+        m = int(todo.sum())
+        if m == 0:
+            break
+        cand = los[todo] + rng.uniform(size=(m, 3)) * (his[todo]
+                                                       - los[todo])
+        ctx = dict(base_ctx)
+        for d in range(grid.ndims):
+            ctx[names[d]] = pos[todo, d]
+        ctx["px"], ctx["py"], ctx["pz"] = cand[:, 0], cand[:, 1], cand[:, 2]
+        prob = np.broadcast_to(
+            np.asarray(sp_block.dist_fn(ctx, xp=xp), float), (m,))
+        acc = rng.uniform(size=m) <= prob
+        idx = np.flatnonzero(todo)[acc]
+        p[idx] = cand[acc]
+        left = todo.copy()
+        left[idx] = False
+        todo = left
+    if todo.any():
+        raise RuntimeError(
+            f"dist_fn sampling for species {sp_block.name!r} failed to "
+            f"converge for {int(todo.sum())} particles after {max_its} "
+            f"iterations; is the distribution normalised to peak <= 1?")
+    return p

@@ -167,6 +167,11 @@ class SpeciesBlock:
     l_quantum: int = 0
     use_maxwell_juettner: bool = False
     fractional_tail_cutoff: float = 20.0
+    # arbitrary momentum distribution (deck_species_block.F90:859-886):
+    # accept-reject on dist_fn over the dist_fn_p*_range boxes
+    dist_fn: Optional[Expression] = None
+    dist_fn_ranges: list = dfield(
+        default_factory=lambda: [None, None, None])
 
 
 @dataclass

@@ -450,6 +450,14 @@ class DeckParser:
                 elif ell in ("drift_z_back", "drift_pz_back",
                              "drift_z_background", "drift_pz_background"):
                     s.drift_back[2] = self.num(val)
+                elif ell == "dist_fn":
+                    s.dist_fn = self.expr(val)
+                elif ell in ("dist_fn_px_range", "dist_fn_py_range",
+                             "dist_fn_pz_range"):
+                    comp = "xyz".index(ell[9])
+                    parts = _split_top_level(_strip_parens(val))
+                    s.dist_fn_ranges[comp] = (self.expr(parts[0]),
+                                              self.expr(parts[1]))
                 elif ell == "split":
                     s.split = self.logical(val)
                 elif ell == "npart_max":

@@ -71,3 +71,47 @@ def test_import_directive(tmp_path):
         "  number_density = dens * 2\n  nparticles = 10\nend:species\n")
     cfg = load_deck(str(tmp_path / "input.deck"))
     assert cfg.species[0].density({}) == 10.0
+
+
+def test_species_dist_fn_sampling(tmp_path):
+    """Arbitrary momentum distribution loader (power_law.deck style):
+    a triangular dist_fn in px reproduces its mean and sign support."""
+    import numpy as np
+    from epoch_tpu.core import Simulation
+    deck = """
+begin:control
+  pusher = scatter
+  nx = 16
+  t_end = 1
+  x_min = 0
+  x_max = 1.6e-5
+end:control
+begin:boundaries
+  bc_x_min = periodic
+  bc_x_max = periodic
+end:boundaries
+begin:constant
+  p0 = 1e-22
+end:constant
+begin:species
+  name = beam
+  charge = -1
+  mass = 1.0
+  number_density = 1e20
+  nparticles = 4096
+  dist_fn = px / p0
+  dist_fn_px_range = (0, p0)
+end:species
+begin:output
+  dt_snapshot = 1
+end:output
+"""
+    (tmp_path / "input.deck").write_text(deck)
+    sim = Simulation(str(tmp_path / "input.deck"), seed=9)
+    sl = sim.state.species[0]
+    alive = np.asarray(sl.alive)
+    px = np.asarray(sl.p)[alive, 0]
+    assert np.all(px >= 0) and np.all(px <= 1e-22)
+    # f(p) ∝ p on [0, p0] → mean 2/3 p0
+    assert abs(px.mean() - 2.0 / 3.0 * 1e-22) < 0.03e-22
+    assert np.allclose(np.asarray(sl.p)[alive, 1:], 0.0)
