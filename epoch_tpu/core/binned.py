@@ -122,14 +122,18 @@ class BinnedPlan:
             self.fj = (self.fac / (cfg.dt * d[1] * d[2]),
                        self.fac / (cfg.dt * d[0] * d[2]),
                        self.fac / (cfg.dt * d[0] * d[1]))
-        # One rebin per step (at the end): the half-drift can move cell1 one
-        # bin away (c1 ∈ {-1,0,1}), so gather offsets span −2..2 and the
-        # deposition window (support+2 around cell1, particles.F90:79-83)
-        # spans −3..3.  Weight evaluation uses compile-time polynomials
-        # selected on the small integer cell offsets, so the wider windows
-        # cost far less than a second slot-sort would.
-        self.gather_offsets = tuple(range(-2, 3))
-        self.offsets = tuple(range(-3, 4))
+        # One rebin per step, placed right AFTER the half-drift: between two
+        # rebin points the particle moves at most one full step (≤1 cell by
+        # CFL), so the rebin still only needs the 3 axis-neighbour candidate
+        # sets, while the gather then sees ξ ∈ [-0.5, 0.5) exactly (c1 ≡ 0:
+        # unstaggered support −1..1, staggered c2 ∈ {-1,0}: support −2..1)
+        # and the deposition at t+1.5dt sees c3 ∈ {-1,0,1} (window −2..2,
+        # matching the reference's support+2, particles.F90:79-83).  This
+        # halves the window area versus rebinning at the end of the step
+        # (5×5→≤4×4 gather, 7×7→5×5 deposit) at identical sort cost.
+        self.g_offsets = (-1, 0, 1)
+        self.h_offsets = (-2, -1, 0, 1)
+        self.offsets = tuple(range(-2, 3))
 
     def grid_axis(self, d):
         """Array axis of grid dimension d in (K, *grid) arrays."""
@@ -196,8 +200,13 @@ def as_slab(binned: BinnedSpecies, grid) -> ParticleSlab:
     )
 
 
-def to_flat(binned: BinnedSpecies, grid):
-    """Flat (host) view for diagnostics: absolute positions, p, w, alive."""
+def to_flat(binned: BinnedSpecies, grid, periodic=None):
+    """Flat (host) view for diagnostics: absolute positions, p, w, alive.
+
+    ξ may overhang the bin by up to one CFL step between rebins; periodic
+    axes wrap the absolute position into [lo, hi) to match the scatter
+    engine's particle_bcs convention (boundary.F90:1074-1096).
+    """
     nd = grid.ndims
     n = grid.n
     K = binned.K
@@ -209,6 +218,10 @@ def to_flat(binned: BinnedSpecies, grid):
     x = np.zeros((nd, K, C))
     for d in range(nd):
         x[d] = grid.grid_min(d) + (cells[d][None, :] + xi[d]) * grid.delta[d]
+        if periodic is None or periodic[d]:
+            length = n[d] * grid.delta[d]
+            lo = grid.lo[d]
+            x[d] = lo + np.mod(x[d] - lo, length)
     alive = w > 0
     return (x.reshape(nd, -1).T, p.reshape(3, -1).T, w.reshape(-1),
             alive.reshape(-1))
@@ -251,7 +264,8 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
     cm = q * 0.5 * plan.dt * ipart_mc
     ccm = cm * const.c
 
-    # half drift in grid units (particles.F90:234-257); entry ξ ∈ [-0.5,0.5)
+    # half drift in grid units (particles.F90:234-257); entry ξ ∈ [-1.5,1.5)
+    # (previous step's full move, unrebinned)
     w = binned.w
     p = binned.p
     alive = w > 0
@@ -261,45 +275,60 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
     xi_ax = [jnp.where(alive, binned.xi[d] + u[d] * root / plan.delta[d],
                        binned.xi[d]) for d in range(nd)]
 
-    # stagger-set cell offsets relative to the bin (particles.F90:248-287):
-    # cell1 = bin + c1 with c1 ∈ {-1,0,1}; cell2 = bin + c2, c2 ∈ {-1,0}
-    c1 = [jnp.floor(x + 0.5) for x in xi_ax]
-    cf1 = [c1[d] - xi_ax[d] for d in range(nd)]
+    # rebin NOW (mid-push): the slot permutation restores ξ ∈ [-0.5,0.5),
+    # so cell1 ≡ bin (c1 = 0) for the gather below
+    binned = rebin(binned._replace(xi=jnp.stack(xi_ax)), plan)
+    w = binned.w
+    p = binned.p
+    alive = w > 0
+    xi_ax = [binned.xi[d] for d in range(nd)]
+    u = [p[i] * ipart_mc for i in range(3)]
+
+    # stagger-set fractions relative to the bin (particles.F90:248-287):
+    # cell1 = bin exactly; cell2 = bin + c2 with c2 ∈ {-1,0}
+    cf1 = [-xi_ax[d] for d in range(nd)]
     c2 = [jnp.floor(x) for x in xi_ax]
     cf2 = [c2[d] - xi_ax[d] + 0.5 for d in range(nd)]
 
     from .boundaries import STAGGER
     names = ("ex", "ey", "ez", "bx", "by", "bz")
-    gofs = plan.gather_offsets
-    # weights at compile-time offsets, selected on the small integer cell
-    # offsets (concrete polynomials — no generic where-chains)
-    gw = [[_w_rel(cf1[d], o, c1[d], (-1.0, 0.0, 1.0)) for o in gofs]
+    # per-axis weight tables: unstaggered gw on −1..1 (direct polynomials,
+    # c1 = 0), staggered hw on −2..1 (2-way select on c2)
+    gw = [{o: _tri_const(cf1[d], o) for o in plan.g_offsets}
           for d in range(nd)]
-    hw = [[_w_rel(cf2[d], o, c2[d], (-1.0, 0.0)) for o in gofs]
+    hw = [{o: _w_rel(cf2[d], o, c2[d], (-1.0, 0.0)) for o in plan.h_offsets}
           for d in range(nd)]
     fstack = jnp.stack([interior_fields[nm] for nm in names], axis=0)
     # periodic-pad once; every window offset is then a *static slice* of the
     # padded stack (no rolls in the hot loop)
-    gpad = max(-gofs[0], gofs[-1])
+    gpad = 2
     fpad = jnp.pad(fstack, ((0, 0),) + ((gpad, gpad),) * nd, mode="wrap")
     stag_bits = {nm: tuple(int(STAGGER[nm][d]) for d in range(nd))
                  for nm in names}
-    accs = {nm: jnp.zeros(w.shape, dtype) for nm in names}
-    for off in itertools.product(range(len(gofs)), repeat=nd):
-        otup = tuple(gofs[i] for i in off)
-        wprod = {}
-        for bits in itertools.product((0, 1), repeat=nd):
-            ww = None
-            for d in range(nd):
-                wd = hw[d][off[d]] if bits[d] else gw[d][off[d]]
-                ww = wd if ww is None else ww * wd
-            wprod[bits] = ww
-        sl = (slice(None),) + tuple(
-            slice(gpad + otup[d], gpad + otup[d] + plan.n[d])
-            for d in range(nd))
-        window = fpad[sl]                            # (6, *g) static slice
-        for k, nm in enumerate(names):
-            accs[nm] = accs[nm] + wprod[stag_bits[nm]] * window[k][None]
+    # weight products cached per stagger pattern, window per component
+    wprod_cache = {}
+
+    def wprods(bits):
+        if bits not in wprod_cache:
+            tabs = [hw[d] if bits[d] else gw[d] for d in range(nd)]
+            out = {}
+            for otup in itertools.product(*[sorted(t) for t in tabs]):
+                ww = None
+                for d in range(nd):
+                    wd = tabs[d][otup[d]]
+                    ww = wd if ww is None else ww * wd
+                out[otup] = ww
+            wprod_cache[bits] = out
+        return wprod_cache[bits]
+
+    accs = {}
+    for k, nm in enumerate(names):
+        acc = jnp.zeros(w.shape, dtype)
+        for otup, ww in wprods(stag_bits[nm]).items():
+            sl = tuple(slice(gpad + otup[d], gpad + otup[d] + plan.n[d])
+                       for d in range(nd))
+            acc = acc + ww * fpad[(k,) + sl][None]
+        accs[nm] = acc
     if _debug is not None:
         _debug["accs"] = accs
         _debug["cf1"] = cf1
@@ -349,15 +378,18 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
     if not (sp.zero_current or sp.immobile):
         live_w = jnp.where(alive, w, 0.0)
         xi_dep = [xi_new[d] + delta[d] for d in range(nd)]
-        c3 = [jnp.floor(x + 0.5) for x in xi_dep]
+        # c3 ∈ {-1,0,1}: |ξ_dep| < 0.5 + one full CFL step < 1.5 (clip is a
+        # pure safety net for CFL-violating inputs)
+        c3 = [jnp.clip(jnp.floor(x + 0.5), -1.0, 1.0) for x in xi_dep]
         cf3 = [c3[d] - xi_dep[d] for d in range(nd)]
         W = len(plan.offsets)
-        bvals = (-2.0, -1.0, 0.0, 1.0, 2.0)
+        bvals = (-1.0, 0.0, 1.0)
         # per-axis window weight vectors (gx from the half-drift position,
         # hx−gx differences, and their running sums — the closed form of
         # the reference's jxh/jyh prefix accumulation); concrete-offset
-        # polynomials keep everything select-free
-        gx5 = [[_w_rel(cf1[d], o, c1[d], (-1.0, 0.0, 1.0))
+        # polynomials keep everything select-free (gx: c1 = 0 directly)
+        zero = jnp.zeros_like(cf1[0])
+        gx5 = [[(_tri_const(cf1[d], o) if abs(o) <= 1 else zero)
                 for o in plan.offsets] for d in range(nd)]
         hx5 = [[_w_rel(cf3[d], o, c3[d], bvals) for o in plan.offsets]
                for d in range(nd)]
@@ -456,8 +488,9 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
 
     new_xi = jnp.stack(xi_new)
     new_xi = jnp.where(alive[None], new_xi, binned.xi)
+    # no rebin here — the next step's mid-push rebin (above) restores the
+    # binning invariant; ξ stays in [-1.5, 1.5) until then
     out = binned._replace(xi=new_xi, p=new_p)
-    out = rebin(out, plan)
     return out, currents
 
 

@@ -45,7 +45,10 @@ def smooth_array(arr, cfg, its, comp_its):
         # update interior only (Fortran 1..nx); reuse solver region mask is
         # wider (0..nx) — build the exact one lazily on cfg
         out = jnp.where(_interior_mask(cfg), acc, out)
-        if it >= its:
+        # alpha switches to the compensator only for iterations *after*
+        # it > its (current_smooth.F90:130-133); beta keeps the binomial
+        # value, exactly as the reference does
+        if it > its:
             alpha = its * 0.5 + 1.0
     return out
 

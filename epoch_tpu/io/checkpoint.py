@@ -101,6 +101,31 @@ def write_restart(path, cfg, state: SimState, deck_text: str = ""):
     for k, g in enumerate(state.fluid_grids):
         w.write_plain_variable(f"restart/fluid{k}", f"Restart/Fluid/{k}",
                                np.asarray(g), "grid")
+    # injector fractional-depth accumulators (read_injector_depths,
+    # setup.F90:1520), probe capture buffers and ejected-particle buffers —
+    # required for bit-exact resume of decks using those features
+    for k, dep in enumerate(state.injector_depth):
+        w.write_plain_variable(f"restart/injdepth{k}",
+                               f"Restart/InjectorDepth/{k}",
+                               np.asarray(dep), "grid")
+
+    def _write_slab(prefix, slab):
+        w.write_plain_variable(f"restart/{prefix}_x", f"Restart/{prefix}/x",
+                               np.asarray(slab.x), "grid")
+        w.write_plain_variable(f"restart/{prefix}_p", f"Restart/{prefix}/p",
+                               np.asarray(slab.p), "grid")
+        w.write_plain_variable(f"restart/{prefix}_w", f"Restart/{prefix}/w",
+                               np.asarray(slab.weight), "grid")
+        w.write_plain_variable(f"restart/{prefix}_al", f"Restart/{prefix}/al",
+                               np.asarray(slab.alive).astype(np.int32),
+                               "grid")
+        w.write_plain_variable(f"restart/{prefix}_id", f"Restart/{prefix}/id",
+                               np.asarray(slab.id).astype(np.int64), "grid")
+
+    for k, buf in enumerate(state.probes):
+        _write_slab(f"Probe{k}", buf)
+    for k, buf in enumerate(state.ejected):
+        _write_slab(f"Ejected{k}", buf)
     if deck_text:
         w.write_datablock("input_deck", "Input Deck", deck_text.encode(),
                           "text/plain")
@@ -164,8 +189,27 @@ def read_restart(path, cfg, template: SimState) -> SimState:
             inject_local=jnp.asarray(d["Restart/laser_inject"].data, dtype))
     fluid_grids = tuple(arr(f"Restart/Fluid/{k}")
                         for k in range(len(template.fluid_grids)))
+    injector_depth = tuple(
+        arr(f"Restart/InjectorDepth/{k}")
+        if f"Restart/InjectorDepth/{k}" in d else template.injector_depth[k]
+        for k in range(len(template.injector_depth)))
+
+    def _read_slab(prefix, t):
+        if f"Restart/{prefix}/x" not in d:
+            return t
+        return t._replace(
+            x=arr(f"Restart/{prefix}/x"), p=arr(f"Restart/{prefix}/p"),
+            weight=arr(f"Restart/{prefix}/w"),
+            alive=jnp.asarray(d[f"Restart/{prefix}/al"].data != 0),
+            id=jnp.asarray(d[f"Restart/{prefix}/id"].data.astype(np.int64)))
+
+    probes = tuple(_read_slab(f"Probe{k}", t)
+                   for k, t in enumerate(template.probes))
+    ejected = tuple(_read_slab(f"Ejected{k}", t)
+                    for k, t in enumerate(template.ejected))
     return template._replace(
-        fluid_grids=fluid_grids,
+        fluid_grids=fluid_grids, injector_depth=injector_depth,
+        probes=probes, ejected=ejected,
         fields=fields, cpml=cpml, species=tuple(species), lasers=lasers,
         time=jnp.asarray(d["Restart/time"].data, dtype),
         step=jnp.asarray(d["Restart/step"].data, jnp.int32),

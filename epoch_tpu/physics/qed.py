@@ -226,6 +226,10 @@ def qed_update(state, cfg, plan: QEDPlan, key):
     species = list(state.species)
     tab = plan.tables
     mc0 = const.m0 * const.c
+    # the reference gates QED on the push being active AND
+    # time > qed_start_time (photons.F90 via epoch1d.F90:190-196)
+    active = (state.time > plan.start_time) \
+        & (state.time >= cfg.particle_push_start_time)
 
     for i in plan.emitters:
         slab = species[i]
@@ -247,8 +251,8 @@ def qed_update(state, cfg, plan: QEDPlan, key):
                        jnp.log10(jnp.maximum(eta, 1e-300)))
         d_od = dt * eta * const.alpha_fine * math.sqrt(3.0) * h \
             / (2.0 * math.pi * TAU_C * gamma)
-        od = od - jnp.where(slab.alive, d_od, 0.0)
-        fire = slab.alive & (od <= 0.0)
+        od = od - jnp.where(slab.alive & active, d_od, 0.0)
+        fire = slab.alive & active & (od <= 0.0)
 
         # photon energy from the tabulated inverse CDF (generate_photon)
         r = jax.random.uniform(k2, od.shape, od.dtype)
@@ -295,8 +299,8 @@ def qed_update(state, cfg, plan: QEDPlan, key):
                                jnp.log10(jnp.maximum(chi, 1e-300)))
             d_od = dt / TAU_C * const.alpha_fine \
                 / jnp.maximum(part_e, 1e-300) * chi * tpair
-            od = od - jnp.where(slab.alive, d_od, 0.0)
-            fire = slab.alive & (od <= 0.0) & (part_e > 2.0)
+            od = od - jnp.where(slab.alive & active, d_od, 0.0)
+            fire = slab.alive & active & (od <= 0.0) & (part_e > 2.0)
 
             r = jax.random.uniform(k2, od.shape, od.dtype)
             # energy split fraction from energy_split.table (generate_pair)

@@ -63,7 +63,12 @@ class Runner:
             path = rs if os.path.isabs(rs) else os.path.join(data_dir, rs)
             if not os.path.exists(path) and not rs.endswith(".sdf"):
                 path = path + ".sdf"
-            self.sim.state = read_restart(path, self.sim.cfg, self.sim.state)
+            st = read_restart(path, self.sim.cfg, self.sim.state)
+            # restart dumps are written at the mid-step output point; the
+            # reference completes the step on restart (time += dt/2,
+            # update_eb_fields_final, moving_window — epoch1d.F90:144-152),
+            # so run the step_b half before entering the main loop
+            self.sim.state = self.sim.fns["step_b"](st)
         self.out = OutputManager(self.sim.cfg, self.sim.deck, data_dir,
                                  n_zeros=self.sim.deck.control.n_zeros)
         if rs:
@@ -105,6 +110,9 @@ class Runner:
                 self._status_line(st)
             st = self.out.maybe_dump(sim, st)
             if s % check_every == 0:
+                # sync the live state first: a STOP-file restart dump must
+                # contain the current step, not the stale initial state
+                self.sim.state = st
                 halt = self._check_stop()
             st = sim.fns["step_b"](st)
         sim.state = st
