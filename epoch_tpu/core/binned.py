@@ -109,9 +109,9 @@ class BinnedPlan:
         self.n = grid.n
         self.dt = cfg.dt
         self.delta = grid.delta
-        self.fac = shapes.FAC_1D[self.shape] ** self.nd
-        self.dto2 = cfg.dt / 2.0
-        self.dtco2 = const.c * self.dto2
+        self.fac = float(shapes.FAC_1D[self.shape] ** self.nd)
+        self.dto2 = float(cfg.dt / 2.0)
+        self.dtco2 = float(const.c * self.dto2)
         d = grid.delta
         if self.nd == 1:
             self.fj = (self.fac / cfg.dt, self.fac / d[0], self.fac / d[0])
@@ -122,6 +122,7 @@ class BinnedPlan:
             self.fj = (self.fac / (cfg.dt * d[1] * d[2]),
                        self.fac / (cfg.dt * d[0] * d[2]),
                        self.fac / (cfg.dt * d[0] * d[1]))
+        self.fj = tuple(float(v) for v in self.fj)
         # One rebin per step, placed right AFTER the half-drift: between two
         # rebin points the particle moves at most one full step (≤1 cell by
         # CFL), so the rebin still only needs the 3 axis-neighbour candidate
@@ -468,22 +469,7 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
                         jpad = pad_add(jpad, (plan.offsets[ix],
                                               plan.offsets[iy],
                                               plan.offsets[iz]), v3)
-        # periodic fold of the margins (processor_summation_bcs analogue)
-        for d in range(nd):
-            ax = 1 + d
-            n = plan.n[d]
-
-            def slc(lo, hi):
-                sl = [slice(None)] * (nd + 1)
-                sl[ax] = slice(lo, hi)
-                return tuple(sl)
-
-            jpad = jpad.at[slc(n, n + M)].add(jpad[slc(0, M)])
-            jpad = jpad.at[slc(M, 2 * M)].add(jpad[slc(n + M, n + 2 * M)])
-        core = (slice(None),) + tuple(slice(M, M + plan.n[d])
-                                      for d in range(nd))
-        jcore = jpad[core]
-        jx_c, jy_c, jz_c = jcore[0], jcore[1], jcore[2]
+        jx_c, jy_c, jz_c = fold_margins(jpad, plan)
         currents = (jx_c, jy_c, jz_c)
 
     new_xi = jnp.stack(xi_new)
@@ -492,6 +478,71 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
     # binning invariant; ξ stays in [-1.5, 1.5) until then
     out = binned._replace(xi=new_xi, p=new_p)
     return out, currents
+
+
+def fold_margins(jpad, plan):
+    """Periodic fold of the deposition margins back into the interior
+    (processor_summation_bcs analogue, boundary.F90:783-806)."""
+    nd = plan.nd
+    M = -plan.offsets[0]
+    for d in range(nd):
+        ax = 1 + d
+        n = plan.n[d]
+
+        def slc(lo, hi):
+            sl = [slice(None)] * (nd + 1)
+            sl[ax] = slice(lo, hi)
+            return tuple(sl)
+
+        jpad = jpad.at[slc(n, n + M)].add(jpad[slc(0, M)])
+        jpad = jpad.at[slc(M, 2 * M)].add(jpad[slc(n + M, n + 2 * M)])
+    core = (slice(None),) + tuple(slice(M, M + plan.n[d])
+                                  for d in range(nd))
+    jcore = jpad[core]
+    return jcore[0], jcore[1], jcore[2]
+
+
+def make_pallas_engines(cfg, plan, interpret=None):
+    """Per-species fused Pallas kernel drivers, or None where ineligible.
+
+    The Pallas path covers the 2D all-periodic triangle configuration in
+    single precision on TPU (the bench/LWFA hot path); everything else
+    falls back to the XLA slot-grid implementation above.
+    ``EPOCH_TPU_PALLAS`` ∈ {auto,0,1,interpret} overrides.
+    """
+    import os
+    mode = os.environ.get("EPOCH_TPU_PALLAS", "auto")
+    if interpret is None:
+        interpret = (mode == "interpret")
+    if mode == "0":
+        return [None] * len(cfg.species)
+    if plan.nd != 2 or jnp.dtype(cfg.dtype) != jnp.float32:
+        return [None] * len(cfg.species)
+    if not interpret:
+        if jax.default_backend() != "tpu" and mode != "1":
+            return [None] * len(cfg.species)
+        if plan.n[1] % 128 != 0:
+            return [None] * len(cfg.species)
+    from ..ops.binned_kernels import pick_bx, PallasBinned
+    if pick_bx(plan.n[0]) is None:
+        return [None] * len(cfg.species)
+    # VMEM budget: full field stack + J accumulator must fit comfortably
+    fbytes = 6 * (plan.n[0] + 4) * (plan.n[1] + 4) * 4
+    if fbytes > 6 * 1024 * 1024:
+        return [None] * len(cfg.species)
+    out = []
+    for sp in cfg.species:
+        if sp.immobile:
+            out.append(None)
+        else:
+            out.append(PallasBinned(plan, sp, cfg, interpret=interpret))
+    return out
+
+
+def push_deposit_pallas(engine, fwin, binned, plan):
+    """Fused-kernel variant of push_deposit_binned; returns per-stripe
+    partial currents (callers sum over species, then fold once)."""
+    return engine(fwin, binned)
 
 
 def rebin(binned: BinnedSpecies, plan) -> BinnedSpecies:

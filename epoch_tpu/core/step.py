@@ -120,6 +120,7 @@ def make_step_functions(cfg):
     if cfg.engine == "binned":
         from . import binned as binmod
         bplan = binmod.BinnedPlan(cfg)
+        pallas_engines = binmod.make_pallas_engines(cfg, bplan)
 
     def push_all(state: SimState) -> SimState:
         f = state.fields
@@ -176,18 +177,45 @@ def make_step_functions(cfg):
         ng = grid.ng
         interior = {nm: grid.interior(getattr(state.fields, nm))
                     for nm in ("ex", "ey", "ez", "bx", "by", "bz")}
+        fwin = None
+        first_engine = next((e for e in pallas_engines if e is not None),
+                            None)
+        if first_engine is not None:
+            # shared periodic-padded field stack → per-stripe windows,
+            # built once for all species
+            names = ("ex", "ey", "ez", "bx", "by", "bz")
+            fstack = jnp.stack([interior[nm] for nm in names], axis=0)
+            fpad = jnp.pad(fstack, ((0, 0),) + ((2, 2),) * cfg.ndims,
+                           mode="wrap")
+            fwin = first_engine.make_fwin(fpad)
         jx = jy = jz = None
+        jpart_sum = None
         new_species = []
-        for sp_cfg, b in zip(cfg.species, state.species):
+        for si, (sp_cfg, b) in enumerate(zip(cfg.species, state.species)):
             if sp_cfg.immobile:
                 new_species.append(b)
                 continue
-            b, cur = binmod.push_deposit_binned(interior, b, sp_cfg, bplan)
+            if pallas_engines[si] is not None:
+                b, jpart = binmod.push_deposit_pallas(
+                    pallas_engines[si], fwin, b, bplan)
+                cur = None
+                if not (sp_cfg.zero_current or sp_cfg.immobile):
+                    jpart_sum = jpart if jpart_sum is None \
+                        else jpart_sum + jpart
+            else:
+                b, cur = binmod.push_deposit_binned(interior, b, sp_cfg,
+                                                    bplan)
             new_species.append(b)
             if cur is not None:
                 jx = cur[0] if jx is None else jx + cur[0]
                 jy = cur[1] if jy is None else jy + cur[1]
                 jz = cur[2] if jz is None else jz + cur[2]
+        if jpart_sum is not None:
+            cur = binmod.fold_margins(
+                first_engine.fold_jpart(jpart_sum), bplan)
+            jx = cur[0] if jx is None else jx + cur[0]
+            jy = cur[1] if jy is None else jy + cur[1]
+            jz = cur[2] if jz is None else jz + cur[2]
         sl = tuple(slice(ng, ng + n) for n in grid.n)
         if jx is not None:
             f = f._replace(jx=f.jx.at[sl].set(jx),

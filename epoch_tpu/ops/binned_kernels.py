@@ -1,0 +1,528 @@
+"""Fused Pallas TPU kernels for the binned particle engine (2D).
+
+The hot loop of the reference is the per-particle gather/Boris/move/deposit
+walk (``epoch2d/src/particles.F90:28-565``).  ``core/binned.py`` re-designs
+that as dense slot-grid array programs; this module lowers the two hot
+phases to Pallas so the slot payloads stay VMEM-resident instead of paying
+an HBM round-trip per intermediate:
+
+* **drift + rebin kernel**: the half-drift followed by the per-axis slot
+  compaction.  The XLA path compacts with ``lax.sort`` over 3K candidate
+  slots (~3 ms/step at bench shapes); here the compaction is a butterfly
+  routing network along the *slot* axis — the leading, register-tiled axis,
+  so every shuffle is free and only the selects cost VPU work.  Stable
+  compaction is a monotone routing, which an LSB→MSB butterfly performs
+  conflict-free (verified exhaustively in tests).
+* **push + deposit kernel**: field gather (per-component ≤4×4 windows,
+  c1 ≡ 0 after the rebin), Boris rotation, move, and the closed-form PSC
+  charge-conserving deposition into a margin-padded J accumulated in VMEM
+  across the sequential stripe grid.
+
+Both kernels tile the grid into x-stripes of ``BX`` cells; the rebin kernel
+receives the two halo columns of each stripe as separate inputs (periodic
+wrap is applied by the XLA-side gather of those columns).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as const
+
+
+def _tri_const(cf, r: int):
+    """Triangle weight at a compile-time integer offset (gx.inc)."""
+    if r == -1:
+        return 0.25 + cf * cf + cf
+    if r == 0:
+        return 1.5 - 2.0 * cf * cf
+    if r == 1:
+        return 0.25 + cf * cf - cf
+    return None
+
+
+def _w_sel(cf, o: int, base, base_vals):
+    """Weight at offset ``o`` relative to integer array ``base`` restricted
+    to ``base_vals`` (select between concrete polynomials)."""
+    out = None
+    for bv in base_vals:
+        poly = _tri_const(cf, o - int(bv))
+        if poly is None:
+            continue
+        term = jnp.where(base == bv, poly, 0.0)
+        out = term if out is None else out + term
+    if out is None:
+        return jnp.zeros_like(cf)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# drift + rebin kernel
+# ---------------------------------------------------------------------------
+
+def _compact(payloads, w, n_rows):
+    """Stable live-first compaction along axis 0 via butterfly routing.
+
+    ``w > 0`` marks live rows.  Returns (payloads, w) with every live row
+    moved to the top (original order preserved) and vacated rows dead.
+    The downward shift of each live row equals ``index - rank`` where rank
+    is the exclusive count of live rows above; routing one shift bit per
+    stage is conflict-free for monotone ranks.
+    """
+    live = (w > 0).astype(jnp.int32)
+    shape = (n_rows,) + (1,) * (w.ndim - 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+    # inclusive prefix count of live rows (Hillis–Steele; rolls along the
+    # slot axis are register moves)
+    csum = live
+    sh = 1
+    while sh < n_rows:
+        csum = csum + jnp.where(iota >= sh, jnp.roll(csum, sh, axis=0), 0)
+        sh *= 2
+    s = jnp.where(live > 0, iota - (csum - 1), 0)    # downward shift
+    b = 0
+    while (1 << b) < n_rows:
+        step = 1 << b
+        move = (live > 0) & (((s >> b) & 1) == 1)
+        # the element `step` below arrives here; wrap arrivals are invalid
+        arrive = jnp.roll(move, -step, axis=0) & (iota < n_rows - step)
+        payloads = [jnp.where(arrive, jnp.roll(a, -step, axis=0), a)
+                    for a in payloads]
+        w = jnp.where(arrive, jnp.roll(w, -step, axis=0),
+                      jnp.where(move, 0.0, w))
+        s = jnp.where(arrive, jnp.roll(s, -step, axis=0), s)
+        live = (w > 0).astype(jnp.int32)
+        b += 1
+    return payloads, w
+
+
+def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop):
+    """One axis of the rebin: adjust ξ by dc, gather the 3 neighbour
+    candidate sets along the slot axis and compact back to K slots.
+
+    ``axis`` 0 = stripe-x (halo columns supplied), 1 = lane-y (periodic
+    roll).  ``p`` is a list of 3 momentum arrays.
+    """
+    xi_a = xi0 if axis == 0 else xi1
+    alive = w > 0
+    dc = jnp.clip(jnp.floor(xi_a + 0.5), -1.0, 1.0)
+    dc = jnp.where(alive, dc, 0.0)
+    xi_a = xi_a - dc
+    payload = [xi_a if axis == 0 else xi0, xi_a if axis == 1 else xi1] + p
+
+    if axis == 0:
+        # haloL/haloR: (w, xi0, xi1, p0, p1, p2) column tuples (K, 1, NY),
+        # ξ already drift-advanced; adjust their dc the same way
+        def col(h):
+            hw, hx0, hx1, hp0, hp1, hp2 = h
+            hxa = hx0
+            hdc = jnp.clip(jnp.floor(hxa + 0.5), -1.0, 1.0)
+            hdc = jnp.where(hw > 0, hdc, 0.0)
+            hx0a = hx0 - hdc
+            return hw, [hx0a, hx1, hp0, hp1, hp2], hdc
+        wL, plL, dcL = col(haloL)
+        wR, plR, dcR = col(haloR)
+
+        def from_left(a, h):
+            return jnp.concatenate([h, a[:, :-1, :]], axis=1)
+
+        def from_right(a, h):
+            return jnp.concatenate([a[:, 1:, :], h], axis=1)
+
+        w_l = from_left(w, wL)
+        w_r = from_right(w, wR)
+        dc_l = from_left(dc, dcL)
+        dc_r = from_right(dc, dcR)
+        pls_l = [from_left(a, h) for a, h in zip(payload, plL)]
+        pls_r = [from_right(a, h) for a, h in zip(payload, plR)]
+    else:
+        def roll_y(a, o):
+            return jnp.roll(a, o, axis=2)
+        w_l = roll_y(w, 1)
+        w_r = roll_y(w, -1)
+        dc_l = roll_y(dc, 1)
+        dc_r = roll_y(dc, -1)
+        pls_l = [roll_y(a, 1) for a in payload]
+        pls_r = [roll_y(a, -1) for a in payload]
+
+    live_l = (w_l > 0) & (dc_l == 1.0)
+    live_c = (w > 0) & (dc == 0.0)
+    live_r = (w_r > 0) & (dc_r == -1.0)
+    cand_w = jnp.concatenate([jnp.where(live_c, w, 0.0),
+                              jnp.where(live_l, w_l, 0.0),
+                              jnp.where(live_r, w_r, 0.0)], axis=0)
+    cands = [jnp.concatenate([c, l, r], axis=0)
+             for c, l, r in zip(payload, pls_l, pls_r)]
+    n_live = jnp.sum((cand_w > 0).astype(jnp.int32))
+    cands, cand_w = _compact(cands, cand_w, 3 * K)
+    w = cand_w[:K]
+    cands = [a[:K] for a in cands]
+    ndrop = ndrop + n_live - jnp.sum((w > 0).astype(jnp.int32))
+    return w, cands[0], cands[1], cands[2:], ndrop
+
+
+def make_drift_rebin(K, BX, NY, nxb, dt, delta, mass, dtype,
+                     interpret=False):
+    """Build the drift+rebin pallas_call for one species (2D).
+
+    Inputs: w (K,nx,NY), xi (2,K,nx,NY), p (3,K,nx,NY), halo columns
+    wE (K,nxb,2,NY), xiE (2,K,nxb,2,NY), pE (3,K,nxb,2,NY) where
+    [...,0,:] is the column left of each stripe and [...,1,:] the column
+    right of it.  Returns (w', xi', p', n_dropped_increment).
+    """
+    ipart_mc = float(1.0 / (const.c * mass))
+    dtco2 = float(const.c * dt / 2.0)
+    fx = float(dtco2 / delta[0])
+    fy = float(dtco2 / delta[1])
+
+    def drift(w, xi0, xi1, p0, p1, p2):
+        alive = w > 0
+        u0 = p0 * ipart_mc
+        u1 = p1 * ipart_mc
+        u2 = p2 * ipart_mc
+        igam = jax.lax.rsqrt(u0 * u0 + u1 * u1 + u2 * u2 + 1.0)
+        xi0 = jnp.where(alive, xi0 + u0 * igam * fx, xi0)
+        xi1 = jnp.where(alive, xi1 + u1 * igam * fy, xi1)
+        return xi0, xi1
+
+    def kernel(w_ref, xi_ref, p_ref, we_ref, xie_ref, pe_ref,
+               wo_ref, xio_ref, po_ref, nd_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            nd_ref[0, 0] = 0
+
+        w = w_ref[:]
+        xi0 = xi_ref[0]
+        xi1 = xi_ref[1]
+        p = [p_ref[0], p_ref[1], p_ref[2]]
+        xi0, xi1 = drift(w, xi0, xi1, *p)
+
+        def halo(side):
+            hw = we_ref[:, 0, side, :][:, None, :]
+            hx0 = xie_ref[0, :, 0, side, :][:, None, :]
+            hx1 = xie_ref[1, :, 0, side, :][:, None, :]
+            hp = [pe_ref[c, :, 0, side, :][:, None, :] for c in range(3)]
+            hx0, hx1 = drift(hw, hx0, hx1, *hp)
+            return (hw, hx0, hx1, *hp)
+
+        ndrop = jnp.zeros((), jnp.int32)
+        w, xi0, xi1, p, ndrop = _axis_rebin(
+            w, xi0, xi1, p, halo(0), halo(1), K, 0, ndrop)
+        w, xi0, xi1, p, ndrop = _axis_rebin(
+            w, xi0, xi1, p, None, None, K, 1, ndrop)
+        wo_ref[:] = w
+        xio_ref[0] = xi0
+        xio_ref[1] = xi1
+        po_ref[0] = p[0]
+        po_ref[1] = p[1]
+        po_ref[2] = p[2]
+        nd_ref[0, 0] = nd_ref[0, 0] + ndrop
+
+    nx = nxb * BX
+    grid = (nxb,)
+    in_specs = [
+        pl.BlockSpec((K, BX, NY), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, K, BX, NY), lambda i: (0, 0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, K, BX, NY), lambda i: (0, 0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, 1, 2, NY), lambda i: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, K, 1, 2, NY), lambda i: (0, 0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, K, 1, 2, NY), lambda i: (0, 0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((K, BX, NY), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, K, BX, NY), lambda i: (0, 0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, K, BX, NY), lambda i: (0, 0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((K, nx, NY), dtype),
+        jax.ShapeDtypeStruct((2, K, nx, NY), dtype),
+        jax.ShapeDtypeStruct((3, K, nx, NY), dtype),
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# push + deposit kernel
+# ---------------------------------------------------------------------------
+
+def make_push_deposit(K, BX, NY, nxb, plan, sp, dtype, interpret=False):
+    """Build the gather/Boris/move/deposit pallas_call for one species.
+
+    Inputs: w, xi, p (post-rebin, ξ ∈ [-0.5,0.5)) and per-stripe field
+    windows fwin (nxb, 6, BX+4, NY+4) pre-sliced by the XLA caller, so
+    every in-kernel access is a *static* slice (Mosaic cannot lower
+    dynamic sublane starts).  Outputs: new xi, p and per-stripe partial
+    currents jpart (nxb, 3, BX+4, NY+4); the caller overlap-adds the
+    stripes and folds the periodic margins.  Mirrors particles.F90:199-514.
+    """
+    nd = 2
+    mass = float(sp.mass)
+    q = float(sp.charge)
+    part_mc = float(const.c * mass)
+    ipart_mc = float(1.0 / part_mc)
+    cm = float(q * 0.5 * plan.dt * ipart_mc)
+    ccm = float(cm * const.c)
+    fac = float(plan.fac)
+    fj = tuple(float(v) for v in plan.fj)
+    offsets = plan.offsets           # (-2..2)
+    W = len(offsets)
+    M = -offsets[0]
+    nx = nxb * BX
+    from ..core.boundaries import STAGGER
+    names = ("ex", "ey", "ez", "bx", "by", "bz")
+    stag_bits = {nm: tuple(int(STAGGER[nm][d]) for d in range(nd))
+                 for nm in names}
+
+    def kernel(w_ref, xi_ref, p_ref, f_ref, xio_ref, po_ref, j_ref):
+        j_ref[...] = jnp.zeros(j_ref.shape, j_ref.dtype)
+        w = w_ref[:]
+        alive = w > 0
+        xi = [xi_ref[0], xi_ref[1]]
+        p = [p_ref[0], p_ref[1], p_ref[2]]
+        u = [p[c] * ipart_mc for c in range(3)]
+
+        cf1 = [-xi[d] for d in range(nd)]
+        c2 = [jnp.floor(xi[d]) for d in range(nd)]
+        cf2 = [c2[d] - xi[d] + 0.5 for d in range(nd)]
+        gw = [{o: _tri_const(cf1[d], o) for o in (-1, 0, 1)}
+              for d in range(nd)]
+        hw = [{o: _w_sel(cf2[d], o, c2[d], (-1.0, 0.0))
+               for o in (-2, -1, 0, 1)} for d in range(nd)]
+
+        wprod_cache = {}
+
+        def wprods(bits):
+            if bits not in wprod_cache:
+                tabs = [hw[d] if bits[d] else gw[d] for d in range(nd)]
+                out = {}
+                for ox in sorted(tabs[0]):
+                    for oy in sorted(tabs[1]):
+                        out[(ox, oy)] = tabs[0][ox] * tabs[1][oy]
+                wprod_cache[bits] = out
+            return wprod_cache[bits]
+
+        accs = {}
+        for k, nm in enumerate(names):
+            acc = jnp.zeros(w.shape, dtype)
+            for (ox, oy), ww in wprods(stag_bits[nm]).items():
+                win = f_ref[0, k, ox + 2:ox + 2 + BX, 2 + oy:2 + oy + NY]
+                acc = acc + ww * win[None]
+            accs[nm] = acc
+
+        ex_p = fac * accs["ex"]
+        ey_p = fac * accs["ey"]
+        ez_p = fac * accs["ez"]
+        bx_p = fac * accs["bx"]
+        by_p = fac * accs["by"]
+        bz_p = fac * accs["bz"]
+
+        # Boris rotation (particles.F90:304-350)
+        uxm = u[0] + cm * ex_p
+        uym = u[1] + cm * ey_p
+        uzm = u[2] + cm * ez_p
+        igam = jax.lax.rsqrt(uxm * uxm + uym * uym + uzm * uzm + 1.0)
+        rootb = ccm * igam
+        tx = bx_p * rootb
+        ty = by_p * rootb
+        tz = bz_p * rootb
+        tx2, ty2, tz2 = tx * tx, ty * ty, tz * tz
+        tau = 1.0 / (1.0 + tx2 + ty2 + tz2)
+        uxp = ((1 + tx2 - ty2 - tz2) * uxm
+               + 2.0 * ((tx * ty + tz) * uym + (tx * tz - ty) * uzm)) * tau
+        uyp = ((1 - tx2 + ty2 - tz2) * uym
+               + 2.0 * ((ty * tz + tx) * uzm + (ty * tx - tz) * uxm)) * tau
+        uzp = ((1 - tx2 - ty2 + tz2) * uzm
+               + 2.0 * ((tz * tx + ty) * uxm + (tz * ty - tx) * uym)) * tau
+        ux = uxp + cm * ex_p
+        uy = uyp + cm * ey_p
+        uz = uzp + cm * ez_p
+        igam = jax.lax.rsqrt(ux * ux + uy * uy + uz * uz + 1.0)
+        rootc = const.c * igam
+        uvec = (ux, uy, uz)
+        delta = [uvec[d] * rootc * float(plan.dto2 / plan.delta[d])
+                 for d in range(nd)]
+        vy = uy * rootc
+        vz = uz * rootc
+
+        xi_new = [xi[d] + delta[d] for d in range(nd)]
+
+        # write-back (dead slots keep their values)
+        xio_ref[0] = jnp.where(alive, xi_new[0], xi[0])
+        xio_ref[1] = jnp.where(alive, xi_new[1], xi[1])
+        po_ref[0] = jnp.where(alive, ux * part_mc, p[0])
+        po_ref[1] = jnp.where(alive, uy * part_mc, p[1])
+        po_ref[2] = jnp.where(alive, uz * part_mc, p[2])
+
+        if sp.zero_current or sp.immobile:
+            return
+
+        # ---- deposition at t+1.5dt (particles.F90:397-514) ----
+        live_w = jnp.where(alive, w, 0.0)
+        xi_dep = [xi_new[d] + delta[d] for d in range(nd)]
+        c3 = [jnp.clip(jnp.floor(x + 0.5), -1.0, 1.0) for x in xi_dep]
+        cf3 = [c3[d] - xi_dep[d] for d in range(nd)]
+        zero = jnp.zeros_like(cf1[0])
+        gx5 = [[(_tri_const(cf1[d], o) if abs(o) <= 1 else zero)
+                for o in offsets] for d in range(nd)]
+        hx5 = [[_w_sel(cf3[d], o, c3[d], (-1.0, 0.0, 1.0)) for o in offsets]
+               for d in range(nd)]
+        dxw = [[hx5[d][k] - gx5[d][k] for k in range(W)] for d in range(nd)]
+        dcum = []
+        for d in range(nd):
+            run = []
+            acc = None
+            for k in range(W):
+                acc = dxw[d][k] if acc is None else acc + dxw[d][k]
+                run.append(acc)
+            dcum.append(run)
+        fjx = fj[0] * live_w * q
+        fjy = fj[1] * live_w * q
+        fjz = fj[2] * live_w * q
+        third = 1.0 / 3.0
+        xfac1 = [gx5[0][k] + 0.5 * dxw[0][k] for k in range(W)]
+        yfac1 = [gx5[1][k] + 0.5 * dxw[1][k] for k in range(W)]
+        yfac2 = [third * dxw[1][k] + 0.5 * gx5[1][k] for k in range(W)]
+        fz = fjz * vz
+        for ki in range(W):
+            for kj in range(W):
+                ox = offsets[ki]
+                oy = offsets[kj]
+                vx = jnp.sum(-fjx * dcum[0][ki] * yfac1[kj], axis=0)
+                vy_ = jnp.sum(-fjy * xfac1[ki] * dcum[1][kj], axis=0)
+                vz_ = jnp.sum(fz * (gx5[0][ki] * yfac1[kj]
+                                    + dxw[0][ki] * yfac2[kj]), axis=0)
+                xs = slice(ox + M, ox + M + BX)
+                ys = slice(M + oy, M + oy + NY)
+                j_ref[0, 0, xs, ys] += vx
+                j_ref[0, 1, xs, ys] += vy_
+                j_ref[0, 2, xs, ys] += vz_
+
+    grid = (nxb,)
+    in_specs = [
+        pl.BlockSpec((K, BX, NY), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, K, BX, NY), lambda i: (0, 0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, K, BX, NY), lambda i: (0, 0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 6, BX + 2 * M, NY + 2 * M), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((2, K, BX, NY), lambda i: (0, 0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, K, BX, NY), lambda i: (0, 0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, BX + 2 * M, NY + 2 * M), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((2, K, nx, NY), dtype),
+        jax.ShapeDtypeStruct((3, K, nx, NY), dtype),
+        jax.ShapeDtypeStruct((nxb, 3, BX + 2 * M, NY + 2 * M), dtype),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLA-side driver
+# ---------------------------------------------------------------------------
+
+def pick_bx(nx):
+    for bx in (8, 16, 4, 2):
+        if nx % bx == 0 and nx // bx >= 2:
+            return bx
+    return None
+
+
+class PallasBinned:
+    """Per-(species, config) kernel pair + the XLA glue."""
+
+    def __init__(self, plan, sp, cfg, interpret=False):
+        self.plan = plan
+        self.sp = sp
+        self.K = cfg.bin_k
+        self.nx, self.ny = plan.n
+        self.BX = pick_bx(self.nx)
+        self.nxb = self.nx // self.BX
+        dtype = jnp.dtype(cfg.dtype)
+        self.dtype = dtype
+        self.interpret = interpret
+        self.rebin = make_drift_rebin(
+            self.K, self.BX, self.ny, self.nxb, plan.dt, plan.delta,
+            sp.mass, dtype, interpret=interpret)
+        self.pushdep = make_push_deposit(
+            self.K, self.BX, self.ny, self.nxb, plan, sp, dtype,
+            interpret=interpret)
+        # static halo-column gather indices (periodic wrap)
+        idx_l = (np.arange(self.nxb) * self.BX - 1) % self.nx
+        idx_r = (np.arange(self.nxb) * self.BX + self.BX) % self.nx
+        self.halo_idx = np.stack([idx_l, idx_r], axis=1)   # (nxb, 2)
+
+    def halo_cols(self, a, axis):
+        """Gather the (left, right) halo columns per stripe along
+        grid-x ``axis`` → shape [..., nxb, 2, NY]."""
+        return jnp.take(a, jnp.asarray(self.halo_idx.reshape(-1)),
+                        axis=axis).reshape(
+            a.shape[:axis] + (self.nxb, 2) + a.shape[axis + 1:])
+
+    def make_fwin(self, fpad):
+        """Per-stripe field windows (shared by every species)."""
+        BX = self.BX
+        return jnp.stack([fpad[:, i * BX:i * BX + BX + 4]
+                          for i in range(self.nxb)], axis=0)
+
+    def fold_jpart(self, jpart):
+        """Overlap-add per-stripe partial currents into the padded J."""
+        BX = self.BX
+        jpad = jnp.zeros((3, self.nx + 4, self.ny + 4), jpart.dtype)
+        for i in range(self.nxb):
+            jpad = jpad.at[:, i * BX:i * BX + BX + 4].add(jpart[i])
+        return jpad
+
+    def __call__(self, fwin, binned):
+        """fwin from make_fwin.  Returns (new binned, jpart)."""
+        w, xi, p = binned.w, binned.xi, binned.p
+        we = self.halo_cols(w, 1)
+        xie = self.halo_cols(xi, 2)
+        pe = self.halo_cols(p, 2)
+        w, xi, p, ndrop = self.rebin(w, xi, p, we, xie, pe)
+        new_xi, new_p, jpart = self.pushdep(w, xi, p, fwin)
+        out = binned._replace(
+            xi=new_xi, p=new_p, w=w,
+            n_dropped=binned.n_dropped + ndrop[0, 0])
+        return out, jpart

@@ -1,0 +1,101 @@
+"""Fused Pallas kernels (ops/binned_kernels.py) vs the XLA slot-grid engine.
+
+Runs in Pallas interpret mode on the CPU test mesh; the same kernels are
+verified on real TPU hardware by the benchmark path.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import epoch_tpu.constants as const
+from epoch_tpu.core.grid import Grid
+from epoch_tpu.core.config import SimConfig, SpeciesConfig
+from epoch_tpu.core import binned as binmod
+
+
+def _setup(n=(16, 8), K=8):
+    nd = 2
+    dxv = 1e-6
+    grid = Grid(ndims=nd, shape_fn=const.Shape.TRIANGLE, n=n,
+                cpml_thickness=0, cpml_active=(False,) * (2 * nd),
+                lo=(0.0,) * nd, hi=tuple(ni * dxv for ni in n))
+    dt = 0.9 * dxv / (const.c * np.sqrt(nd))
+    sp = SpeciesConfig(name="e", charge=-const.q0, mass=const.m0, cap=512,
+                       bc_particle=(const.BC.PERIODIC,) * 6)
+    cfg = SimConfig(grid=grid, dt=dt, t_end=1.0, nsteps=-1,
+                    bc_field=(const.BC.PERIODIC,) * 6,
+                    bc_particle=(const.BC.PERIODIC,) * 6,
+                    species=(sp,), lasers=(), dtype=np.float32)
+    cfg = dataclasses.replace(cfg, bin_k=K)
+    plan = binmod.BinnedPlan(cfg)
+    rng = np.random.default_rng(3)
+    NP = int(np.prod(n))            # ~1 ppc: no slot overflow
+    x0 = np.stack([rng.uniform(0, grid.hi[d], NP) for d in range(nd)], 1)
+    p0 = rng.normal(scale=3e-22, size=(NP, 3))
+    w0 = rng.uniform(1, 2, NP)
+    bm = binmod.bin_from_arrays(x0.astype(np.float32),
+                                p0.astype(np.float32),
+                                w0.astype(np.float32), grid, K=K)
+    vals = {nm: jnp.asarray(rng.normal(size=n) * 1e3, jnp.float32)
+            for nm in ("ex", "ey", "ez", "bx", "by", "bz")}
+    return cfg, plan, sp, grid, bm, vals
+
+
+def test_pallas_matches_xla_engine():
+    cfg, plan, sp, grid, bm, interior = _setup()
+    engines = binmod.make_pallas_engines(cfg, plan, interpret=True)
+    eng = engines[0]
+    assert eng is not None
+    names = ("ex", "ey", "ez", "bx", "by", "bz")
+    fstack = jnp.stack([interior[nm] for nm in names], axis=0)
+    fpad = jnp.pad(fstack, ((0, 0), (2, 2), (2, 2)), mode="wrap")
+    fwin = eng.make_fwin(fpad)
+
+    b_x = bm
+    b_p = bm
+    for step in range(4):
+        b_x, cur_x = binmod.push_deposit_binned(interior, b_x, sp, plan)
+        b_p, jpart = binmod.push_deposit_pallas(eng, fwin, b_p, plan)
+        cur_p = binmod.fold_margins(eng.fold_jpart(jpart), plan)
+        for c in range(3):
+            scale = max(float(jnp.abs(cur_x[c]).max()), 1e-30)
+            err = float(jnp.abs(cur_x[c] - cur_p[c]).max()) / scale
+            assert err < 1e-5, (step, c, err)
+        xx, px, wx, ax = binmod.to_flat(b_x, grid)
+        xp, pp, wp, ap = binmod.to_flat(b_p, grid)
+        assert ax.sum() == ap.sum()
+        for d in range(2):
+            sx = np.sort(xx[ax][:, d])
+            sp_ = np.sort(xp[ap][:, d])
+            np.testing.assert_allclose(sx, sp_, rtol=0, atol=1e-11)
+        assert int(b_x.n_dropped) == 0
+        assert int(b_p.n_dropped) == 0
+
+
+def test_butterfly_compaction_property():
+    """The in-kernel compaction is stable live-first routing; check the
+    vectorised jnp implementation directly against numpy for random
+    masks (the Pallas kernel uses the same code)."""
+    from epoch_tpu.ops.binned_kernels import _compact
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        N = 48
+        w = np.where(rng.random((N, 4, 8)) < rng.uniform(0.1, 0.9),
+                     rng.uniform(0.5, 2.0, (N, 4, 8)), 0.0)
+        pay = rng.normal(size=(N, 4, 8))
+        (pay_c,), w_c = _compact([jnp.asarray(pay, jnp.float32)],
+                                 jnp.asarray(w, jnp.float32), N)
+        w_c = np.asarray(w_c)
+        pay_c = np.asarray(pay_c)
+        for a in range(4):
+            for b in range(8):
+                live = w[:, a, b] > 0
+                nl = live.sum()
+                # live-first, order preserved
+                assert (w_c[:nl, a, b] > 0).all()
+                assert (w_c[nl:, a, b] == 0).all()
+                np.testing.assert_allclose(pay_c[:nl, a, b],
+                                           pay[live, a, b], rtol=1e-6)
