@@ -1,5 +1,11 @@
 #!/usr/bin/env python
-"""Benchmark: particle pushes/sec/chip on a 2D plasma deck.
+"""Benchmark: particle pushes/sec/chip on the 2D LWFA north-star deck.
+
+A moving-window laser-wakefield config (BASELINE.json: "epoch2d
+moving-window LWFA"): laser injected at x_min, outflow x boundaries,
+window tracking at c, electrons + protons at {ppc} per cell each.
+Matches epoch2d/example_decks/window.deck extended with a laser driver.
+BENCH_MODE=periodic selects the round-1 all-periodic thermal deck.
 
 Prints ONE JSON line {"metric","value","unit","vs_baseline"}.
 Baseline (BASELINE.json): 1e9 particle-pushes/sec/chip target on TPU v5p.
@@ -13,6 +19,65 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 os.environ.setdefault("EPOCH_TPU_X64", "0")   # single precision for perf
+
+DECK_LWFA = """
+begin:control
+  precision = single
+  bin_headroom = 2.0
+  nx = {nx}
+  ny = {ny}
+  t_end = 1.0
+  x_min = 0
+  x_max = {lx}
+  y_min = 0
+  y_max = {ly}
+end:control
+begin:boundaries
+  bc_x_min = simple_laser
+  bc_x_max = simple_outflow
+  bc_y_min = periodic
+  bc_y_max = periodic
+end:boundaries
+begin:window
+  move_window = T
+  window_start_time = 0
+  window_v_x = 2.9979e8
+  bc_x_min_after_move = simple_outflow
+  bc_x_max_after_move = simple_outflow
+end:window
+begin:constant
+  lambda0 = 1.0e-6
+  omega0 = 2.0 * pi * cc / lambda0
+  w0 = {w0}
+  den = 1.0e24
+end:constant
+begin:laser
+  boundary = x_min
+  amp = 3.0e12
+  omega = omega0
+  t_profile = gauss(time, 40e-15, 20e-15)
+  profile = gauss(y, {yc}, w0)
+end:laser
+begin:species
+  name = electron
+  charge = -1
+  mass = 1.0
+  number_density = if(x gt {x0}, den, 0)
+  nparticles_per_cell = {ppc}
+  temperature_ev = 10
+end:species
+begin:species
+  name = proton
+  charge = 1
+  mass = 1836.2
+  number_density = if(x gt {x0}, den, 0)
+  nparticles_per_cell = {ppc}
+  temperature_ev = 1
+end:species
+begin:output
+  dt_snapshot = 1
+end:output
+"""
 
 DECK = """
 begin:control
@@ -66,28 +131,43 @@ def main():
     ny = int(os.environ.get("BENCH_NY", 256))
     ppc = int(os.environ.get("BENCH_PPC", 8))
     steps = int(os.environ.get("BENCH_STEPS", 50))
+    mode = os.environ.get("BENCH_MODE", "lwfa")
 
     d = tempfile.mkdtemp()
-    cell = 2.0e-8
     with open(os.path.join(d, "input.deck"), "w") as f:
-        f.write(DECK.format(nx=nx, ny=ny, ppc=ppc,
-                            lx=nx * cell, ly=ny * cell))
+        if mode == "lwfa":
+            cell = 5.0e-8          # 20 cells per laser wavelength
+            ly = ny * cell
+            f.write(DECK_LWFA.format(nx=nx, ny=ny, ppc=ppc,
+                                     lx=nx * cell, ly=ly,
+                                     yc=0.5 * ly, w0=0.25 * ly,
+                                     x0=0.25 * nx * cell))
+        else:
+            cell = 2.0e-8
+            f.write(DECK.format(nx=nx, ny=ny, ppc=ppc,
+                                lx=nx * cell, ly=ny * cell))
     sim = Simulation(os.path.join(d, "input.deck"))
 
-    def count(s):
-        if hasattr(s, "alive"):
-            return int(s.alive.sum())
-        return int((s.w > 0).sum())
-    npart = sum(count(s) for s in sim.state.species)
+    def count(st):
+        tot = 0
+        for s in st.species:
+            if hasattr(s, "alive"):
+                tot += int(s.alive.sum())
+            else:
+                tot += int((s.w > 0).sum())
+        return tot
 
     run_n = make_full_step(sim.cfg)
     # warmup with the same step count (single compile of the scanned step)
     st = run_n(sim.state, steps)
     jax.block_until_ready(st.fields.ex)
+    n0 = count(st)
     t0 = time.perf_counter()
     st = run_n(st, steps)
     jax.block_until_ready(st.fields.ex)
     dt_wall = time.perf_counter() - t0
+    # population varies with window refill/outflow: use the mean
+    npart = 0.5 * (n0 + count(st))
 
     pushes_per_sec = npart * steps / dt_wall
     baseline = 1e9

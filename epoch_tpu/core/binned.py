@@ -135,6 +135,13 @@ class BinnedPlan:
         self.g_offsets = (-1, 0, 1)
         self.h_offsets = (-2, -1, 0, 1)
         self.offsets = tuple(range(-2, 3))
+        # kill/reflect boundary cell per axis side: the CPML layer is part
+        # of the grid but outside the particle domain (grid.local_lo/hi)
+        th = grid.cpml_thickness
+        self.kb = tuple(
+            (th if grid.cpml_active[2 * d] else 0,
+             grid.n[d] - 1 - (th if grid.cpml_active[2 * d + 1] else 0))
+            for d in range(self.nd))
 
     def grid_axis(self, d):
         """Array axis of grid dimension d in (K, *grid) arrays."""
@@ -187,9 +194,9 @@ def bin_from_arrays(x, p, w, grid, K) -> BinnedSpecies:
     )
 
 
-def as_slab(binned: BinnedSpecies, grid) -> ParticleSlab:
+def as_slab(binned: BinnedSpecies, grid, periodic=None) -> ParticleSlab:
     """Flat ParticleSlab view for diagnostics / IO (host-side)."""
-    x, p, w, alive = to_flat(binned, grid)
+    x, p, w, alive = to_flat(binned, grid, periodic=periodic)
     n = x.shape[0]
     return ParticleSlab(
         x=jnp.asarray(x), p=jnp.asarray(p), weight=jnp.asarray(w),
@@ -248,13 +255,38 @@ def _roll_back(acc, off, first_grid_axis=0):
     return acc
 
 
-def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
+def make_fpad(fields, grid):
+    """(6, *(n+4)) field stack with 2 ghost rows per side, sliced from the
+    padded field arrays (ghost content already maintained by the field
+    BCs, so periodic/clamp/outflow behave exactly as the scatter engine's
+    gather sees them)."""
+    ng = grid.ng
+    sl = tuple(slice(ng - 2, ng + n + 2) for n in grid.n)
+    return jnp.stack([getattr(fields, nm)[sl]
+                      for nm in ("ex", "ey", "ez", "bx", "by", "bz")],
+                     axis=0)
+
+
+def jpad_to_padded(jpad, plan, grid):
+    """Place the margin-padded deposition into full (ghost-padded) J
+    arrays; periodic summation then runs through boundaries.current_bcs
+    exactly as for the scatter engine."""
+    ng = grid.ng
+    M = -plan.offsets[0]
+    out = jnp.zeros((3,) + grid.padded_shape(), jpad.dtype)
+    region = (slice(None),) + tuple(
+        slice(ng - M, ng + plan.n[d] + M) for d in range(plan.nd))
+    return out.at[region].set(jpad)
+
+
+def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
                         _debug=None):
     """One full Boris push + PSC deposition on the slot grid.
 
-    ``interior_fields``: dict name → (*grid,) interior field arrays.
-    Returns (new_binned, (jx, jy, jz) interior current arrays).
-    Mirrors particles.F90:199-514; periodic wrap via rolls.
+    ``fpad``: (6, *(n+4)) field stack from make_fpad.  Returns
+    (new_binned, jpad) where jpad = (3, *(n+4)) raw margin-padded
+    currents (caller folds via jpad_to_padded + current_bcs).
+    Mirrors particles.F90:199-514.
     """
     nd = plan.nd
     dtype = binned.w.dtype
@@ -277,8 +309,9 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
                        binned.xi[d]) for d in range(nd)]
 
     # rebin NOW (mid-push): the slot permutation restores ξ ∈ [-0.5,0.5),
-    # so cell1 ≡ bin (c1 = 0) for the gather below
-    binned = rebin(binned._replace(xi=jnp.stack(xi_ax)), plan)
+    # so cell1 ≡ bin (c1 = 0) for the gather below; boundary particle BCs
+    # are applied here (see apply_axis_bcs for the timing argument)
+    binned = rebin(binned._replace(xi=jnp.stack(xi_ax)), plan, bc=bc)
     w = binned.w
     p = binned.p
     alive = w > 0
@@ -299,11 +332,7 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
           for d in range(nd)]
     hw = [{o: _w_rel(cf2[d], o, c2[d], (-1.0, 0.0)) for o in plan.h_offsets}
           for d in range(nd)]
-    fstack = jnp.stack([interior_fields[nm] for nm in names], axis=0)
-    # periodic-pad once; every window offset is then a *static slice* of the
-    # padded stack (no rolls in the hot loop)
     gpad = 2
-    fpad = jnp.pad(fstack, ((0, 0),) + ((gpad, gpad),) * nd, mode="wrap")
     stag_bits = {nm: tuple(int(STAGGER[nm][d]) for d in range(nd))
                  for nm in names}
     # weight products cached per stagger pattern, window per component
@@ -469,14 +498,25 @@ def push_deposit_binned(interior_fields, binned: BinnedSpecies, sp, plan,
                         jpad = pad_add(jpad, (plan.offsets[ix],
                                               plan.offsets[iy],
                                               plan.offsets[iz]), v3)
-        jx_c, jy_c, jz_c = fold_margins(jpad, plan)
-        currents = (jx_c, jy_c, jz_c)
+        currents = jpad
 
     new_xi = jnp.stack(xi_new)
     new_xi = jnp.where(alive[None], new_xi, binned.xi)
+    new_w = w
+    # boundary particle BCs after the deposit, matching the reference's
+    # end-of-step particle_bcs timing (epoch2d.F90:237, boundary.F90:948):
+    # the dump point then never sees out-of-domain particles.  The rebin
+    # above re-applies them to catch half-drift overhang.
+    if bc is not None and any(b != const.BC.PERIODIC
+                              for b in bc[:2 * nd]):
+        for d in range(nd):
+            if bc[2 * d] != const.BC.PERIODIC \
+                    or bc[2 * d + 1] != const.BC.PERIODIC:
+                new_xi, new_p, new_w = apply_axis_bcs(
+                    new_xi, new_p, new_w, plan, d, bc[2 * d], bc[2 * d + 1])
     # no rebin here — the next step's mid-push rebin (above) restores the
     # binning invariant; ξ stays in [-1.5, 1.5) until then
-    out = binned._replace(xi=new_xi, p=new_p)
+    out = binned._replace(xi=new_xi, p=new_p, w=new_w)
     return out, currents
 
 
@@ -545,9 +585,58 @@ def push_deposit_pallas(engine, fwin, binned, plan):
     return engine(fwin, binned)
 
 
-def rebin(binned: BinnedSpecies, plan) -> BinnedSpecies:
+def apply_axis_bcs(xi, p, w, plan, d, bc_lo, bc_hi):
+    """Open/reflect particle BCs on the slot grid for axis ``d``
+    (boundary.F90:948-1354 analogue), applied both at the end of the push
+    (reference timing — dumps never see out-of-domain particles) and at
+    the mid-push rebin (for half-drift overhang, where the reference
+    would gather at the out-of-domain position instead).  Field-free the
+    two discretisations are bitwise identical (reflection commutes with
+    drift); with fields the mid-push reflection differs by O(∇F·dt²) for
+    the crossing particle — an equally consistent wall discretisation.
+    Open boundaries remove the particle at the *domain* edge; the
+    reference keeps it until the outer ghost edge one cell further
+    (boundary.F90:613-618), so ghost-band deposits and re-entry from the
+    ghost band are not reproduced (the ghost J only feeds ghost E, which
+    the field BCs overwrite).
+
+    ``xi`` is the (nd, K, *g) stack; returns (xi, p, w).  Only the edge
+    cell of an axis can host a boundary-crossing particle (|ξ| < 1.5 by
+    CFL), except with CPML where every cell inside the absorbing layer
+    kills (the reference removes at x_min which excludes the CPML cells).
+    """
+    gax = 1 + d
+    kb_lo, kb_hi = plan.kb[d]
+    idx = jax.lax.broadcasted_iota(jnp.int32, w.shape, gax)
+    alive = w > 0
+    for hi_side, bc in ((False, bc_lo), (True, bc_hi)):
+        if bc == const.BC.PERIODIC:
+            continue
+        xa = xi[d]
+        if hi_side:
+            edge = idx == kb_hi
+            inside_kill = idx > kb_hi
+            crossing = edge & (xa >= 0.5) & alive
+            refl = 1.0 - xa
+        else:
+            edge = idx == kb_lo
+            inside_kill = idx < kb_lo
+            crossing = edge & (xa < -0.5) & alive
+            refl = -1.0 - xa
+        if bc == const.BC.REFLECT:
+            xi = xi.at[d].set(jnp.where(crossing, refl, xa))
+            p = p.at[d].set(jnp.where(crossing, -p[d], p[d]))
+            w = jnp.where(inside_kill & alive, 0.0, w)
+        else:   # OPEN (simple_laser/outflow/cpml already normalised)
+            w = jnp.where((crossing | (inside_kill & alive)), 0.0, w)
+        alive = w > 0
+    return xi, p, w
+
+
+def rebin(binned: BinnedSpecies, plan, bc=None) -> BinnedSpecies:
     """Move particles whose ξ left [-0.5, 0.5) to the neighbouring bin,
-    axis by axis (CFL ⇒ at most one cell), compacting with a slot sort."""
+    axis by axis (CFL ⇒ at most one cell), compacting with a slot sort.
+    ``bc``: per-boundary particle BCs (2 per axis); None = all periodic."""
     nd = plan.nd
     K = binned.K
     xi = binned.xi
@@ -555,6 +644,10 @@ def rebin(binned: BinnedSpecies, plan) -> BinnedSpecies:
     w = binned.w
     dropped = binned.n_dropped
     for d in range(nd):
+        if bc is not None and (bc[2 * d] != const.BC.PERIODIC
+                               or bc[2 * d + 1] != const.BC.PERIODIC):
+            xi, p, w = apply_axis_bcs(xi, p, w, plan, d,
+                                      bc[2 * d], bc[2 * d + 1])
         gax_w = 1 + d          # grid axis in (K, *g)
         gax_v = 2 + d          # grid axis in (c, K, *g)
         dc = jnp.clip(jnp.floor(xi[d] + 0.5), -1.0, 1.0)

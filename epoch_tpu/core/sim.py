@@ -125,6 +125,16 @@ def _expr_fn(expr):
 
 
 def build_config(deck: DeckConfig) -> SimConfig:
+    # bc_*_after_move: the reference switches field BCs when the window
+    # starts (window.F90:358-368); with start_time = 0 that is build time.
+    # (Delayed starts with *different* after-move BCs would need a step
+    # re-build and are not yet supported.)
+    win0 = deck.window
+    if win0.move_window and win0.window_start_time <= 0.0:
+        if win0.bc_x_min_after_move is not None:
+            deck.boundaries.bc_field[0] = win0.bc_x_min_after_move
+        if win0.bc_x_max_after_move is not None:
+            deck.boundaries.bc_field[1] = win0.bc_x_max_after_move
     _normalise_bcs(deck)
     grid = make_grid(deck.control, deck.boundaries)
     solver = deck.control.maxwell_solver
@@ -307,18 +317,20 @@ def build_config(deck: DeckConfig) -> SimConfig:
 
 def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
     """Pick the particle engine.  'binned' (core/binned.py) is the dense TPU
-    hot path; it requires all-periodic particle/field boundaries, triangle
-    shape, no moving window and no photon species."""
+    hot path; it supports periodic/open/reflect particle boundaries, any
+    field BCs (incl. lasers/CPML — field-side machinery is engine
+    independent), the moving window, and the triangle shape.  Thermal BCs,
+    photon species and particle-creating physics stay on scatter."""
     choice = deck.control.pusher
     if choice == "scatter":
         return "scatter"
+    binned_bcs = (const.BC.PERIODIC, const.BC.OPEN, const.BC.REFLECT)
     eligible = (
-        all(bc == const.BC.PERIODIC
-            for bc in cfg.bc_field[:2 * cfg.ndims])
-        and all(bc == const.BC.PERIODIC
-                for sp in cfg.species for bc in sp.bc_particle[:2 * cfg.ndims])
+        all(bc in binned_bcs
+            for sp in cfg.species for bc in sp.bc_particle[:2 * cfg.ndims])
+        and all(bc in binned_bcs
+                for bc in cfg.bc_particle[:2 * cfg.ndims])
         and cfg.grid.shape_fn == const.Shape.TRIANGLE
-        and not cfg.move_window
         and all(sp.species_type != const.SpeciesType.PHOTON
                 for sp in cfg.species)
         and len(cfg.species) > 0
@@ -328,13 +340,14 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
                     for sb in deck.species)   # delta-f
         and not deck.control.use_migration
         and not deck.collisions.collisional_ionisation
+        and not deck.injectors
     )
     if choice == "binned":
         if not eligible:
             raise ValueError(
-                "pusher=binned requires all-periodic boundaries, triangle "
-                "shape, no moving window, no photon species and no "
-                "bremsstrahlung")
+                "pusher=binned requires periodic/open/reflect particle "
+                "boundaries, triangle shape, no photon species, no "
+                "injectors and no particle-creating physics")
         return "binned"
     # 3D binned deposit currently has a pathological compile time: never
     # auto-select it (explicit pusher=binned remains available)

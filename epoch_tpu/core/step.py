@@ -174,21 +174,16 @@ def make_step_functions(cfg):
 
     def _push_all_binned(state: SimState, f) -> SimState:
         grid = cfg.grid
-        ng = grid.ng
-        interior = {nm: grid.interior(getattr(state.fields, nm))
-                    for nm in ("ex", "ey", "ez", "bx", "by", "bz")}
+        # shared (6, n+4) ghost-sliced field stack for gather (periodic
+        # and bounded BCs alike: ghost content comes from the field BCs,
+        # exactly what the scatter engine's gather sees)
+        fpad = binmod.make_fpad(state.fields, grid)
         fwin = None
         first_engine = next((e for e in pallas_engines if e is not None),
                             None)
         if first_engine is not None:
-            # shared periodic-padded field stack → per-stripe windows,
-            # built once for all species
-            names = ("ex", "ey", "ez", "bx", "by", "bz")
-            fstack = jnp.stack([interior[nm] for nm in names], axis=0)
-            fpad = jnp.pad(fstack, ((0, 0),) + ((2, 2),) * cfg.ndims,
-                           mode="wrap")
             fwin = first_engine.make_fwin(fpad)
-        jx = jy = jz = None
+        jpad_sum = None
         jpart_sum = None
         new_species = []
         for si, (sp_cfg, b) in enumerate(zip(cfg.species, state.species)):
@@ -198,29 +193,25 @@ def make_step_functions(cfg):
             if pallas_engines[si] is not None:
                 b, jpart = binmod.push_deposit_pallas(
                     pallas_engines[si], fwin, b, bplan)
-                cur = None
-                if not (sp_cfg.zero_current or sp_cfg.immobile):
+                if not sp_cfg.zero_current:
                     jpart_sum = jpart if jpart_sum is None \
                         else jpart_sum + jpart
             else:
-                b, cur = binmod.push_deposit_binned(interior, b, sp_cfg,
-                                                    bplan)
+                b, jpad = binmod.push_deposit_binned(
+                    fpad, b, sp_cfg, bplan,
+                    bc=sp_cfg.bc_particle[:2 * cfg.ndims])
+                if jpad is not None:
+                    jpad_sum = jpad if jpad_sum is None \
+                        else jpad_sum + jpad
             new_species.append(b)
-            if cur is not None:
-                jx = cur[0] if jx is None else jx + cur[0]
-                jy = cur[1] if jy is None else jy + cur[1]
-                jz = cur[2] if jz is None else jz + cur[2]
         if jpart_sum is not None:
-            cur = binmod.fold_margins(
-                first_engine.fold_jpart(jpart_sum), bplan)
-            jx = cur[0] if jx is None else jx + cur[0]
-            jy = cur[1] if jy is None else jy + cur[1]
-            jz = cur[2] if jz is None else jz + cur[2]
-        sl = tuple(slice(ng, ng + n) for n in grid.n)
-        if jx is not None:
-            f = f._replace(jx=f.jx.at[sl].set(jx),
-                           jy=f.jy.at[sl].set(jy),
-                           jz=f.jz.at[sl].set(jz))
+            jp = first_engine.fold_jpart(jpart_sum)
+            jpad_sum = jp if jpad_sum is None else jpad_sum + jp
+        if jpad_sum is not None:
+            jfull = binmod.jpad_to_padded(jpad_sum, bplan, grid)
+            f = f._replace(jx=jfull[0], jy=jfull[1], jz=jfull[2])
+            # periodic ghost summation, exactly as the scatter path
+            f = bnd.current_bcs(f, cfg)
         return state._replace(fields=f, species=tuple(new_species))
 
     def current_finish(state: SimState) -> SimState:

@@ -2,17 +2,22 @@
 
 Keeps a finite grid tracking a light-speed front (LWFA workloads).  The
 reference shifts the global coordinate arrays and walks linked lists
-(window.F90:57-120); the TPU design keeps the *static* grid arrays and moves
-a ``window_offset`` cell counter in the state instead: particle coordinates
-are absolute, and every grid-relative computation adds ``offset*dx``.
+(window.F90:57-120); the TPU design keeps the *static* grid arrays and
+moves a ``window_offset`` cell counter in the state instead.  Particle
+coordinates stay **grid-relative**: at each one-cell shift every particle's
+x drops by dx (scatter engine) or the slot grid rolls one cell left
+(binned engine), so the push/BC/deposit machinery never sees the offset;
+absolute coordinates (for dumped grids, particle output and deck
+expressions) are reconstructed as ``x + offset*dx``.
 A shift event (≤1 cell/step by CFL... up to 2 handled via two conditional
 rolls) does, entirely inside jit:
 
 * fields (and CPML psi) slide left one cell + incoming-edge fix rows
   (shift_fields, window.F90:98-136);
-* departed particles (x < new x_min) are killed (remove_particles :260);
+* departed particles (x < x_min) are killed (remove_particles :260);
 * the incoming column is refilled from the deck density/temperature/drift
-  expressions with the counter-based device RNG (insert_particles :182).
+  expressions with the counter-based device RNG (insert_particles :182),
+  evaluated at the new absolute positions.
 """
 from __future__ import annotations
 
@@ -142,25 +147,103 @@ def _shift_once(state: SimState, cfg) -> SimState:
             _shift_left(p, axis=1) for p in cpml.psi))
 
     new_offset = offset + 1
-    # new domain x_min after the shift
-    x_min_new = grid.lo[0] + new_offset.astype(f.ex.dtype) * dx
 
     rng = state.rng
     new_species = []
     for i, (sp_cfg, slab) in enumerate(zip(cfg.species, state.species)):
         plan = cfg.window_plans[i]
-        # remove departed particles (window.F90:260-281)
-        alive = slab.alive & (slab.x[:, 0] >= x_min_new)
+        if hasattr(slab, "xi"):      # binned engine: roll the slot grid
+            slab = _shift_binned(slab, plan, cfg, new_offset, state.time)
+            if plan["max_new"] > 0 and plan["density"] is not None:
+                rng, sub = jax.random.split(rng)
+                slab = _insert_column_binned(slab, plan, cfg, new_offset,
+                                             state.time, sub,
+                                             cfg.window_plans)
+            new_species.append(slab)
+            continue
+        # scatter engine: grid-relative shift + removal at the static edge
+        x = slab.x.at[:, 0].add(-dx)
+        alive = slab.alive & (x[:, 0] >= grid.local_lo(0))
         weight = jnp.where(alive, slab.weight, 0.0)
-        slab = slab._replace(alive=alive, weight=weight)
+        slab = slab._replace(x=x, alive=alive, weight=weight)
         if plan["max_new"] > 0 and plan["density"] is not None:
             rng, sub = jax.random.split(rng)
-            slab = _insert_column(slab, plan, cfg, new_offset, sub,
-                                  cfg.window_plans)
+            slab = _insert_column(slab, plan, cfg, new_offset, state.time,
+                                  sub, cfg.window_plans)
         new_species.append(slab)
 
     return state._replace(fields=f, cpml=cpml, species=tuple(new_species),
                           window_offset=new_offset, rng=rng)
+
+
+def _shift_binned(b, plan, cfg, new_offset, time):
+    """Slot-grid window shift: cells slide one to the left; the departed
+    leftmost column is deleted (remove_particles) and the incoming right
+    column cleared for refill."""
+    w = jnp.roll(b.w, -1, axis=1)
+    xi = jnp.roll(b.xi, -1, axis=2)
+    p = jnp.roll(b.p, -1, axis=2)
+    # clear the wrapped-in column (old column 0 = departed particles)
+    w = w.at[:, -1].set(0.0)
+    return b._replace(w=w, xi=xi, p=p)
+
+
+def _insert_column_binned(b, plan, cfg, offset, time, key, all_plans=None):
+    """Refill the incoming rightmost column of the slot grid
+    (insert_particles, window.F90:182-258); density/temperature/drift are
+    evaluated at the new absolute particle positions."""
+    grid = cfg.grid
+    nd = grid.ndims
+    dx = grid.delta[0]
+    dtype = b.w.dtype
+    K = b.K
+    tshape = (K,) + tuple(grid.n[1:])      # slots x transverse cells
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    npc = plan["npc"]
+    npc_int = int(math.floor(npc))
+    npc_frac = npc - npc_int
+    extra = (jax.random.uniform(k1, tshape[1:]) < npc_frac).astype(jnp.int32)
+    count = npc_int + extra                # per transverse cell
+    slot = jax.lax.broadcasted_iota(jnp.int32, tshape, 0)
+    valid = slot < count[None]
+
+    xi_new = jax.random.uniform(k2, (nd,) + tshape, dtype) - 0.5
+    offset_f = offset.astype(dtype)
+    names = ["x", "y", "z"]
+    ctx = {"time": time}
+    ctx["x"] = grid.grid_min(0) + (grid.n[0] - 1 + offset_f) * dx \
+        + xi_new[0] * dx
+    for d in range(1, nd):
+        cell_t = jax.lax.broadcasted_iota(jnp.int32, tshape, d)
+        ctx[names[d]] = grid.grid_min(d) \
+            + (cell_t.astype(dtype) + xi_new[d]) * grid.delta[d]
+
+    dens = _density_at(plan, ctx, all_plans) * jnp.ones(tshape, dtype)
+    if plan["density_max"] > 0:
+        dens = jnp.minimum(dens, plan["density_max"])
+    dens = jnp.where(dens >= plan["density_min"], dens, 0.0)
+    cell_vol = float(np.prod(grid.delta))
+    w_new = dens * cell_vol / jnp.maximum(count[None].astype(dtype), 1.0)
+    valid = valid & (w_new > 0)
+
+    norms = jax.random.normal(k4, (3,) + tshape, dtype)
+    p_new = []
+    for i in range(3):
+        temp = plan["temp"][i](ctx, xp=jnp) if plan["temp"][i] is not None \
+            else 0.0
+        drift = plan["drift"][i](ctx, xp=jnp) \
+            if plan["drift"][i] is not None else 0.0
+        std = jnp.sqrt(jnp.maximum(temp * const.kb * plan["mass"], 0.0))
+        p_new.append(norms[i] * std + drift)
+    p_new = jnp.stack(p_new)
+
+    w = b.w.at[:, -1].set(jnp.where(valid, w_new, 0.0))
+    xi = b.xi.at[:, :, -1].set(jnp.where(valid[None], xi_new,
+                                         jnp.zeros_like(xi_new)))
+    p = b.p.at[:, :, -1].set(jnp.where(valid[None], p_new,
+                                       jnp.zeros_like(p_new)))
+    return b._replace(w=w, xi=xi, p=p)
 
 
 def _layers_at(plan, ctx):
@@ -187,8 +270,12 @@ def _density_at(plan, ctx, all_plans):
     return _layers_at(plan, dens_ctx)
 
 
-def _insert_column(slab, plan, cfg, offset, key, all_plans=None):
-    """Refill the incoming column (insert_particles, window.F90:159-258)."""
+def _insert_column(slab, plan, cfg, offset, time, key, all_plans=None):
+    """Refill the incoming column (insert_particles, window.F90:159-258).
+
+    Grid-relative positions: the new particles land in the *static* last
+    cell band [grid_max - dx/2, grid_max + dx/2); deck expressions see the
+    absolute coordinate x + offset*dx."""
     grid = cfg.grid
     nd = grid.ndims
     dx = grid.delta[0]
@@ -213,8 +300,9 @@ def _insert_column(slab, plan, cfg, offset, key, all_plans=None):
     count_per_cell = npc_int + extra   # (n_col,)
     valid = sub < count_per_cell[cell_t]
 
-    # positions: x in the incoming column just past the old grid max
-    x0 = grid.grid_min(0) + (grid.n[0] - 1) * dx + 0.5 * dx + offset_f * dx
+    # positions: the (static) last-cell band (x0 = x_grid_max − dx/2;
+    # window.F90:246 x0 = x_grid_max + dx/2 is pre-shift, ours post-shift)
+    x0 = grid.grid_min(0) + (grid.n[0] - 1) * dx - 0.5 * dx
     xs = x0 + jax.random.uniform(k2, (max_new,), dtype) * dx
     pos = [xs]
     names = ["x", "y", "z"]
@@ -224,9 +312,10 @@ def _insert_column(slab, plan, cfg, offset, key, all_plans=None):
         u = jax.random.uniform(k3, (max_new,), dtype)
         pos.append(centre + (u - 0.5) * grid.delta[d])
     x_new = jnp.stack(pos, axis=1)
-    for d in range(nd):
+    ctx["x"] = xs + offset_f * dx      # absolute coordinate for the deck
+    for d in range(1, nd):
         ctx[names[d]] = x_new[:, d]
-    ctx["time"] = 0.0
+    ctx["time"] = time
 
     dens = _density_at(plan, ctx, all_plans) * jnp.ones(max_new, dtype)
     if plan["density_max"] > 0:

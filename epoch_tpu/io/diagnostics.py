@@ -21,12 +21,26 @@ IOType = const.IOType
 
 
 def get_slab(cfg, state, i):
-    """Species state as a flat ParticleSlab (converts binned storage)."""
+    """Species state as a flat ParticleSlab (converts binned storage).
+    Positions are grid-relative (static grid); add window_off() along x
+    for absolute output coordinates."""
     sp = state.species[i]
     if hasattr(sp, "xi"):          # BinnedSpecies
         from ..core.binned import as_slab
-        return as_slab(sp, cfg.grid)
+        periodic = tuple(
+            cfg.bc_particle[2 * d] == const.BC.PERIODIC
+            for d in range(cfg.ndims))
+        return as_slab(sp, cfg.grid, periodic=periodic)
     return sp
+
+
+def window_off(cfg, state) -> float:
+    """Moving-window x offset: absolute coordinate = grid-relative + off
+    (the engines keep positions relative to the static grid; see
+    core/window.py)."""
+    if not cfg.move_window:
+        return 0.0
+    return float(state.window_offset) * cfg.grid.delta[0]
 
 
 # ---------------------------------------------------------------------------
@@ -249,8 +263,10 @@ def compute_dist_fn(dfn, cfg, state, species_idx):
         v = np.asarray(dist_fn_axis_values(direction, slab, sp))
         if direction in _DIR_AXIS:
             d = _DIR_AXIS[direction]
-            lo, hi = grid.grid_min(d) - 0.5 * grid.delta[d], \
-                grid.grid_max(d) + 0.5 * grid.delta[d]
+            off = window_off(cfg, state) if d == 0 else 0.0
+            v = v + off
+            lo, hi = off + grid.grid_min(d) - 0.5 * grid.delta[d], \
+                off + grid.grid_max(d) + 0.5 * grid.delta[d]
             res = grid.n[d]
         else:
             lo, hi = dfn.ranges[i] if i < len(dfn.ranges) else (0.0, 0.0)
@@ -511,8 +527,10 @@ class OutputManager:
         path = os.path.join(self.data_dir, fname)
         w = SDFWriter(path, code_name="Epoch_tpu",
                       step=int(state.step), time=float(state.time))
-        # grid (node mesh over the extended domain, diagnostics.F90:772)
+        # grid (node mesh over the extended domain, diagnostics.F90:772);
+        # the dumped mesh tracks the moving window (window.F90:71-85)
         axes = [grid.nodes(d) for d in range(grid.ndims)]
+        axes[0] = axes[0] + window_off(cfg, state)
         w.write_plain_mesh("grid", "Grid/Grid", axes)
 
         species_names = [s.name for s in cfg.species]
@@ -628,7 +646,8 @@ class OutputManager:
             slab = get_slab(cfg, state, si)
             sp = cfg.species[si]
             keep = np.asarray(slab.alive).copy()
-            x = np.asarray(slab.x)
+            x = np.asarray(slab.x).copy()
+            x[:, 0] += window_off(cfg, state)
             p = np.asarray(slab.p)
             if sub.random_fraction < 1.0:
                 keep &= rng.uniform(size=keep.shape) < sub.random_fraction
@@ -689,7 +708,8 @@ class OutputManager:
         for i, sp in enumerate(cfg.species):
             slab = get_slab(cfg, state, i)
             alive = np.asarray(slab.alive)
-            coords = np.asarray(slab.x)[alive]
+            coords = np.asarray(slab.x)[alive].copy()
+            coords[:, 0] += window_off(cfg, state)
             mesh_id = f"grid/{sp.name}"
             w.write_point_mesh(mesh_id, f"Grid/Particles/{sp.name}", coords)
             for var in part_vars:

@@ -60,6 +60,41 @@ def _w_sel(cf, o: int, base, base_vals):
 
 
 # ---------------------------------------------------------------------------
+# boundary particle BCs on the slot grid (see core/binned.apply_axis_bcs
+# for semantics; here with a global-cell-index array so stripe halos work)
+# ---------------------------------------------------------------------------
+
+def _bc_axis(xi_list, p_list, w, d, bc_lo, bc_hi, kb_lo, kb_hi, gidx):
+    """Apply open/reflect BCs along axis d.  ``gidx``: global cell index,
+    broadcastable against w (signed: halo columns outside [0, n) kill
+    automatically under a bounded BC).  bc values are BC enums."""
+    from .. import constants as const
+    alive = w > 0
+    for hi_side, bc in ((False, bc_lo), (True, bc_hi)):
+        if bc == const.BC.PERIODIC:
+            continue
+        xa = xi_list[d]
+        if hi_side:
+            edge = gidx == kb_hi
+            inside_kill = gidx > kb_hi
+            crossing = edge & (xa >= 0.5) & alive
+            refl = 1.0 - xa
+        else:
+            edge = gidx == kb_lo
+            inside_kill = gidx < kb_lo
+            crossing = edge & (xa < -0.5) & alive
+            refl = -1.0 - xa
+        if bc == const.BC.REFLECT:
+            xi_list[d] = jnp.where(crossing, refl, xa)
+            p_list[d] = jnp.where(crossing, -p_list[d], p_list[d])
+            w = jnp.where(inside_kill & alive, 0.0, w)
+        else:   # OPEN
+            w = jnp.where(crossing | (inside_kill & alive), 0.0, w)
+        alive = w > 0
+    return xi_list, p_list, w
+
+
+# ---------------------------------------------------------------------------
 # drift + rebin kernel
 # ---------------------------------------------------------------------------
 
@@ -165,18 +200,25 @@ def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop):
 
 
 def make_drift_rebin(K, BX, NY, nxb, dt, delta, mass, dtype,
-                     interpret=False):
+                     bc=None, kb=None, interpret=False):
     """Build the drift+rebin pallas_call for one species (2D).
 
     Inputs: w (K,nx,NY), xi (2,K,nx,NY), p (3,K,nx,NY), halo columns
     wE (K,nxb,2,NY), xiE (2,K,nxb,2,NY), pE (3,K,nxb,2,NY) where
     [...,0,:] is the column left of each stripe and [...,1,:] the column
-    right of it.  Returns (w', xi', p', n_dropped_increment).
+    right of it.  ``bc``: 4 particle-BC enums (x_lo, x_hi, y_lo, y_hi);
+    ``kb``: ((kbx_lo, kbx_hi), (kby_lo, kby_hi)) kill-boundary cells.
+    Returns (w', xi', p', n_dropped_increment).
     """
+    from .. import constants as const_
     ipart_mc = float(1.0 / (const.c * mass))
     dtco2 = float(const.c * dt / 2.0)
     fx = float(dtco2 / delta[0])
     fy = float(dtco2 / delta[1])
+    PER = const_.BC.PERIODIC
+    bc = bc or (PER, PER, PER, PER)
+    bounded_x = bc[0] != PER or bc[1] != PER
+    bounded_y = bc[2] != PER or bc[3] != PER
 
     def drift(w, xi0, xi1, p0, p1, p2):
         alive = w > 0
@@ -201,6 +243,11 @@ def make_drift_rebin(K, BX, NY, nxb, dt, delta, mass, dtype,
         xi1 = xi_ref[1]
         p = [p_ref[0], p_ref[1], p_ref[2]]
         xi0, xi1 = drift(w, xi0, xi1, *p)
+        if bounded_x:
+            gx = i * BX + jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+            xis, p, w = _bc_axis([xi0, xi1], p, w, 0, bc[0], bc[1],
+                                 kb[0][0], kb[0][1], gx)
+            xi0, xi1 = xis
 
         def halo(side):
             hw = we_ref[:, 0, side, :][:, None, :]
@@ -208,11 +255,24 @@ def make_drift_rebin(K, BX, NY, nxb, dt, delta, mass, dtype,
             hx1 = xie_ref[1, :, 0, side, :][:, None, :]
             hp = [pe_ref[c, :, 0, side, :][:, None, :] for c in range(3)]
             hx0, hx1 = drift(hw, hx0, hx1, *hp)
+            if bounded_x:
+                # signed global column index: wrap columns fall outside
+                # [0, n) and are auto-killed by the kill masks
+                hg = jnp.asarray(i * BX + (-1 if side == 0 else BX),
+                                 jnp.int32)
+                hxis, hp, hw = _bc_axis([hx0, hx1], hp, hw, 0, bc[0],
+                                        bc[1], kb[0][0], kb[0][1], hg)
+                hx0, hx1 = hxis
             return (hw, hx0, hx1, *hp)
 
         ndrop = jnp.zeros((), jnp.int32)
         w, xi0, xi1, p, ndrop = _axis_rebin(
             w, xi0, xi1, p, halo(0), halo(1), K, 0, ndrop)
+        if bounded_y:
+            gy = jax.lax.broadcasted_iota(jnp.int32, w.shape, 2)
+            xis, p, w = _bc_axis([xi0, xi1], p, w, 1, bc[2], bc[3],
+                                 kb[1][0], kb[1][1], gy)
+            xi0, xi1 = xis
         w, xi0, xi1, p, ndrop = _axis_rebin(
             w, xi0, xi1, p, None, None, K, 1, ndrop)
         wo_ref[:] = w
@@ -270,7 +330,8 @@ def make_drift_rebin(K, BX, NY, nxb, dt, delta, mass, dtype,
 # push + deposit kernel
 # ---------------------------------------------------------------------------
 
-def make_push_deposit(K, BX, NY, nxb, plan, sp, dtype, interpret=False):
+def make_push_deposit(K, BX, NY, nxb, plan, sp, dtype, bc=None,
+                      interpret=False):
     """Build the gather/Boris/move/deposit pallas_call for one species.
 
     Inputs: w, xi, p (post-rebin, ξ ∈ [-0.5,0.5)) and per-stripe field
@@ -297,8 +358,14 @@ def make_push_deposit(K, BX, NY, nxb, plan, sp, dtype, interpret=False):
     names = ("ex", "ey", "ez", "bx", "by", "bz")
     stag_bits = {nm: tuple(int(STAGGER[nm][d]) for d in range(nd))
                  for nm in names}
+    PER = const.BC.PERIODIC
+    bc = bc or (PER,) * 4
+    bounded = any(b != PER for b in bc)
+    kb = plan.kb
 
-    def kernel(w_ref, xi_ref, p_ref, f_ref, xio_ref, po_ref, j_ref):
+    def kernel(w_ref, xi_ref, p_ref, f_ref, wo_ref, xio_ref, po_ref,
+               j_ref):
+        i = pl.program_id(0)
         j_ref[...] = jnp.zeros(j_ref.shape, j_ref.dtype)
         w = w_ref[:]
         alive = w > 0
@@ -370,15 +437,37 @@ def make_push_deposit(K, BX, NY, nxb, plan, sp, dtype, interpret=False):
         vz = uz * rootc
 
         xi_new = [xi[d] + delta[d] for d in range(nd)]
+        p_new = [ux * part_mc, uy * part_mc, uz * part_mc]
 
-        # write-back (dead slots keep their values)
-        xio_ref[0] = jnp.where(alive, xi_new[0], xi[0])
-        xio_ref[1] = jnp.where(alive, xi_new[1], xi[1])
-        po_ref[0] = jnp.where(alive, ux * part_mc, p[0])
-        po_ref[1] = jnp.where(alive, uy * part_mc, p[1])
-        po_ref[2] = jnp.where(alive, uz * part_mc, p[2])
+        def write_back(xi_out, p_out, w_out):
+            xio_ref[0] = jnp.where(alive, xi_out[0], xi[0])
+            xio_ref[1] = jnp.where(alive, xi_out[1], xi[1])
+            po_ref[0] = jnp.where(alive, p_out[0], p[0])
+            po_ref[1] = jnp.where(alive, p_out[1], p[1])
+            po_ref[2] = jnp.where(alive, p_out[2], p[2])
+            wo_ref[:] = w_out
+
+        def apply_bcs(xi_out, p_out, w_out):
+            # end-of-push boundary BCs (reference particle_bcs timing);
+            # runs AFTER the deposit, which uses the pre-BC state
+            if not bounded:
+                return xi_out, p_out, w_out
+            if bc[0] != PER or bc[1] != PER:
+                gx = i * BX + jax.lax.broadcasted_iota(
+                    jnp.int32, w.shape, 1)
+                xi_out, p_out, w_out = _bc_axis(
+                    xi_out, p_out, w_out, 0, bc[0], bc[1],
+                    kb[0][0], kb[0][1], gx)
+            if bc[2] != PER or bc[3] != PER:
+                gy = jax.lax.broadcasted_iota(jnp.int32, w.shape, 2)
+                xi_out, p_out, w_out = _bc_axis(
+                    xi_out, p_out, w_out, 1, bc[2], bc[3],
+                    kb[1][0], kb[1][1], gy)
+            return xi_out, p_out, w_out
 
         if sp.zero_current or sp.immobile:
+            xi_b, p_b, w_b = apply_bcs(list(xi_new), list(p_new), w)
+            write_back(xi_b, p_b, w_b)
             return
 
         # ---- deposition at t+1.5dt (particles.F90:397-514) ----
@@ -422,6 +511,9 @@ def make_push_deposit(K, BX, NY, nxb, plan, sp, dtype, interpret=False):
                 j_ref[0, 1, xs, ys] += vy_
                 j_ref[0, 2, xs, ys] += vz_
 
+        xi_b, p_b, w_b = apply_bcs(list(xi_new), list(p_new), w)
+        write_back(xi_b, p_b, w_b)
+
     grid = (nxb,)
     in_specs = [
         pl.BlockSpec((K, BX, NY), lambda i: (0, i, 0),
@@ -434,6 +526,8 @@ def make_push_deposit(K, BX, NY, nxb, plan, sp, dtype, interpret=False):
                      memory_space=pltpu.VMEM),
     ]
     out_specs = (
+        pl.BlockSpec((K, BX, NY), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((2, K, BX, NY), lambda i: (0, 0, i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3, K, BX, NY), lambda i: (0, 0, i, 0),
@@ -442,6 +536,7 @@ def make_push_deposit(K, BX, NY, nxb, plan, sp, dtype, interpret=False):
                      memory_space=pltpu.VMEM),
     )
     out_shape = (
+        jax.ShapeDtypeStruct((K, nx, NY), dtype),
         jax.ShapeDtypeStruct((2, K, nx, NY), dtype),
         jax.ShapeDtypeStruct((3, K, nx, NY), dtype),
         jax.ShapeDtypeStruct((nxb, 3, BX + 2 * M, NY + 2 * M), dtype),
@@ -482,11 +577,12 @@ class PallasBinned:
         dtype = jnp.dtype(cfg.dtype)
         self.dtype = dtype
         self.interpret = interpret
+        bc = tuple(sp.bc_particle[:4])
         self.rebin = make_drift_rebin(
             self.K, self.BX, self.ny, self.nxb, plan.dt, plan.delta,
-            sp.mass, dtype, interpret=interpret)
+            sp.mass, dtype, bc=bc, kb=plan.kb, interpret=interpret)
         self.pushdep = make_push_deposit(
-            self.K, self.BX, self.ny, self.nxb, plan, sp, dtype,
+            self.K, self.BX, self.ny, self.nxb, plan, sp, dtype, bc=bc,
             interpret=interpret)
         # static halo-column gather indices (periodic wrap)
         idx_l = (np.arange(self.nxb) * self.BX - 1) % self.nx
@@ -521,8 +617,8 @@ class PallasBinned:
         xie = self.halo_cols(xi, 2)
         pe = self.halo_cols(p, 2)
         w, xi, p, ndrop = self.rebin(w, xi, p, we, xie, pe)
-        new_xi, new_p, jpart = self.pushdep(w, xi, p, fwin)
+        new_w, new_xi, new_p, jpart = self.pushdep(w, xi, p, fwin)
         out = binned._replace(
-            xi=new_xi, p=new_p, w=w,
+            xi=new_xi, p=new_p, w=new_w,
             n_dropped=binned.n_dropped + ndrop[0, 0])
         return out, jpart

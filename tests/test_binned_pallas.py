@@ -16,7 +16,7 @@ from epoch_tpu.core.config import SimConfig, SpeciesConfig
 from epoch_tpu.core import binned as binmod
 
 
-def _setup(n=(16, 8), K=8):
+def _setup(n=(16, 8), K=8, bc_x=const.BC.PERIODIC):
     nd = 2
     dxv = 1e-6
     grid = Grid(ndims=nd, shape_fn=const.Shape.TRIANGLE, n=n,
@@ -24,7 +24,7 @@ def _setup(n=(16, 8), K=8):
                 lo=(0.0,) * nd, hi=tuple(ni * dxv for ni in n))
     dt = 0.9 * dxv / (const.c * np.sqrt(nd))
     sp = SpeciesConfig(name="e", charge=-const.q0, mass=const.m0, cap=512,
-                       bc_particle=(const.BC.PERIODIC,) * 6)
+                       bc_particle=(bc_x, bc_x) + (const.BC.PERIODIC,) * 4)
     cfg = SimConfig(grid=grid, dt=dt, t_end=1.0, nsteps=-1,
                     bc_field=(const.BC.PERIODIC,) * 6,
                     bc_particle=(const.BC.PERIODIC,) * 6,
@@ -44,8 +44,13 @@ def _setup(n=(16, 8), K=8):
     return cfg, plan, sp, grid, bm, vals
 
 
-def test_pallas_matches_xla_engine():
-    cfg, plan, sp, grid, bm, interior = _setup()
+@pytest.mark.parametrize("bc_name", ["periodic", "open", "reflect"])
+def test_pallas_matches_xla_engine(bc_name):
+    """Pallas vs XLA slot-grid engine: identical discretisation, so they
+    must agree to f32 round-off for periodic AND bounded particle BCs."""
+    bc_x = {"periodic": const.BC.PERIODIC, "open": const.BC.OPEN,
+            "reflect": const.BC.REFLECT}[bc_name]
+    cfg, plan, sp, grid, bm, interior = _setup(bc_x=bc_x)
     engines = binmod.make_pallas_engines(cfg, plan, interpret=True)
     eng = engines[0]
     assert eng is not None
@@ -53,19 +58,22 @@ def test_pallas_matches_xla_engine():
     fstack = jnp.stack([interior[nm] for nm in names], axis=0)
     fpad = jnp.pad(fstack, ((0, 0), (2, 2), (2, 2)), mode="wrap")
     fwin = eng.make_fwin(fpad)
+    bc = sp.bc_particle[:4]
 
     b_x = bm
     b_p = bm
     for step in range(4):
-        b_x, cur_x = binmod.push_deposit_binned(interior, b_x, sp, plan)
+        b_x, jpad_x = binmod.push_deposit_binned(fpad, b_x, sp, plan,
+                                                 bc=bc)
         b_p, jpart = binmod.push_deposit_pallas(eng, fwin, b_p, plan)
-        cur_p = binmod.fold_margins(eng.fold_jpart(jpart), plan)
+        jpad_p = eng.fold_jpart(jpart)
         for c in range(3):
-            scale = max(float(jnp.abs(cur_x[c]).max()), 1e-30)
-            err = float(jnp.abs(cur_x[c] - cur_p[c]).max()) / scale
+            scale = max(float(jnp.abs(jpad_x[c]).max()), 1e-30)
+            err = float(jnp.abs(jpad_x[c] - jpad_p[c]).max()) / scale
             assert err < 1e-5, (step, c, err)
-        xx, px, wx, ax = binmod.to_flat(b_x, grid)
-        xp, pp, wp, ap = binmod.to_flat(b_p, grid)
+        periodic = (bc_x == const.BC.PERIODIC, True)
+        xx, px, wx, ax = binmod.to_flat(b_x, grid, periodic=periodic)
+        xp, pp, wp, ap = binmod.to_flat(b_p, grid, periodic=periodic)
         assert ax.sum() == ap.sum()
         for d in range(2):
             sx = np.sort(xx[ax][:, d])
