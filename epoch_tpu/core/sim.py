@@ -349,9 +349,12 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
                 "boundaries, triangle shape, no photon species, no "
                 "injectors and no particle-creating physics")
         return "binned"
-    # 3D binned deposit currently has a pathological compile time: never
-    # auto-select it (explicit pusher=binned remains available)
-    return "binned" if eligible and cfg.ndims <= 2 else "scatter"
+    # 3D auto-selects too since the mid-push-rebin window narrowing
+    # (125-term deposit): ~8 s compile on TPU.  The moving window stays
+    # 1d/2d-grid only for now.
+    if cfg.move_window and cfg.ndims > 2:
+        return "scatter"
+    return "binned" if eligible else "scatter"
 
 
 def _initial_fields(deck: DeckConfig, grid: Grid, dtype) -> Fields:

@@ -29,55 +29,87 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.state import SimState, Fields, ParticleSlab, CPMLState, LaserState
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
+def make_mesh(n_devices: int | None = None, axis: str = "x",
+              shape: tuple | None = None, axes: tuple = ("x", "y")) -> Mesh:
+    """1-D mesh over grid-x by default; pass ``shape=(a, b)`` for a 2-D
+    (x, y) device mesh — the analogue of deck ``nprocx/nprocy``
+    (split_domain, mpi_routines.F90:44-172)."""
     devs = jax.devices()
+    if shape is not None:
+        n = int(np.prod(shape))
+        return Mesh(np.array(devs[:n]).reshape(shape), axes[:len(shape)])
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
 
+def _grid_axes(mesh: Mesh):
+    """Mesh axis name per grid dimension (x always; y if present)."""
+    names = list(mesh.axis_names)
+    out = []
+    for nm in ("x", "y", "z"):
+        out.append(nm if nm in names else None)
+    return out
+
+
 def state_shardings(state: SimState, mesh: Mesh, axis: str = "x"):
-    """Build the sharding pytree for a SimState: fields along grid-x,
-    particle slabs along capacity, everything else replicated."""
+    """Build the sharding pytree for a SimState: fields along grid-x
+    (and grid-y for a 2-D mesh), particle slabs along capacity (scatter)
+    or spatially (binned), everything else replicated."""
     repl = NamedSharding(mesh, P())
-    field_sh = NamedSharding(mesh, P(axis))
+    gaxes = _grid_axes(mesh)
+
+    def divisible(shape, offset=0):
+        """Mesh axes applicable to grid dims starting at ``offset``.
+        NamedSharding needs even divisibility: pick nx ≡ −2·ng (mod
+        n_dev) so the ghost-padded arrays shard (see grid.ng); axes that
+        don't divide fall back to replication."""
+        spec = [None] * offset
+        for d in range(len(shape) - offset):
+            ax = gaxes[d] if d < 3 else None
+            if ax is not None and shape[offset + d] % mesh.shape[ax] == 0:
+                spec.append(ax)
+            else:
+                spec.append(None)
+        return tuple(spec)
 
     def field_like(arr):
-        n = mesh.shape[axis]
-        if arr.ndim >= 1 and arr.shape[0] % n == 0:
-            return field_sh
+        spec = divisible(arr.shape)
+        if any(s is not None for s in spec):
+            return NamedSharding(mesh, P(*spec))
         return repl
 
     fields = Fields(*[field_like(a) for a in state.fields])
     if state.cpml is not None:
-        # psi stacks: (npairs, *grid) — shard grid axis (dim 1)
         psi_sh = []
         for stack in state.cpml.psi:
-            n = mesh.shape[axis]
-            if stack.shape[1] % n == 0:
-                psi_sh.append(NamedSharding(mesh, P(None, axis)))
-            else:
-                psi_sh.append(repl)
+            spec = divisible(stack.shape, offset=1)
+            psi_sh.append(NamedSharding(mesh, P(*spec))
+                          if any(s is not None for s in spec) else repl)
         cpml = CPMLState(psi=tuple(psi_sh))
     else:
         cpml = None
 
+    n_first = mesh.shape[mesh.axis_names[0]]
+
     def slab_sharding(slab):
-        n = mesh.shape[axis]
         if hasattr(slab, "xi"):
-            # binned storage: spatial decomposition along the grid-x axis
+            # binned storage: spatial decomposition along the grid axes
             # (w is (K, *grid), xi/p are (nd|3, K, *grid)) — the direct
             # analogue of EPOCH's domain decomposition; rolls in the
             # binned kernels become collective-permutes over ICI
-            if slab.w.shape[1] % n == 0:
+            spec_w = divisible(slab.w.shape, offset=1)
+            if any(s is not None for s in spec_w):
                 return type(slab)(
-                    xi=NamedSharding(mesh, P(None, None, axis)),
-                    p=NamedSharding(mesh, P(None, None, axis)),
-                    w=NamedSharding(mesh, P(None, axis)),
+                    xi=NamedSharding(mesh, P(None, *spec_w)),
+                    p=NamedSharding(mesh, P(None, *spec_w)),
+                    w=NamedSharding(mesh, P(*spec_w)),
                     n_dropped=repl)
             return jax.tree.map(lambda _: repl, slab)
-        if slab.cap % n == 0:
-            part = NamedSharding(mesh, P(axis))
+        if slab.cap % mesh.size == 0:
+            # particle (capacity) decomposition over the whole mesh
+            part = NamedSharding(
+                mesh, P(tuple(mesh.axis_names)))
             return ParticleSlab(
                 x=part, p=part, weight=part, alive=part, id=part,
                 opdepth=part, opdepth_brem=part, pvol=part)
@@ -92,10 +124,12 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "x"):
         time=repl, step=repl, window_offset=repl, window_frac=repl,
         rng=repl, bc_fields=bc_fields,
         injector_depth=jax.tree.map(lambda _: repl, state.injector_depth),
+        probes=jax.tree.map(lambda _: repl, state.probes),
+        ejected=jax.tree.map(lambda _: repl, state.ejected),
         fluid_grids=tuple(
-            NamedSharding(mesh, P(None, axis))
-            if g.shape[1] % mesh.shape[axis] == 0 else repl
-            for g in state.fluid_grids))
+            NamedSharding(mesh, P(None, *divisible(g.shape, offset=1)))
+            if any(s is not None for s in divisible(g.shape, offset=1))
+            else repl for g in state.fluid_grids))
 
 
 def shard_state(state: SimState, mesh: Mesh, axis: str = "x") -> SimState:
@@ -105,12 +139,19 @@ def shard_state(state: SimState, mesh: Mesh, axis: str = "x") -> SimState:
         is_leaf=lambda x: x is None)
 
 
-def make_sharded_step(cfg, mesh: Mesh, axis: str = "x"):
-    """Jit the full step with state shardings pinned in and out."""
+def make_sharded_step(cfg, mesh: Mesh, axis: str = "x", state=None,
+                      example_state=None):
+    """Jit the full step with state shardings pinned in AND out — without
+    out_shardings GSPMD may leave outputs partially replicated (the 4×
+    redundancy seen in round 1's dryrun)."""
     from ..core import step as step_mod
     fns = step_mod.make_step_functions(cfg)
 
     def full(state):
-        return fns["step_b"](fns["step_a"](state))
+        return fns["step_b_raw"](fns["step_a_raw"](state))
 
+    ex = example_state if example_state is not None else state
+    if ex is not None:
+        sh = state_shardings(ex, mesh, axis)
+        return jax.jit(full, in_shardings=(sh,), out_shardings=sh)
     return jax.jit(full)

@@ -72,7 +72,8 @@ def _fold(acc, grid):
     return a[core]
 
 
-@pytest.mark.parametrize("nd", [1, 2])
+@pytest.mark.parametrize("nd", [1, 2,
+                                pytest.param(3, marks=pytest.mark.slow)])
 def test_engines_agree(nd):
     cfg, sp, grid, fj, interior, vals = _setup(nd)
     pplan = psh.PushPlan(cfg)

@@ -75,9 +75,82 @@ def test_particles_actually_sharded(sim):
     assert not sh.is_fully_replicated
 
 
-def test_scatter_3d_smoke(tmp_path):
-    """3D two-species plasma runs on the scatter engine (auto-selected:
-    3D never auto-picks binned due to its compile cost)."""
+BINNED_DECK = """
+begin:control
+  nx = 64
+  ny = 22
+  t_end = 1
+  x_min = 0
+  x_max = 6.4e-5
+  y_min = 0
+  y_max = 2.2e-5
+end:control
+begin:boundaries
+  bc_x_min = periodic
+  bc_x_max = periodic
+  bc_y_min = periodic
+  bc_y_max = periodic
+end:boundaries
+begin:species
+  name = electron
+  charge = -1
+  mass = 1.0
+  number_density = 1e23
+  nparticles_per_cell = 3
+  temperature_ev = 200
+end:species
+begin:species
+  name = proton
+  charge = 1
+  mass = 1836.2
+  number_density = 1e23
+  nparticles_per_cell = 3
+  temperature_ev = 20
+end:species
+begin:output
+  dt_snapshot = 1
+end:output
+"""
+
+
+def test_binned_sharded_step_matches_single_device(tmp_path):
+    """The binned (hot-path) engine under an 8-device x-sharded mesh must
+    reproduce the single-device trajectory: the slot grid is spatially
+    decomposed, so rebin rolls become collective permutes.  (The ghost-
+    padded field arrays don't divide 8 and replicate — they are tiny next
+    to the K-deep slot grid.)"""
+    (tmp_path / "input.deck").write_text(BINNED_DECK)
+    sim = Simulation(str(tmp_path / "input.deck"), seed=2)
+    assert sim.cfg.engine == "binned"
+    mesh = make_mesh(8)
+    st_sharded = shard_state(sim.state, mesh)
+    assert not st_sharded.species[0].w.sharding.is_fully_replicated
+    step = make_sharded_step(sim.cfg, mesh, state=st_sharded)
+
+    st_single = sim.state
+    for _ in range(5):
+        st_single = sim.fns["step_b"](sim.fns["step_a"](st_single))
+        st_sharded = step(st_sharded)
+
+    for name in ("ex", "ey", "jx", "jy", "jz"):
+        a = np.asarray(getattr(st_single.fields, name))
+        b = np.asarray(getattr(st_sharded.fields, name))
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-24,
+                                   err_msg=name)
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(st_single.species[i].w),
+            np.asarray(st_sharded.species[i].w), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(st_single.species[i].xi),
+            np.asarray(st_sharded.species[i].xi), rtol=0, atol=1e-13)
+    # the output sharding stays pinned (no silent replication)
+    assert not st_sharded.species[0].w.sharding.is_fully_replicated
+
+
+def test_3d_binned_smoke(tmp_path):
+    """3D two-species plasma auto-selects the binned engine since the
+    mid-push-rebin window narrowing fixed its compile pathology."""
     import numpy as np
     import jax.numpy as jnp
     from epoch_tpu.core import Simulation
@@ -117,10 +190,11 @@ end:output
 """
     (tmp_path / "input.deck").write_text(deck)
     sim = Simulation(str(tmp_path / "input.deck"), seed=1)
-    assert sim.cfg.engine == "scatter"
+    assert sim.cfg.engine == "binned"
     run = make_full_step(sim.cfg)
     st = run(sim.state, 5)
     s = st.species[0]
-    assert int(s.alive.sum()) == 8 * 6 * 6 * 2
+    assert int((s.w > 0).sum()) == 8 * 6 * 6 * 2
+    assert int(s.n_dropped) == 0
     assert bool(jnp.all(jnp.isfinite(st.fields.ex)))
     assert bool(jnp.all(jnp.isfinite(s.p)))
