@@ -123,6 +123,7 @@ class BinnedPlan:
                        self.fac / (cfg.dt * d[0] * d[2]),
                        self.fac / (cfg.dt * d[0] * d[1]))
         self.fj = tuple(float(v) for v in self.fj)
+        self.higuera_cary = bool(getattr(cfg, "use_higuera_cary", False))
         # One rebin per step, placed right AFTER the half-drift: between two
         # rebin points the particle moves at most one full step (≤1 cell by
         # CFL), so the rebin still only needs the 3 axis-neighbour candidate
@@ -204,6 +205,7 @@ def as_slab(binned: BinnedSpecies, grid, periodic=None) -> ParticleSlab:
         id=jnp.zeros(n, jnp.int32),
         opdepth=jnp.zeros(n, x.dtype),
         opdepth_brem=jnp.zeros(n, x.dtype),
+        opdepth_tri=jnp.zeros(n, x.dtype),
         pvol=jnp.zeros(n, x.dtype),
     )
 
@@ -375,7 +377,20 @@ def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
     uxm = u[0] + cm * ex_p
     uym = u[1] + cm * ey_p
     uzm = u[2] + cm * ez_p
-    gamma = jnp.sqrt(uxm ** 2 + uym ** 2 + uzm ** 2 + 1.0)
+    if plan.higuera_cary:
+        # Higuera–Cary gamma (particles.F90:308-320, HC_PUSH)
+        g2 = uxm ** 2 + uym ** 2 + uzm ** 2 + 1.0
+        alpha_hc = 0.5 * q * plan.dt / mass
+        bx_b = alpha_hc * bx_p
+        by_b = alpha_hc * by_p
+        bz_b = alpha_hc * bz_p
+        beta2 = bx_b ** 2 + by_b ** 2 + bz_b ** 2
+        sigma = g2 - beta2
+        bdotu = bx_b * uxm + by_b * uym + bz_b * uzm
+        gamma = jnp.sqrt(0.5 * (sigma + jnp.sqrt(
+            sigma ** 2 + 4.0 * (beta2 + bdotu ** 2))))
+    else:
+        gamma = jnp.sqrt(uxm ** 2 + uym ** 2 + uzm ** 2 + 1.0)
     rootb = ccm / gamma
     tx = bx_p * rootb
     ty = by_p * rootb

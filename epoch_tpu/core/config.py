@@ -89,6 +89,9 @@ class SimConfig:
     stencil: StencilCoeffs = StencilCoeffs()
     dtype: Any = np.float64
     smooth_currents: bool = False
+    # Higuera-Cary momentum update instead of Boris (HC_PUSH define,
+    # particles.F90:308-320)
+    use_higuera_cary: bool = False
     smooth_iterations: int = 1
     smooth_compensation: bool = False
     cpml_kappa_max: float = 20.0

@@ -144,6 +144,7 @@ def _cell_counts(slab, grid):
 
 
 def split_particles(state, cfg, plan: SplitPlan, key):
+    drops = jnp.zeros((), jnp.int32)
     """split_particles (split_particle.F90:121-199), vectorised: all
     particles in underpopulated cells split at once."""
     grid = cfg.grid
@@ -166,10 +167,12 @@ def split_particles(state, cfg, plan: SplitPlan, key):
         w_new = jnp.where(eligible, 0.5 * slab.weight, slab.weight)
         x_orig = jnp.where(eligible[:, None], slab.x - jitter, slab.x)
         slab = slab._replace(x=x_orig, weight=w_new)
-        slab = append_particles(slab, slab.x + 2.0 * jitter, slab.p,
-                                slab.weight, eligible)
+        slab, d_ = append_particles(slab, slab.x + 2.0 * jitter, slab.p,
+                                    slab.weight, eligible, with_count=True)
+        drops = drops + d_
         species[si] = slab
-    return state._replace(species=tuple(species)), key
+    from .slab_ops import add_dropped
+    return add_dropped(state._replace(species=tuple(species)), drops), key
 
 
 def init_fluid_grids(cfg, state, plan: MigrationPlan):
@@ -219,10 +222,13 @@ def migrate_particles(state, cfg, plan: MigrationPlan):
 
     species = list(state.species)
 
+    drops = [jnp.zeros((), jnp.int32)]
+
     def move(src_i, dst_i, mask):
         src = species[src_i]
-        dst = append_particles(species[dst_i], src.x, src.p, src.weight,
-                               mask)
+        dst, d_ = append_particles(species[dst_i], src.x, src.p, src.weight,
+                                   mask, with_count=True)
+        drops[0] = drops[0] + d_
         alive = src.alive & ~mask
         species[src_i] = src._replace(
             alive=alive, weight=jnp.where(alive, src.weight, 0.0))
@@ -252,4 +258,5 @@ def migrate_particles(state, cfg, plan: MigrationPlan):
                 & (ke < plan.demote_mult[si] * 3.0 * const.kb * te) \
                 & (ne >= plan.demote_density[si])
             move(si, dst, mask)
-    return state._replace(species=tuple(species))
+    from .slab_ops import add_dropped
+    return add_dropped(state._replace(species=tuple(species)), drops[0])

@@ -188,7 +188,10 @@ def run_injector(state, plan: InjectorPlan, depth, cfg, key):
 
     w_new = (grid.cell_volume / plan.npc) * dens[cell]
     valid = valid & (w_new > 0)
-    slab = append_particles(slab, x_new, p_new, w_new, valid)
+    slab, drops = append_particles(slab, x_new, p_new, w_new, valid,
+                                   with_count=True)
     species = list(state.species)
     species[plan.species_idx] = slab
-    return state._replace(species=tuple(species)), depth
+    from .slab_ops import add_dropped
+    return add_dropped(state._replace(species=tuple(species)),
+                       drops), depth

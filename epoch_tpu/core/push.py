@@ -196,9 +196,10 @@ def push_species(fields: Fields, slab: ParticleSlab, sp, plan: PushPlan,
     if higuera_cary:
         # Higuera–Cary (particles.F90:308-320, PoP 24, 052104 (2017))
         g2 = uxm ** 2 + uym ** 2 + uzm ** 2 + 1.0
+        # beta = alpha * B at the particle (particles.F90:336-339;
+        # the gathered bx_p is already the physical field)
         alpha = 0.5 * q * plan.dt / mass
-        beta = (alpha * bx_p / const.c, alpha * by_p / const.c,
-                alpha * bz_p / const.c)
+        beta = (alpha * bx_p, alpha * by_p, alpha * bz_p)
         beta2 = beta[0] ** 2 + beta[1] ** 2 + beta[2] ** 2
         sigma = g2 - beta2
         bdotu = beta[0] * uxm + beta[1] * uym + beta[2] * uzm

@@ -235,6 +235,7 @@ def build_config(deck: DeckConfig) -> SimConfig:
         stencil=stencil,
         dtype=dtype,
         smooth_currents=deck.control.smooth_currents,
+        use_higuera_cary=deck.control.use_higuera_cary,
         smooth_iterations=deck.control.smooth_iterations,
         smooth_compensation=deck.control.smooth_compensation,
         cpml_kappa_max=deck.boundaries.cpml_kappa_max,
@@ -501,6 +502,7 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
         bc_fields=bc_fields,
         injector_depth=tuple(jnp.zeros((p.n_cells,), dtype)
                              for p in cfg.injector_plans),
+        slab_dropped=jnp.zeros((), jnp.int32),
     )
     if deck.probes and cfg.engine != "binned":
         from .probes import build_probe_plans, init_probe_buffers

@@ -12,14 +12,19 @@ import jax.numpy as jnp
 from .state import ParticleSlab
 
 
-def append_particles(slab: ParticleSlab, x_new, p_new, w_new, valid):
+def append_particles(slab: ParticleSlab, x_new, p_new, w_new, valid,
+                     with_count: bool = False):
     """Write up to len(valid) new particles into dead slots.
 
     ``valid`` masks which candidates are real; candidates beyond the free
-    capacity are dropped silently (fixed-capacity policy; capacity headroom
-    is the caller's responsibility).
+    capacity are dropped (fixed-capacity policy; capacity headroom is the
+    caller's responsibility).  With ``with_count`` returns
+    ``(slab, n_dropped)`` so callers can accumulate the overflow counter
+    (state.slab_dropped) — a silently shrinking particle population is a
+    correctness hazard the reference can't have (dynamic lists).
     """
     cap = slab.alive.shape[0]
+    n_valid_in = jnp.sum(valid)
     # pack valid candidates first so the k-th valid candidate pairs with
     # the k-th dead slot (otherwise a candidate whose index exceeds the
     # dead-slot count maps onto a live slot and is dropped spuriously)
@@ -38,12 +43,24 @@ def append_particles(slab: ParticleSlab, x_new, p_new, w_new, valid):
     p_upd = jnp.where(ok[:, None], p_new, slab.p[target])
     w_upd = jnp.where(ok, w_new, slab.weight[target])
     a_upd = slab.alive[target] | ok
-    return slab._replace(
+    out = slab._replace(
         x=slab.x.at[target].set(x_upd),
         p=slab.p.at[target].set(p_upd),
         weight=slab.weight.at[target].set(w_upd),
         alive=slab.alive.at[target].set(a_upd),
     )
+    if with_count:
+        n_dropped = (n_valid_in - jnp.sum(ok)).astype(jnp.int32)
+        return out, n_dropped
+    return out
+
+
+def add_dropped(state, n):
+    """Accumulate an append-overflow count into state.slab_dropped
+    (no-op for bare test states that never initialised the counter)."""
+    if state.slab_dropped is None:
+        return state
+    return state._replace(slab_dropped=state.slab_dropped + n)
 
 
 def sample_maxwellian_p(key, mass, temp, drift, shape):

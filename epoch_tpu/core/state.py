@@ -58,6 +58,8 @@ class ParticleSlab(NamedTuple):
     # optional per-particle optical depths etc. are added by physics packages
     opdepth: jax.Array        # (cap,) QED optical depth (photons.F90)
     opdepth_brem: jax.Array   # (cap,) bremsstrahlung optical depth
+    # trident optical depth (TRIDENT_PHOTONS builds, photons.F90:502-572)
+    opdepth_tri: jax.Array    # (cap,)
     # delta-f phase-space volume (particle%pvol, DELTAF_METHOD builds);
     # constant per particle after deltaf_load
     pvol: jax.Array           # (cap,)
@@ -104,6 +106,11 @@ class SimState(NamedTuple):
     # shared_data.F90:456; filled at open boundaries, boundary.F90:758-770;
     # dumped + cleared by the 'ejected_particles' output key)
     ejected: tuple = ()
+    # total particles dropped by fixed-capacity slab appends (injectors,
+    # window refill, ionise/QED/brems creation) — the reference's dynamic
+    # lists cannot overflow, so a nonzero count is a capacity warning
+    # surfaced at end of run (runner) and in dumps
+    slab_dropped: jax.Array | None = None
 
 
 def zero_fields(padded_shape, dtype) -> Fields:
@@ -121,5 +128,6 @@ def empty_slab(cap: int, ndims: int, dtype) -> ParticleSlab:
         id=jnp.zeros((cap,), jnp.int64),
         opdepth=jnp.zeros((cap,), dtype),
         opdepth_brem=jnp.zeros((cap,), dtype),
+        opdepth_tri=jnp.zeros((cap,), dtype),
         pvol=jnp.zeros((cap,), dtype),
     )

@@ -143,8 +143,9 @@ def make_step_functions(cfg):
                 if not sp_cfg.immobile:   # photon_dynamics = F
                     slab = psh.push_photons(slab, pplan)
             elif not sp_cfg.immobile:
-                slab, contrib = psh.push_species(state.fields, slab, sp_cfg,
-                                                pplan)
+                slab, contrib = psh.push_species(
+                    state.fields, slab, sp_cfg, pplan,
+                    higuera_cary=cfg.use_higuera_cary)
                 if contrib is not None:
                     contributions.append(contrib)
             # probe plane crossings (particles.F90:518-557)
@@ -165,6 +166,7 @@ def make_step_functions(cfg):
                 gone = pre.alive & ~slab.alive
                 ejected[si] = append_particles(
                     ejected[si], pre.x, pre.p, pre.weight, gone)
+                # (ejected-buffer overflow is dump-side only, not counted)
             new_slabs.append(slab)
         state = state._replace(rng=rng, probes=tuple(probes),
                                ejected=tuple(ejected))

@@ -149,6 +149,7 @@ def _shift_once(state: SimState, cfg) -> SimState:
     new_offset = offset + 1
 
     rng = state.rng
+    drops = jnp.zeros((), jnp.int32)
     new_species = []
     for i, (sp_cfg, slab) in enumerate(zip(cfg.species, state.species)):
         plan = cfg.window_plans[i]
@@ -168,12 +169,15 @@ def _shift_once(state: SimState, cfg) -> SimState:
         slab = slab._replace(x=x, alive=alive, weight=weight)
         if plan["max_new"] > 0 and plan["density"] is not None:
             rng, sub = jax.random.split(rng)
-            slab = _insert_column(slab, plan, cfg, new_offset, state.time,
-                                  sub, cfg.window_plans)
+            slab, d_ = _insert_column(slab, plan, cfg, new_offset,
+                                      state.time, sub, cfg.window_plans)
+            drops = drops + d_
         new_species.append(slab)
 
-    return state._replace(fields=f, cpml=cpml, species=tuple(new_species),
-                          window_offset=new_offset, rng=rng)
+    from .slab_ops import add_dropped
+    return add_dropped(
+        state._replace(fields=f, cpml=cpml, species=tuple(new_species),
+                       window_offset=new_offset, rng=rng), drops)
 
 
 def _shift_binned(b, plan, cfg, new_offset, time):
@@ -207,6 +211,7 @@ def _insert_column_binned(b, plan, cfg, offset, time, key, all_plans=None):
     count = npc_int + extra                # per transverse cell
     slot = jax.lax.broadcasted_iota(jnp.int32, tshape, 0)
     valid = slot < count[None]
+    n_over = jnp.sum(jnp.maximum(count - K, 0)).astype(jnp.int32)
 
     xi_new = jax.random.uniform(k2, (nd,) + tshape, dtype) - 0.5
     offset_f = offset.astype(dtype)
@@ -243,7 +248,7 @@ def _insert_column_binned(b, plan, cfg, offset, time, key, all_plans=None):
                                          jnp.zeros_like(xi_new)))
     p = b.p.at[:, :, -1].set(jnp.where(valid[None], p_new,
                                        jnp.zeros_like(p_new)))
-    return b._replace(w=w, xi=xi, p=p)
+    return b._replace(w=w, xi=xi, p=p, n_dropped=b.n_dropped + n_over)
 
 
 def _layers_at(plan, ctx):
@@ -337,10 +342,11 @@ def _insert_column(slab, plan, cfg, offset, time, key, all_plans=None):
         p_new.append(norms[:, i] * std + drift)
     p_new = jnp.stack(p_new, axis=1)
 
-    # append into dead slots (fixed capacity)
+    # append into dead slots (fixed capacity; overflow counted)
     order = jnp.argsort(slab.alive)        # dead slots first
     target = order[:max_new]
     ok = valid & ~slab.alive[target]
+    drops = (jnp.sum(valid) - jnp.sum(ok)).astype(jnp.int32)
     x_upd = jnp.where(ok[:, None], x_new, slab.x[target])
     p_upd = jnp.where(ok[:, None], p_new, slab.p[target])
     w_upd = jnp.where(ok, w_new, slab.weight[target])
@@ -350,4 +356,4 @@ def _insert_column(slab, plan, cfg, offset, time, key, all_plans=None):
         p=slab.p.at[target].set(p_upd),
         weight=slab.weight.at[target].set(w_upd),
         alive=slab.alive.at[target].set(a_upd),
-    )
+    ), drops

@@ -71,6 +71,7 @@ class ControlBlock:
     smooth_iterations: int = 1
     smooth_compensation: bool = False
     smooth_strides: tuple = ()
+    use_higuera_cary: bool = False       # HC_PUSH define -> runtime key
     use_balance: bool = False
     dlb_threshold: float = 0.0
     balance_first: bool = True
@@ -337,6 +338,8 @@ class QEDBlock:
     photon_dynamics: bool = False
     qed_table_location: str = ""
     use_radiation_reaction: bool = True
+    # TRIDENT_PHOTONS define -> runtime key (photons.F90:502-572)
+    use_trident: bool = False
 
 
 @dataclass

@@ -254,6 +254,8 @@ class DeckParser:
                 c.random_seed = self.integer(val)
             elif el == "smooth_currents":
                 c.smooth_currents = self.logical(val)
+            elif el == "use_higuera_cary":
+                c.use_higuera_cary = self.logical(val)
             elif el == "smooth_iterations":
                 c.smooth_iterations = self.integer(val)
             elif el == "smooth_compensation":
@@ -792,6 +794,8 @@ class DeckParser:
                 q.photon_energy_min = self.num(val)
             elif el == "produce_pairs":
                 q.produce_pairs = self.logical(val)
+            elif el in ("use_trident", "trident", "produce_trident_pairs"):
+                q.use_trident = self.logical(val)
             elif el == "photon_dynamics":
                 q.photon_dynamics = self.logical(val)
             elif el == "qed_table_location":

@@ -76,6 +76,9 @@ def write_restart(path, cfg, state: SimState, deck_text: str = ""):
             w.write_plain_variable(f"restart/odb/{sp.name}",
                                    f"Restart/Particles/odb/{sp.name}",
                                    np.asarray(s.opdepth_brem), "grid")
+            w.write_plain_variable(f"restart/odt/{sp.name}",
+                                   f"Restart/Particles/odt/{sp.name}",
+                                   np.asarray(s.opdepth_tri), "grid")
             w.write_plain_variable(f"restart/pvol/{sp.name}",
                                    f"Restart/Particles/pvol/{sp.name}",
                                    np.asarray(s.pvol), "grid")
@@ -87,6 +90,9 @@ def write_restart(path, cfg, state: SimState, deck_text: str = ""):
                      int(state.window_offset))
     w.write_constant("restart/window_frac", "Restart/window_frac",
                      float(state.window_frac))
+    if state.slab_dropped is not None:
+        w.write_constant("restart/slab_dropped", "Restart/slab_dropped",
+                         int(state.slab_dropped))
     w.write_plain_variable("restart/rng", "Restart/rng",
                            np.asarray(jax.random.key_data(state.rng)
                                       if hasattr(jax.random, "key_data")
@@ -166,6 +172,9 @@ def read_restart(path, cfg, template: SimState) -> SimState:
                 extra["opdepth"] = arr(f"Restart/Particles/od/{sp.name}")
                 extra["opdepth_brem"] = arr(
                     f"Restart/Particles/odb/{sp.name}")
+                if f"Restart/Particles/odt/{sp.name}" in d:
+                    extra["opdepth_tri"] = arr(
+                        f"Restart/Particles/odt/{sp.name}")
                 if f"Restart/Particles/pvol/{sp.name}" in d:
                     extra["pvol"] = arr(
                         f"Restart/Particles/pvol/{sp.name}")
@@ -216,4 +225,7 @@ def read_restart(path, cfg, template: SimState) -> SimState:
         window_offset=jnp.asarray(d["Restart/window_offset"].data, jnp.int32),
         window_frac=jnp.asarray(d["Restart/window_frac"].data, dtype),
         rng=rng,
+        slab_dropped=(jnp.asarray(d["Restart/slab_dropped"].data, jnp.int32)
+                      if "Restart/slab_dropped" in d
+                      else template.slab_dropped),
     )

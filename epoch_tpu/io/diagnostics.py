@@ -8,6 +8,7 @@ numbered ``NNNN.sdf`` dumps with a ``.visit`` manifest.
 """
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -15,6 +16,7 @@ import jax.numpy as jnp
 
 from .. import constants as const
 from ..core import shapes
+from ..core.boundaries import STAGGER
 from .sdf import SDFWriter
 
 IOType = const.IOType
@@ -169,20 +171,108 @@ def derived_variable(name, cfg, state, species_idx=None):
             ones = jnp.where(slab.alive, 1.0, 0.0)
             cnt = cnt + particle_to_grid(slab._replace(weight=ones), grid)
         return np.asarray(_fold_and_strip(cnt, cfg))
-    if name == "temperature":
-        # stress-based temperature (calc_df.F90 calc_temperature): per-axis
-        # <p²>/m averaged over directions, in Kelvin
+    if name in ("temperature", "temperature_x", "temperature_y",
+                "temperature_z"):
+        # calc_temperature (calc_df.F90:687-938): count-weighted second
+        # moment of p/sqrt(m) about the count-weighted per-cell mean;
+        # sigma = M2 - M1^2/M0 in closed form, T = sigma/(M0 kb dof)
+        dirs = [0, 1, 2] if name == "temperature" \
+            else ["xyz".index(name[-1])]
+        m0 = 0.0
+        m1 = [0.0, 0.0, 0.0]
+        m2 = 0.0
+        for i in idxs:
+            slab, sp = get_slab(cfg, state, i), cfg.species[i]
+            if sp.species_type == const.SpeciesType.PHOTON:
+                continue
+            ones = jnp.where(slab.alive, 1.0, 0.0)
+            cs = slab._replace(weight=ones)
+            m0 = m0 + particle_to_grid(cs, grid)
+            for d in dirs:
+                pm = slab.p[:, d] / math.sqrt(sp.mass)
+                m1[d] = m1[d] + particle_to_grid(cs, grid, pm)
+                m2 = m2 + particle_to_grid(cs, grid, pm * pm)
+        m0 = _fold_and_strip(m0, cfg)
+        m2 = _fold_and_strip(m2, cfg)
+        sig = m2
+        for d in dirs:
+            m1d = _fold_and_strip(m1[d], cfg)
+            sig = sig - jnp.where(m0 > 0, m1d * m1d / jnp.maximum(m0, 1e-300),
+                                  0.0)
+        dof = float(len(dirs))
+        return np.asarray(jnp.where(
+            m0 > 0, sig / jnp.maximum(m0, 1e-6) / const.kb / dof, 0.0))
+    if name in ("ekflux_x", "ekflux_y", "ekflux_z"):
+        # calc_ekflux (calc_df.F90:225-367): weighted mean of
+        # KE * (c * prod(transverse cell sizes) * u_dir/gamma), positive
+        # direction (outgoing flux variant)
+        d = "xyz".index(name[-1])
+        fac = const.c * float(np.prod([grid.delta[k]
+                                       for k in range(grid.ndims)
+                                       if k != d]))
         num = 0.0
         den = 0.0
         for i in idxs:
             slab, sp = get_slab(cfg, state, i), cfg.species[i]
-            mc = sp.mass
-            p2 = jnp.sum(slab.p ** 2, axis=1) / 3.0
-            num = num + particle_to_grid(slab, grid, p2 / (mc * const.kb))
+            if sp.species_type == const.SpeciesType.PHOTON:
+                continue
+            mc = sp.mass * const.c
+            u = slab.p / mc
+            gamma = jnp.sqrt(1.0 + jnp.sum(u ** 2, axis=1))
+            flux = jnp.maximum(fac * u[:, d] / gamma, 0.0)
+            num = num + particle_to_grid(slab, grid, ke(slab, sp) * flux)
             den = den + particle_to_grid(slab, grid)
         num = _fold_and_strip(num, cfg)
         den = _fold_and_strip(den, cfg)
-        return np.asarray(jnp.where(den > 0, num / jnp.maximum(den, 1e-300), 0.0))
+        return np.asarray(num / jnp.maximum(den, 1e-300))
+    if name in ("current_x", "current_y", "current_z"):
+        # calc_per_species_current (calc_df.F90:942-1045):
+        # J = c/vol * sum w q p_dir / sqrt((mc)^2 + p^2)
+        comp = "xyz".index(name[-1])
+        acc = 0.0
+        for i in idxs:
+            slab, sp = get_slab(cfg, state, i), cfg.species[i]
+            if sp.zero_current:
+                continue
+            mc = sp.mass * const.c
+            root = 1.0 / jnp.sqrt(mc ** 2 + jnp.sum(slab.p ** 2, axis=1))
+            acc = acc + particle_to_grid(
+                slab, grid, sp.charge * slab.p[:, comp] * root)
+        acc = _fold_and_strip(acc, cfg)
+        return np.asarray(acc) * const.c * ivol
+    if name in ("poynt_flux_x", "poynt_flux_y", "poynt_flux_z"):
+        # calc_poynt_flux (calc_df.F90:371-414): cell-centred (E x B)/mu0
+        # component with Yee de-staggering
+        f = state.fields
+
+        def cc(arr, name_):
+            # average staggered components back to cell centres
+            stag = STAGGER[name_]
+            out = arr
+            for d2 in range(grid.ndims):
+                if stag[d2]:
+                    out = 0.5 * (out + shifted(out, d2, -1))
+            return out
+
+        def shifted(arr, d2, off):
+            sl = [slice(None)] * arr.ndim
+            sl[d2] = slice(None)
+            return jnp.roll(arr, -off, axis=d2)
+
+        ex = cc(f.ex, "ex")
+        ey = cc(f.ey, "ey")
+        ez = cc(f.ez, "ez")
+        bx = cc(f.bx, "bx")
+        by = cc(f.by, "by")
+        bz = cc(f.bz, "bz")
+        comp = "xyz".index(name[-1])
+        if comp == 0:
+            s = (ey * bz - ez * by) / const.mu0
+        elif comp == 1:
+            s = (ez * bx - ex * bz) / const.mu0
+        else:
+            s = (ex * by - ey * bx) / const.mu0
+        return np.asarray(grid.interior(s))
     raise KeyError(f"unknown derived variable {name!r}")
 
 
@@ -322,6 +412,26 @@ DERIVED_VARS = {
     "average_px": ("average_px", "Derived/Particles_Average_Px", "kg.m/s"),
     "average_py": ("average_py", "Derived/Particles_Average_Py", "kg.m/s"),
     "average_pz": ("average_pz", "Derived/Particles_Average_Pz", "kg.m/s"),
+    "temperature_x": ("temperature_x", "Derived/Temperature/X", "K"),
+    "temperature_y": ("temperature_y", "Derived/Temperature/Y", "K"),
+    "temperature_z": ("temperature_z", "Derived/Temperature/Z", "K"),
+    "ekflux_x": ("ekflux_x", "Derived/EkFlux/X", "W/m^2"),
+    "ekflux_y": ("ekflux_y", "Derived/EkFlux/Y", "W/m^2"),
+    "ekflux_z": ("ekflux_z", "Derived/EkFlux/Z", "W/m^2"),
+    "current_x": ("current_x", "Derived/Jx", "A/m^2"),
+    "current_y": ("current_y", "Derived/Jy", "A/m^2"),
+    "current_z": ("current_z", "Derived/Jz", "A/m^2"),
+    "poynt_flux_x": ("poynt_flux_x", "Derived/Poynting_Flux/X", "W/m^2"),
+    "poynt_flux_y": ("poynt_flux_y", "Derived/Poynting_Flux/Y", "W/m^2"),
+    "poynt_flux_z": ("poynt_flux_z", "Derived/Poynting_Flux/Z", "W/m^2"),
+}
+
+# deck keys that expand to directional variants (deck_io_block.F90:696-702)
+VAR_EXPANSIONS = {
+    "ekflux": ("ekflux_x", "ekflux_y", "ekflux_z"),
+    "poynt_flux": ("poynt_flux_x", "poynt_flux_y", "poynt_flux_z"),
+    "poynting_flux": ("poynt_flux_x", "poynt_flux_y", "poynt_flux_z"),
+    "current_density": ("current_x", "current_y", "current_z"),
 }
 
 def _gamma_of(s, sp):
@@ -490,8 +600,29 @@ class OutputManager:
             st.first_call = False
             if dump:
                 any_dump = True
+                st.fire_count = getattr(st, "fire_count", 0) + 1
                 for var, mask in b.variables.items():
                     merged_mask[var] = merged_mask.get(var, 0) | mask
+                # restart dumps: every Nth firing of this block writes a
+                # full restart file; rolling restarts alternate between
+                # two files (io_block%rolling_restart,
+                # shared_data.F90:309, diagnostics.F90 restart logic)
+                want_restart = (
+                    (b.restart_dump_every > 0
+                     and st.fire_count % b.restart_dump_every == 0)
+                    or (last_call and b.force_final_to_be_restartable))
+                if want_restart:
+                    from .checkpoint import write_restart
+                    if b.rolling_restart:
+                        slot = getattr(st, "roll_slot", 0)
+                        st.roll_slot = 1 - slot
+                        name = f"{b.file_prefix}roll_restart{slot}.sdf"
+                    else:
+                        name = (f"{b.file_prefix}restart_"
+                                f"{self.dump_index:0{self.n_zeros}d}.sdf")
+                    write_restart(
+                        os.path.join(self.data_dir, name), self.cfg, state,
+                        deck_text=getattr(self.deck, "deck_text", ""))
         if any_dump:
             need_ids = "id" in merged_mask and self._fires(merged_mask["id"])
             # persistent subsets track membership by particle id
@@ -549,17 +680,20 @@ class OutputManager:
                                 f"{bid}_averaged", f"{name}_averaged",
                                 st.avg_sum[var] / st.avg_count, "grid", units)
                             break
-            elif var in DERIVED_VARS:
-                key, name, units = DERIVED_VARS[var]
-                if mask & int(IOType.SPECIES):
-                    for i, sname in enumerate(species_names):
-                        arr = derived_variable(key, cfg, state, i)
-                        w.write_plain_variable(f"{key}/{sname}",
-                                               f"{name}/{sname}", arr,
-                                               "grid", units)
-                if not (mask & int(IOType.NO_SUM)):
-                    arr = derived_variable(key, cfg, state)
-                    w.write_plain_variable(key, name, arr, "grid", units)
+            elif var in DERIVED_VARS or var in VAR_EXPANSIONS:
+                for sub in VAR_EXPANSIONS.get(var, (var,)):
+                    key, name, units = DERIVED_VARS[sub]
+                    if mask & int(IOType.SPECIES) \
+                            and not key.startswith("poynt"):
+                        for i, sname in enumerate(species_names):
+                            arr = derived_variable(key, cfg, state, i)
+                            w.write_plain_variable(f"{key}/{sname}",
+                                                   f"{name}/{sname}", arr,
+                                                   "grid", units)
+                    if not (mask & int(IOType.NO_SUM)):
+                        arr = derived_variable(key, cfg, state)
+                        w.write_plain_variable(key, name, arr, "grid",
+                                               units)
             elif var == "distribution_functions":
                 self._write_dist_fns(w, state)
             elif var == "total_energy_sum":

@@ -412,7 +412,19 @@ def make_push_deposit(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         uxm = u[0] + cm * ex_p
         uym = u[1] + cm * ey_p
         uzm = u[2] + cm * ez_p
-        igam = jax.lax.rsqrt(uxm * uxm + uym * uym + uzm * uzm + 1.0)
+        if plan.higuera_cary:
+            g2 = uxm * uxm + uym * uym + uzm * uzm + 1.0
+            alpha_hc = float(0.5 * q * plan.dt / mass)
+            bx_b = alpha_hc * bx_p
+            by_b = alpha_hc * by_p
+            bz_b = alpha_hc * bz_p
+            beta2 = bx_b * bx_b + by_b * by_b + bz_b * bz_b
+            sigma = g2 - beta2
+            bdotu = bx_b * uxm + by_b * uym + bz_b * uzm
+            igam = jax.lax.rsqrt(0.5 * (sigma + jnp.sqrt(
+                sigma * sigma + 4.0 * (beta2 + bdotu * bdotu))))
+        else:
+            igam = jax.lax.rsqrt(uxm * uxm + uym * uym + uzm * uzm + 1.0)
         rootb = ccm * igam
         tx = bx_p * rootb
         ty = by_p * rootb

@@ -112,7 +112,8 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "x"):
                 mesh, P(tuple(mesh.axis_names)))
             return ParticleSlab(
                 x=part, p=part, weight=part, alive=part, id=part,
-                opdepth=part, opdepth_brem=part, pvol=part)
+                opdepth=part, opdepth_brem=part, opdepth_tri=part,
+                pvol=part)
         return jax.tree.map(lambda _: repl, slab)
 
     species = tuple(slab_sharding(s) for s in state.species)
@@ -123,6 +124,7 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "x"):
         fields=fields, cpml=cpml, species=species, lasers=lasers,
         time=repl, step=repl, window_offset=repl, window_frac=repl,
         rng=repl, bc_fields=bc_fields,
+        slab_dropped=repl if state.slab_dropped is not None else None,
         injector_depth=jax.tree.map(lambda _: repl, state.injector_depth),
         probes=jax.tree.map(lambda _: repl, state.probes),
         ejected=jax.tree.map(lambda _: repl, state.ejected),

@@ -220,6 +220,7 @@ def brem_update(state, cfg, plan: BremPlan, key):
     dt = cfg.dt
     species = list(state.species)
     active = state.time > plan.start_time
+    drops = jnp.zeros((), jnp.int32)
 
     root_te_ne = None
     if plan.use_plasma_screening:
@@ -281,9 +282,11 @@ def brem_update(state, cfg, plan: BremPlan, key):
                 keep = fire & (k_ph > plan.photon_energy_min)
                 ph = species[plan.photon_species]
                 p_ph = dirv * (k_ph / const.c)[:, None]
-                ph = append_particles(ph, slab.x, p_ph,
-                                      slab.weight * plan.photon_weight,
-                                      keep)
+                ph, d_ = append_particles(ph, slab.x, p_ph,
+                                          slab.weight * plan.photon_weight,
+                                          keep, with_count=True)
+                drops = drops + d_
                 species[plan.photon_species] = ph
 
-    return state._replace(species=tuple(species)), key
+    from ..core.slab_ops import add_dropped
+    return add_dropped(state._replace(species=tuple(species)), drops), key

@@ -696,10 +696,11 @@ def _collisional_ionise_pair(species, cfg, entry, key):
     p_ej = (m_e / m_ion) * p_i
     p_ion_new = p_i - p_ej
     from ..core.slab_ops import append_particles
-    species[entry["release"]] = append_particles(
-        species[entry["release"]], x_i, p_ej, w_i, fire)
-    species[entry["to"]] = append_particles(
-        species[entry["to"]], x_i, p_ion_new, w_i, fire)
+    species[entry["release"]], d1 = append_particles(
+        species[entry["release"]], x_i, p_ej, w_i, fire, with_count=True)
+    species[entry["to"]], d2 = append_particles(
+        species[entry["to"]], x_i, p_ion_new, w_i, fire, with_count=True)
+    drops = d1 + d2
     # kill the ionised ions in their original slab
     fired_sorted = jnp.zeros(N_j + 1, bool).at[partner].max(fire)[:N_j]
     alive_sorted = svj["alive"] & ~fired_sorted
@@ -707,7 +708,7 @@ def _collisional_ionise_pair(species, cfg, entry, key):
     alive_new = slab_j.alive.at[svj["perm"]].set(alive_sorted)
     species[jj] = slab_j._replace(
         alive=alive_new, weight=jnp.where(alive_new, slab_j.weight, 0.0))
-    return species, key
+    return species, key, drops
 
 
 def particle_collisions(state, cfg, plan: CollisionPlan, key):
@@ -718,10 +719,14 @@ def particle_collisions(state, cfg, plan: CollisionPlan, key):
         for (i, j, user_factor) in plan.pairs:
             species, key = _collide_pair_scatter(species, cfg, plan, i, j,
                                                  user_factor, key)
+        from ..core.slab_ops import add_dropped
+        drops = jnp.zeros((), jnp.int32)
         for entry in plan.ionise_entries:
-            species, key = _collisional_ionise_pair(species, cfg, entry,
-                                                    key)
-        return state._replace(species=tuple(species)), key
+            species, key, d_ = _collisional_ionise_pair(species, cfg, entry,
+                                                        key)
+            drops = drops + d_
+        return add_dropped(state._replace(species=tuple(species)),
+                           drops), key
     grid = cfg.grid
     dvol = grid.cell_volume
     dt = cfg.dt

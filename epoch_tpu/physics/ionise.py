@@ -138,6 +138,7 @@ def ionise_particles(state, cfg, plan: IonisePlan, key):
     f = state.fields
     species = list(state.species)
     dt_at = cfg.dt / const.atomic_time
+    drops = jnp.zeros((), jnp.int32)
 
     for lv in plan.levels:
         slab = species[lv["species"]]
@@ -182,19 +183,21 @@ def ionise_particles(state, cfg, plan: IonisePlan, key):
         # (ionise.F90:773-781)
         p_e = slab.p * lv["rel_mass_frac"]
         rel_slab = species[lv["release"]]
-        rel_slab = append_particles(
-            rel_slab, slab.x, p_e, slab.weight, fire)
+        rel_slab, d1 = append_particles(
+            rel_slab, slab.x, p_e, slab.weight, fire, with_count=True)
         species[lv["release"]] = rel_slab
 
         # promote the ion to the next charge state
         nxt = species[lv["to"]]
-        nxt = append_particles(
-            nxt, slab.x, slab.p - p_e, slab.weight, fire)
+        nxt, d2 = append_particles(
+            nxt, slab.x, slab.p - p_e, slab.weight, fire, with_count=True)
         species[lv["to"]] = nxt
+        drops = drops + d1 + d2
 
         # kill in the source level
         alive = slab.alive & ~fire
         species[lv["species"]] = slab._replace(
             alive=alive, weight=jnp.where(alive, slab.weight, 0.0))
 
-    return state._replace(species=tuple(species)), key
+    from ..core.slab_ops import add_dropped
+    return add_dropped(state._replace(species=tuple(species)), drops), key

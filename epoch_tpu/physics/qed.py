@@ -52,6 +52,7 @@ class QEDTables:
         r = rows("pairprod.table")
         data = np.array([[float(v) for v in row] for row in r[1:]])
         self.t_logchi = data[:, 0]
+        self.omega_val = data[:, 1]      # log10(omegahat) for trident
         self.t_val = data[:, 2]
 
         # ksi_sokolov.table: header n_eta n_chi etalog_min etalog_max;
@@ -103,6 +104,7 @@ class QEDPlan:
         self.photon_energy_min = q.photon_energy_min
         self.photon_dynamics = q.photon_dynamics
         self.use_radiation_reaction = q.use_radiation_reaction
+        self.use_trident = getattr(q, "use_trident", False)
         self.start_time = q.qed_start_time
         ids = {s.identify: i for i, s in enumerate(deck.species) if s.identify}
         self.emitters = [i for i, s in enumerate(cfg.species)
@@ -115,6 +117,12 @@ class QEDPlan:
         self.bw_positron = ids.get("breit_wheeler_positron",
                                    ids.get("bw_positron",
                                            ids.get("positron", -1)))
+        # trident species fall back to the first electron/positron
+        # (photons.F90:160-216)
+        self.tri_electron = ids.get("trident_electron",
+                                    ids.get("electron", -1))
+        self.tri_positron = ids.get("trident_positron",
+                                    ids.get("positron", -1))
 
 
 def _interp_1d(xt, yt, x):
@@ -226,6 +234,7 @@ def qed_update(state, cfg, plan: QEDPlan, key):
     species = list(state.species)
     tab = plan.tables
     mc0 = const.m0 * const.c
+    drops = jnp.zeros((), jnp.int32)
     # the reference gates QED on the push being active AND
     # time > qed_start_time (photons.F90 via epoch1d.F90:190-196)
     active = (state.time > plan.start_time) \
@@ -247,8 +256,10 @@ def qed_update(state, cfg, plan: QEDPlan, key):
                        -jnp.log(1.0 - jax.random.uniform(
                            k1, od.shape, od.dtype, maxval=0.999999)),
                        od)
-        h = _interp_1d(tab.h_logeta, tab.h_val,
-                       jnp.log10(jnp.maximum(eta, 1e-300)))
+        # tables store log10 values; the reference exponentiates the
+        # interpolant (find_value_from_table_1d, photons.F90:1046-1096)
+        h = 10.0 ** _interp_1d(tab.h_logeta, tab.h_val,
+                               jnp.log10(jnp.maximum(eta, 1e-300)))
         d_od = dt * eta * const.alpha_fine * math.sqrt(3.0) * h \
             / (2.0 * math.pi * TAU_C * gamma)
         od = od - jnp.where(slab.alive & active, d_od, 0.0)
@@ -274,8 +285,43 @@ def qed_update(state, cfg, plan: QEDPlan, key):
             keep = fire & (e_ph > plan.photon_energy_min)
             ph = species[plan.photon_species]
             p_ph = dirv * (e_ph / const.c)[:, None]
-            ph = append_particles(ph, slab.x, p_ph, slab.weight, keep)
+            ph, d_ = append_particles(ph, slab.x, p_ph, slab.weight,
+                                      keep, with_count=True)
+            drops = drops + d_
             species[plan.photon_species] = ph
+
+        # trident pair production (TRIDENT_PHOTONS, photons.F90:502-572):
+        # depth depletes as dt·η·α²·0.64·ω̂(η)/(2π τ_c γ); at τ ≤ 0 an
+        # e⁻e⁺ pair is created at rest with the electron's weight
+        # (generate_pair_tri :1010-1042)
+        if plan.use_trident and plan.tri_electron >= 0 \
+                and plan.tri_positron >= 0:
+            slab = species[i]
+            key, k3 = jax.random.split(key)
+            odt = slab.opdepth_tri
+            odt = jnp.where(odt <= 0.0,
+                            -jnp.log(1.0 - jax.random.uniform(
+                                k3, odt.shape, odt.dtype, maxval=0.999999)),
+                            odt)
+            omega_hat = 10.0 ** _interp_1d(
+                tab.t_logchi, tab.omega_val,
+                jnp.log10(jnp.maximum(eta, 1e-300)))
+            d_odt = dt * eta * const.alpha_fine ** 2 * 0.64 * omega_hat \
+                / (2.0 * math.pi * TAU_C * gamma)
+            odt = odt - jnp.where(slab.alive & active, d_odt, 0.0)
+            fire_t = slab.alive & active & (odt <= 0.0)
+            p_zero = jnp.zeros_like(slab.p)
+            species[plan.tri_electron], d1 = append_particles(
+                species[plan.tri_electron], slab.x, p_zero, slab.weight,
+                fire_t, with_count=True)
+            species[plan.tri_positron], d2 = append_particles(
+                species[plan.tri_positron], slab.x, p_zero, slab.weight,
+                fire_t, with_count=True)
+            drops = drops + d1 + d2
+            odt = jnp.where(fire_t, -jnp.log(1.0 - jax.random.uniform(
+                jax.random.fold_in(k3, 1), odt.shape, odt.dtype,
+                maxval=0.999999)), odt)
+            species[i] = slab._replace(opdepth_tri=odt)
 
     # photons → pairs (Breit-Wheeler)
     if plan.produce_pairs and plan.photon_species >= 0:
@@ -295,8 +341,9 @@ def qed_update(state, cfg, plan: QEDPlan, key):
                            -jnp.log(1.0 - jax.random.uniform(
                                k1, od.shape, od.dtype, maxval=0.999999)),
                            od)
-            tpair = _interp_1d(tab.t_logchi, tab.t_val,
-                               jnp.log10(jnp.maximum(chi, 1e-300)))
+            tpair = 10.0 ** _interp_1d(
+                tab.t_logchi, tab.t_val,
+                jnp.log10(jnp.maximum(chi, 1e-300)))
             d_od = dt / TAU_C * const.alpha_fine \
                 / jnp.maximum(part_e, 1e-300) * chi * tpair
             od = od - jnp.where(slab.alive & active, d_od, 0.0)
@@ -314,13 +361,17 @@ def qed_update(state, cfg, plan: QEDPlan, key):
             if plan.bw_electron >= 0 and plan.bw_positron >= 0:
                 pe = dirv * (frac * mag)[:, None]
                 pp = dirv * ((1.0 - frac) * mag)[:, None]
-                species[plan.bw_electron] = append_particles(
-                    species[plan.bw_electron], slab.x, pe, slab.weight, fire)
-                species[plan.bw_positron] = append_particles(
-                    species[plan.bw_positron], slab.x, pp, slab.weight, fire)
+                species[plan.bw_electron], d1 = append_particles(
+                    species[plan.bw_electron], slab.x, pe, slab.weight,
+                    fire, with_count=True)
+                species[plan.bw_positron], d2 = append_particles(
+                    species[plan.bw_positron], slab.x, pp, slab.weight,
+                    fire, with_count=True)
+                drops = drops + d1 + d2
             alive = slab.alive & ~fire
             species[iph] = slab._replace(
                 alive=alive, weight=jnp.where(alive, slab.weight, 0.0),
                 opdepth=od)
 
-    return state._replace(species=tuple(species)), key
+    from ..core.slab_ops import add_dropped
+    return add_dropped(state._replace(species=tuple(species)), drops), key

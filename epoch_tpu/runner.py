@@ -118,7 +118,24 @@ class Runner:
         sim.state = st
         st = self.out.maybe_dump(sim, st, last=True)
         sim.state = st
+        self._overflow_warnings(st)
         return st
+
+    def _overflow_warnings(self, st):
+        """End-of-run capacity warnings: a fixed-capacity framework that
+        silently loses created particles is a correctness hazard (the
+        reference's dynamic lists cannot overflow)."""
+        dropped = int(st.slab_dropped) if st.slab_dropped is not None else 0
+        if dropped > 0:
+            print(f" WARNING: {dropped} created particles were dropped by "
+                  f"full species slabs — raise species capacity "
+                  f"(bin_headroom / nparticles)", file=self.stdout)
+        for sp_cfg, s in zip(self.sim.cfg.species, st.species):
+            nd = int(getattr(s, "n_dropped", 0))
+            if nd > 0:
+                print(f" WARNING: species {sp_cfg.name}: {nd} particles "
+                      f"dropped by slot-grid overflow — raise "
+                      f"bin_headroom", file=self.stdout)
 
     def _status_line(self, st):
         # per-step stdout line with runtime + ETA (diagnostics.F90:245-282)

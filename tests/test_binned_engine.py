@@ -114,3 +114,39 @@ def test_engines_agree(nd):
         assert xs.size == xbs.size
         np.testing.assert_allclose(xs, xbs, rtol=0, atol=1e-18)
     assert int(bm.n_dropped) == 0
+
+
+def test_higuera_cary_engines_agree():
+    """use_higuera_cary reaches both engines (HC_PUSH define -> deck key);
+    HC differs from Boris and the engines agree with each other."""
+    import dataclasses
+    cfg, sp, grid, fj, interior, vals = _setup(2)
+    cfg_hc = dataclasses.replace(cfg, use_higuera_cary=True)
+    pplan = psh.PushPlan(cfg_hc)
+    bplan = binmod.BinnedPlan(cfg_hc)
+    assert bplan.higuera_cary
+    NP = 40
+    rng = np.random.default_rng(9)
+    x0 = np.stack([rng.uniform(0, grid.hi[d], NP) for d in range(2)], 1)
+    p0 = rng.normal(scale=3e-22, size=(NP, 3))
+    w0 = rng.uniform(1, 2, NP)
+    slab = empty_slab(512, 2, np.float64)
+    slab = slab._replace(
+        x=slab.x.at[:NP].set(x0), p=slab.p.at[:NP].set(p0),
+        weight=slab.weight.at[:NP].set(w0),
+        alive=slab.alive.at[:NP].set(True))
+    bm = binmod.bin_from_arrays(x0, p0, w0, grid, K=16)
+    fpad = binmod.make_fpad(fj, grid)
+
+    slab_b, _ = psh.push_species(fj, slab, sp, pplan)           # Boris
+    slab_h, _ = psh.push_species(fj, slab, sp, pplan,
+                                 higuera_cary=True)             # HC
+    # HC must actually differ from Boris in these strong random fields
+    db = np.abs(np.asarray(slab_b.p) - np.asarray(slab_h.p)).max()
+    assert db > 0.0
+
+    bm_h, _ = binmod.push_deposit_binned(fpad, bm, sp, bplan)
+    xb, pb, wb, al = binmod.to_flat(bm_h, grid)
+    ps = np.sort(np.asarray(slab_h.p)[np.asarray(slab_h.alive), 0])
+    pbs = np.sort(pb[al][:, 0])
+    np.testing.assert_allclose(ps, pbs, rtol=1e-12, atol=1e-40)

@@ -59,3 +59,51 @@ def test_restart_bit_exact(tmp_path, pusher):
         y = np.asarray(getattr(st3.fields, nm))
         np.testing.assert_array_equal(x, y)
     assert float(st3.time) == float(st2.time)
+
+
+def test_rolling_restarts(tmp_path):
+    """rolling_restart alternates two restart files; restart_dump_every
+    controls cadence (shared_data.F90:309)."""
+    import os
+    from epoch_tpu.runner import Runner
+    deck = """
+begin:control
+  nx = 16
+  t_end = 1
+  nsteps = 7
+  x_min = 0
+  x_max = 1.6e-5
+end:control
+begin:boundaries
+  bc_x_min = periodic
+  bc_x_max = periodic
+end:boundaries
+begin:species
+  name = electron
+  charge = -1
+  mass = 1.0
+  number_density = 1e20
+  nparticles = 256
+  temperature_ev = 10
+end:species
+begin:output
+  nstep_snapshot = 2
+  restart_dump_every = 1
+  rolling_restart = T
+  grid = always
+  ex = always
+end:output
+"""
+    (tmp_path / "input.deck").write_text(deck)
+    import io as _io
+    r = Runner(str(tmp_path), stdout=_io.StringIO())
+    r.run()
+    f0 = tmp_path / "roll_restart0.sdf"
+    f1 = tmp_path / "roll_restart1.sdf"
+    assert f0.exists() and f1.exists()
+    # both must be loadable full restarts
+    from epoch_tpu.io.checkpoint import read_restart
+    st0 = read_restart(str(f0), r.sim.cfg, r.sim.state)
+    st1 = read_restart(str(f1), r.sim.cfg, r.sim.state)
+    # the two files are from different dump points (alternation)
+    assert float(st0.time) != float(st1.time)

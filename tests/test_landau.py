@@ -1,0 +1,98 @@
+"""Landau damping regression (epoch1d/tests/test_landau.py analogue).
+
+The reference test is plot-only; here we assert the measured damping rate
+of a seeded Langmuir mode numerically.  At k·λ_D = 0.5 the kinetic
+dispersion relation gives ω = 1.4156 ω_p, γ = −0.1534 ω_p (standard
+tabulated root of the plasma dispersion function)."""
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import epoch_tpu.constants as const
+from epoch_tpu.core import Simulation
+
+DECK = """
+begin:control
+  nx = 64
+  t_end = {t_end}
+  x_min = 0
+  x_max = {L}
+end:control
+begin:boundaries
+  bc_x_min = periodic
+  bc_x_max = periodic
+end:boundaries
+begin:constant
+  n0 = {n0}
+end:constant
+begin:species
+  name = electrons
+  charge = -1
+  mass = 1.0
+  temperature = {T}
+  number_density = n0 * (1 + {amp} * cos(2 * pi * x / {L}))
+  nparticles_per_cell = 400
+end:species
+begin:species
+  name = protons
+  charge = 1
+  mass = 1836.2
+  temperature = 0
+  number_density = n0
+  nparticles_per_cell = 16
+end:species
+begin:output
+  dt_snapshot = 1
+end:output
+"""
+
+GAMMA_OVER_WP = -0.1534          # k lambda_D = 0.5
+OMEGA_OVER_WP = 1.4156
+
+
+@pytest.mark.slow
+def test_landau_damping_rate(tmp_path):
+    n0 = 1.0e20
+    wp = math.sqrt(n0 * const.q0 ** 2 / (const.epsilon0 * const.m0))
+    # pick T so that lambda_D = 0.5 / k with one mode in the box
+    # hot plasma (v_t = 0.2c) keeps omega_p*dt large enough that the
+    # 3 damping e-folds fit in ~500 steps; k lambda_D = 0.5 with one
+    # mode in the box (L = 4 pi lambda_D)
+    lam_d = 0.2 * const.c / wp
+    T = lam_d ** 2 * n0 * const.q0 ** 2 / (const.epsilon0 * const.kb)
+    L = 4.0 * math.pi * lam_d
+    t_end = 3.0 / (abs(GAMMA_OVER_WP) * wp)
+    (tmp_path / "input.deck").write_text(
+        DECK.format(L=L, n0=n0, T=T, amp=0.05, t_end=t_end))
+    sim = Simulation(str(tmp_path / "input.deck"), seed=3)
+    assert sim.cfg.engine == "binned"
+
+    st = sim.state
+    dt = sim.cfg.dt
+    times, energies = [], []
+    nsteps = int(t_end / dt) + 1
+    stride = 2
+    for s in range(0, nsteps, stride):
+        for _ in range(stride):
+            st = sim.fns["step_b"](sim.fns["step_a"](st))
+        ex = sim.cfg.grid.interior(st.fields.ex)
+        # mode-1 amplitude (the seeded Langmuir wave)
+        mode = np.abs(np.fft.rfft(np.asarray(ex))[1])
+        times.append((s + stride) * dt)
+        energies.append(mode)
+    times = np.array(times)
+    amp = np.array(energies)
+
+    # envelope fit: peaks of the standing-wave oscillation
+    from scipy.signal import argrelmax
+    pk = argrelmax(amp, order=3)[0]
+    # drop the initial transient and late-time noise floor
+    pk = pk[(times[pk] > 1.0 / wp) & (amp[pk] > amp.max() * 3e-2)]
+    assert pk.size >= 4, "not enough oscillation peaks to fit"
+    coef = np.polyfit(times[pk], np.log(amp[pk]), 1)
+    gamma_meas = coef[0]
+    gamma_ref = GAMMA_OVER_WP * wp
+    assert abs(gamma_meas - gamma_ref) < 0.3 * abs(gamma_ref), (
+        gamma_meas / wp, GAMMA_OVER_WP)

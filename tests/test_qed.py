@@ -95,3 +95,87 @@ def test_emission_in_strong_field(sim):
     ph = st.species[1]
     px = np.asarray(ph.p[:, 0])[np.asarray(ph.alive)]
     assert (px > 0).all()
+
+
+TRIDENT_DECK = """
+begin:control
+  pusher = scatter
+  nx = 16
+  t_end = 1
+  x_min = 0
+  x_max = 1.6e-5
+end:control
+begin:boundaries
+  bc_x_min = periodic
+  bc_x_max = periodic
+end:boundaries
+begin:qed
+  use_qed = T
+  qed_start_time = 0
+  produce_photons = F
+  produce_pairs = F
+  use_trident = T
+  qed_table_location = {tables}
+end:qed
+begin:species
+  name = Electron
+  charge = -1
+  mass = 1.0
+  number_density = 1e20
+  nparticles = 128
+  identify:electron
+end:species
+begin:species
+  name = TriElectron
+  charge = -1
+  mass = 1.0
+  nparticles = 0
+  identify:trident_electron
+end:species
+begin:species
+  name = Positron
+  charge = 1
+  mass = 1.0
+  nparticles = 0
+  identify:trident_positron
+end:species
+begin:output
+  dt_snapshot = 1
+end:output
+"""
+
+
+def test_trident_pair_production(tmp_path):
+    """TRIDENT_PHOTONS path (photons.F90:502-572, generate_pair_tri
+    :1010-1042): at eta ~ 1 the trident channel must create e-/e+ pairs
+    at rest with the generating electron's weight."""
+    (tmp_path / "input.deck").write_text(TRIDENT_DECK.format(tables=TABLES))
+    sim = Simulation(str(tmp_path / "input.deck"))
+    assert sim.cfg.qed_plan.use_trident
+    st = sim.state
+    gamma = 2000.0
+    p0 = np.sqrt(gamma ** 2 - 1.0) * const.m0 * const.c
+    slab = st.species[0]
+    # seed tau_tri near zero: the trident rate is alpha^2-suppressed, so
+    # firing within a few steps tests the mechanism, not the (tiny) rate
+    slab = slab._replace(
+        p=jnp.zeros_like(slab.p).at[:, 0].set(p0),
+        opdepth_tri=jnp.full_like(slab.opdepth_tri, 1e-10))
+    f = st.fields._replace(ey=jnp.full_like(st.fields.ey, 2.0e14))
+    st = st._replace(fields=f, species=(slab,) + st.species[1:])
+    for _ in range(3):
+        st = sim.fns["step_a"](st)._replace(fields=f)
+    n_e = int(st.species[1].alive.sum())
+    n_p = int(st.species[2].alive.sum())
+    assert n_p > 0, "no trident pairs at eta~1"
+    assert n_e == n_p
+    # pairs created at rest with the source's weight (generate_pair_tri);
+    # by assert time the Ey field has kicked them along y only
+    pos = st.species[2]
+    al = np.asarray(pos.alive)
+    pp = np.asarray(pos.p)[al]
+    assert np.all(pp[:, 0] == 0.0) and np.all(pp[:, 2] == 0.0)
+    kick = const.q0 * 2.0e14 * sim.cfg.dt * 3   # <= 3 steps of Ey kick
+    assert np.all(np.abs(pp[:, 1]) <= 1.5 * kick)
+    w0 = float(st.species[0].weight[0])
+    np.testing.assert_allclose(np.asarray(pos.weight)[al], w0)
