@@ -38,11 +38,13 @@ def laser_sources(cfg, bd, time, phases, dtype, ctx_coords):
     (laser.f90:outflow_bcs_* source loop)."""
     source1 = 0.0
     source2 = 0.0
+    from . import loader
     for i, las in enumerate(cfg.lasers):
         if las.boundary != bd:
             continue
         ctx = dict(ctx_coords)
         ctx["time"] = time
+        loader._add_geom_ctx(ctx, cfg.grid, time)
         t_env = las.amp
         if las.t_profile is not None:
             t_env = t_env * las.t_profile(ctx, xp=jnp)
@@ -110,6 +112,8 @@ def outflow_bcs(f: Fields, cfg, state, dt, time, axis, hi: bool, dtype):
     dt_eps = dt / const.epsilon0
 
     ctx_coords = _transverse_coords(grid, axis, dtype)
+    from . import loader as _ldr
+    _ldr._add_geom_ctx(ctx_coords, grid)
     src1, src2 = laser_sources(cfg, bd, time, state.lasers.integral_phase,
                                dtype, ctx_coords)
 
@@ -229,11 +233,15 @@ def absorption_increments(f: Fields, cfg, state, dt, time, axis, hi, dtype):
 
     d_inject = jnp.zeros((), dtype)
     ctx_coords = _transverse_coords(grid, axis, dtype)
+    from . import loader as _ldr
+    _ldr._add_geom_ctx(ctx_coords, grid)
+    from . import loader
     for i, las in enumerate(cfg.lasers):
         if las.boundary != bd:
             continue
         ctx = dict(ctx_coords)
         ctx["time"] = time
+        loader._add_geom_ctx(ctx, cfg.grid, time)
         t_env = 1.0
         if las.t_profile is not None:
             t_env = las.t_profile(ctx, xp=jnp)

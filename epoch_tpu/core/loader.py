@@ -62,8 +62,14 @@ def _add_geom_ctx(ctx, grid, time=0.0):
     ctx.setdefault("time", time)
 
 
-def _eval_at_points(expr, pts, grid, default=0.0, time=0.0):
-    """Evaluate a deck expression at particle positions (N, ndims)."""
+def _eval_at_points(expr, pts, grid, default=0.0, time=0.0,
+                    grid_cache=None):
+    """Evaluate a deck expression at particle positions (N, ndims).
+
+    ``grid_cache`` entries holding whole-grid arrays (density:<sp>,
+    temp_x:<sp>, ... species cross-references) are sampled at the
+    particle cells (NGP) so expressions like temperature_x(Electron)
+    resolve (deck_species_block species functions)."""
     import numpy as xp
     if expr is None:
         return np.full(pts.shape[0], default)
@@ -72,6 +78,18 @@ def _eval_at_points(expr, pts, grid, default=0.0, time=0.0):
     for d in range(grid.ndims):
         ctx[names[d]] = pts[:, d]
     _add_geom_ctx(ctx, grid, time)
+    if grid_cache:
+        cell = tuple(
+            np.clip(np.floor((pts[:, d] - grid.grid_min(d))
+                             / grid.delta[d] + 0.5).astype(int),
+                    0, grid.n[d] - 1)
+            for d in range(grid.ndims))
+        for k, g in grid_cache.items():
+            ga = np.asarray(g)
+            if ga.shape == tuple(grid.n):
+                ctx[k] = ga[cell]
+            else:
+                ctx[k] = g
     val = expr(ctx, xp=xp)
     return np.broadcast_to(np.asarray(val, float), (pts.shape[0],)).copy()
 
@@ -141,6 +159,38 @@ def flux_maxwellian(rng, mass, temp, drift, direction):
     sigma = np.sqrt(np.maximum(temp, 0.0) * const.kb * mass)
     u = rng.uniform(size=np.shape(drift) if np.ndim(drift) else None)
     return direction * sigma * np.sqrt(-2.0 * np.log(1.0 - u))
+
+
+def build_species_caches(species_blocks, grid):
+    """Evaluate every species' density and temperature grids with
+    cross-references (density(X), temperature_x(X)) resolved by fixed
+    point: merged/re-opened species blocks may reference species declared
+    *later* in the deck, so iterate until no new entry resolves."""
+    from ..deck.expr import DeckExprError
+    cache = {}
+    for _ in range(max(len(species_blocks), 1)):
+        progress = False
+        for sp in species_blocks:
+            if f"density:{sp.name}" not in cache:
+                try:
+                    cache[f"density:{sp.name}"] = species_density(
+                        sp, grid, cache)
+                    progress = True
+                except (DeckExprError, KeyError):
+                    pass
+            for ti, tnm in enumerate("xyz"):
+                key = f"temp_{tnm}:{sp.name}"
+                if key in cache or sp.temp[ti] is None:
+                    continue
+                try:
+                    cache[key] = _eval_on_grid(sp.temp[ti], grid,
+                                               extra_ctx=cache)
+                    progress = True
+                except (DeckExprError, KeyError):
+                    pass
+        if not progress:
+            break
+    return cache
 
 
 def species_density(sp_block, grid, dens_cache=None):
@@ -215,7 +265,8 @@ def load_species(sp_block, grid, rng, dtype, cap_headroom=1.25,
     if getattr(sp_block, "dist_fn", None) is not None:
         p = sample_dist_fn(sp_block, pos, grid, rng)
         drift_vec = np.stack(
-            [_eval_at_points(sp_block.drift[i], pos, grid, default=0.0)
+            [_eval_at_points(sp_block.drift[i], pos, grid, default=0.0,
+                             grid_cache=dens_cache)
              for i in range(3)], axis=1)
         if np.any(drift_vec):
             # mean-drift boost (the reference folds the drift into the
@@ -224,7 +275,8 @@ def load_species(sp_block, grid, rng, dtype, cap_headroom=1.25,
             p = drift_lorentz_transform(p, sp_block.mass,
                                         drift_vec.mean(0))
     elif getattr(sp_block, "use_maxwell_juettner", False):
-        temp = _eval_at_points(sp_block.temp[0], pos, grid, default=0.0)
+        temp = _eval_at_points(sp_block.temp[0], pos, grid, default=0.0,
+                               grid_cache=dens_cache)
         p = sample_maxwell_juettner(rng, sp_block.mass, temp, total,
                                     cutoff=sp_block.fractional_tail_cutoff)
         drift_vec = [float(np.mean(_eval_at_points(
@@ -232,7 +284,8 @@ def load_species(sp_block, grid, rng, dtype, cap_headroom=1.25,
         p = drift_lorentz_transform(p, sp_block.mass, drift_vec)
     else:
         for i in range(3):
-            temp = _eval_at_points(sp_block.temp[i], pos, grid, default=0.0)
+            temp = _eval_at_points(sp_block.temp[i], pos, grid,
+                                   default=0.0, grid_cache=dens_cache)
             drift = _eval_at_points(sp_block.drift[i], pos, grid, default=0.0)
             p[:, i] = sample_maxwellian(rng, sp_block.mass, temp, drift)
 
@@ -251,7 +304,8 @@ def load_species(sp_block, grid, rng, dtype, cap_headroom=1.25,
         temps, drifts = [], []
         for i in range(3):
             temps.append(np.maximum(_eval_at_points(
-                sp_block.temp[i], pos, grid, default=0.0), 1e-300))
+                sp_block.temp[i], pos, grid, default=0.0,
+                grid_cache=dens_cache), 1e-300))
             drifts.append(_eval_at_points(
                 sp_block.drift[i], pos, grid, default=0.0))
         expo = sum((p[:, i] - drifts[i]) ** 2 / temps[i]

@@ -86,23 +86,21 @@ def compute_dt(deck: DeckConfig, grid: Grid, solver, stencil) -> float:
     # plasma frequency limit (Bohm-Gross)
     dt_pf = math.inf
     k_max = 2.0 * math.pi / min(d)
-    dens_cache = {}
+    dens_cache = loader.build_species_caches(deck.species, grid)
     for sp in deck.species:
-        has_dens = sp.density or getattr(sp, 'density_layers', None)
-        if has_dens:
-            dens_cache[f"density:{sp.name}"] = \
-                loader.species_density(sp, grid, dens_cache)
         if sp.species_type == const.SpeciesType.PHOTON or sp.mass <= 0:
             continue
-        dens = dens_cache.get(f"density:{sp.name}")
+        has_dens = sp.density or getattr(sp, 'density_layers', None)
+        dens = dens_cache.get(f"density:{sp.name}") if has_dens else None
         if dens is None:
             continue
         if sp.density_max > 0:
             dens = np.minimum(dens, sp.density_max)
         tmax = np.zeros(grid.n)
-        for i in range(3):
-            if sp.temp[i] is not None:
-                tmax = np.maximum(tmax, loader._eval_on_grid(sp.temp[i], grid))
+        for i, tnm in enumerate("xyz"):
+            t = dens_cache.get(f"temp_{tnm}:{sp.name}")
+            if t is not None:
+                tmax = np.maximum(tmax, t)
         fac1 = const.q0 ** 2 / sp.mass / const.epsilon0
         fac2 = 3.0 * k_max ** 2 * const.kb / sp.mass
         om2 = fac1 * dens + fac2 * tmax
@@ -342,6 +340,7 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
         and not deck.control.use_migration
         and not deck.collisions.collisional_ionisation
         and not deck.injectors
+        and not deck.probes
     )
     if choice == "binned":
         if not eligible:
@@ -401,7 +400,7 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
 
     loaded = []
     new_species = []
-    dens_cache = {}
+    dens_cache = loader.build_species_caches(deck.species, grid)
     pff_map = {p.species: p for p in getattr(deck, "part_from_file", ())}
     for sp_blk, sp_cfg in zip(deck.species, cfg.species):
         if sp_blk.name in pff_map:
@@ -413,8 +412,6 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
         else:
             arrs, cap = loader.load_species(sp_blk, grid, rng, dtype,
                                             dens_cache=dens_cache)
-        dens_cache[f"density:{sp_blk.name}"] = loader.species_density(
-            sp_blk, grid, dens_cache)
         loaded.append(arrs)
         new_species.append(dataclasses.replace(sp_cfg, cap=cap))
     cfg = dataclasses.replace(cfg, species=tuple(new_species))

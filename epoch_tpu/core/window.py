@@ -88,8 +88,21 @@ def moving_window(state: SimState, cfg) -> SimState:
     frac = frac - nshift.astype(frac.dtype)
     state = state._replace(window_frac=frac)
 
-    # CFL ⇒ at most ~1 cell/step; allow 2 via two conditional single shifts
-    for _ in range(2):
+    # at most ~1 cell/step by CFL; a provably-constant sub-cell-per-step
+    # window velocity needs only ONE conditional shift (each extra
+    # lax.cond copies the whole state pytree — measurably expensive)
+    n_conds = 2
+    if cfg.window_v_x is None:
+        n_conds = 1
+    else:
+        try:
+            v0 = float(cfg.window_v_x({"time": 0.0}))
+            v1 = float(cfg.window_v_x({"time": 1.2345e-9}))
+            if v0 == v1 and abs(v0) * cfg.dt / dx < 0.999:
+                n_conds = 1
+        except Exception:
+            pass
+    for _ in range(n_conds):
         state = jax.lax.cond(nshift > 0, lambda s: _shift_once(s, cfg),
                              lambda s: s, state)
         nshift = nshift - 1

@@ -483,6 +483,23 @@ class DeckParser:
                 # remaining keys tolerated
         if not s.name:
             raise DeckParseError("species block without a name")
+        # repeated species blocks with the same name MERGE into the
+        # existing species (the reference keys blocks by name,
+        # deck_species_block.F90 species_id lookup) — e.g. the 2D
+        # ionisation example re-opens 'Electron' to add density/temp
+        for prev in self.cfg.species:
+            if prev.name == s.name:
+                import dataclasses as _dc
+                blank = B.SpeciesBlock(name=s.name)
+                for f_ in _dc.fields(B.SpeciesBlock):
+                    new_v = getattr(s, f_.name)
+                    if new_v != getattr(blank, f_.name):
+                        if f_.name == "density_layers":
+                            prev.density_layers.extend(new_v)
+                            prev.density = s.density
+                        else:
+                            setattr(prev, f_.name, new_v)
+                return
         self.cfg.species.append(s)
 
     def _handle_laser(self, blk: RawBlock):

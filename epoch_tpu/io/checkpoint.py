@@ -20,7 +20,8 @@ from ..core.state import SimState, Fields, CPMLState, LaserState, ParticleSlab
 from .sdf import SDFWriter, read as sdf_read
 
 
-def write_restart(path, cfg, state: SimState, deck_text: str = ""):
+def write_restart(path, cfg, state: SimState, deck_text: str = "",
+                  persistent_members=None):
     w = SDFWriter(path, step=int(state.step), time=float(state.time),
                   restart=True)
     grid = cfg.grid
@@ -132,10 +133,30 @@ def write_restart(path, cfg, state: SimState, deck_text: str = ""):
         _write_slab(f"Probe{k}", buf)
     for k, buf in enumerate(state.ejected):
         _write_slab(f"Ejected{k}", buf)
+    # persistent-subset membership (id_registry analogue,
+    # particle_id_hash.F90 / build_persistent_subsets)
+    for (sub_name, sp_name), ids in (persistent_members or {}).items():
+        w.write_plain_variable(
+            f"restart/psub/{sub_name}/{sp_name}",
+            f"Restart/PersistentSubset/{sub_name}/{sp_name}",
+            np.fromiter(sorted(ids), dtype=np.int64, count=len(ids)),
+            "grid")
     if deck_text:
         w.write_datablock("input_deck", "Input Deck", deck_text.encode(),
                           "text/plain")
     w.close()
+
+
+def read_persistent_members(path):
+    """Recover persistent-subset membership id sets from a restart."""
+    d = sdf_read(path)
+    out = {}
+    for name, blk in d.items():
+        if isinstance(name, str) \
+                and name.startswith("Restart/PersistentSubset/"):
+            _, _, sub_name, sp_name = name.split("/", 3)
+            out[(sub_name, sp_name)] = set(int(i) for i in blk.data)
+    return out
 
 
 def read_restart(path, cfg, template: SimState) -> SimState:

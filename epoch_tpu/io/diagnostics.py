@@ -622,7 +622,8 @@ class OutputManager:
                                 f"{self.dump_index:0{self.n_zeros}d}.sdf")
                     write_restart(
                         os.path.join(self.data_dir, name), self.cfg, state,
-                        deck_text=getattr(self.deck, "deck_text", ""))
+                        deck_text=getattr(self.deck, "deck_text", ""),
+                        persistent_members=self.persistent_members)
         if any_dump:
             need_ids = "id" in merged_mask and self._fires(merged_mask["id"])
             # persistent subsets track membership by particle id

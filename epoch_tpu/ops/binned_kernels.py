@@ -570,6 +570,11 @@ def make_push_deposit(K, BX, NY, nxb, plan, sp, dtype, bc=None,
 # ---------------------------------------------------------------------------
 
 def pick_bx(nx):
+    import os
+    env = os.environ.get("EPOCH_TPU_BX")
+    if env:
+        bx = int(env)
+        return bx if nx % bx == 0 and nx // bx >= 2 else None
     for bx in (8, 16, 4, 2):
         if nx % bx == 0 and nx // bx >= 2:
             return bx

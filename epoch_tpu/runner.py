@@ -72,6 +72,14 @@ class Runner:
         self.out = OutputManager(self.sim.cfg, self.sim.deck, data_dir,
                                  n_zeros=self.sim.deck.control.n_zeros)
         if rs:
+            # persistent-subset membership survives the restart
+            # (build_persistent_subsets/id_registry, diagnostics.F90:2510)
+            from .io.checkpoint import read_persistent_members
+            try:
+                self.out.persistent_members.update(
+                    read_persistent_members(path))
+            except Exception:
+                pass
             # resume the lazy particle-ID counter past any assigned ids
             import numpy as _np
             top = 0
@@ -85,7 +93,10 @@ class Runner:
     def write_restart(self, name="restart.sdf"):
         from .io.checkpoint import write_restart
         write_restart(os.path.join(self.data_dir, name), self.sim.cfg,
-                      self.sim.state, deck_text=self.sim.deck.deck_text)
+                      self.sim.state, deck_text=self.sim.deck.deck_text,
+                      persistent_members=getattr(self.out,
+                                                 "persistent_members", None)
+                      if hasattr(self, "out") else None)
 
     def run(self, max_steps=None):
         sim = self.sim

@@ -107,3 +107,39 @@ end:output
     st1 = read_restart(str(f1), r.sim.cfg, r.sim.state)
     # the two files are from different dump points (alternation)
     assert float(st0.time) != float(st1.time)
+
+
+def test_persistent_subset_membership_roundtrip(tmp_path):
+    """Persistent-subset ids survive a restart (id_registry analogue)."""
+    from epoch_tpu.core import Simulation
+    from epoch_tpu.io.checkpoint import (write_restart,
+                                         read_persistent_members)
+    deck = """
+begin:control
+  nx = 16
+  t_end = 1
+  x_min = 0
+  x_max = 1.6e-5
+end:control
+begin:boundaries
+  bc_x_min = periodic
+  bc_x_max = periodic
+end:boundaries
+begin:species
+  name = electron
+  charge = -1
+  mass = 1.0
+  number_density = 1e20
+  nparticles = 64
+end:species
+begin:output
+  dt_snapshot = 1
+end:output
+"""
+    (tmp_path / "input.deck").write_text(deck)
+    sim = Simulation(str(tmp_path / "input.deck"))
+    members = {("fast", "electron"): {3, 17, 42}}
+    ck = str(tmp_path / "r.sdf")
+    write_restart(ck, sim.cfg, sim.state, persistent_members=members)
+    got = read_persistent_members(ck)
+    assert got == members
