@@ -49,6 +49,12 @@ class BinnedSpecies(NamedTuple):
     p: jax.Array     # (3, K, *grid)
     w: jax.Array     # (K, *grid); 0 = dead
     n_dropped: jax.Array  # scalar counter of overflow-dropped particles
+    # optional per-particle auxiliary rows (optical depths for QED/
+    # bremsstrahlung/trident — the slot-grid analogue of the reference's
+    # compile-gated particle fields, shared_data.F90:94-136); None when the
+    # run needs none, (n_aux, K, *grid) otherwise.  Row meanings are the
+    # config's ``binned_aux`` tuple (BinnedPlan.aux_idx).
+    aux: jax.Array | None = None
 
     @property
     def K(self):
@@ -124,6 +130,10 @@ class BinnedPlan:
                        self.fac / (cfg.dt * d[0] * d[1]))
         self.fj = tuple(float(v) for v in self.fj)
         self.higuera_cary = bool(getattr(cfg, "use_higuera_cary", False))
+        # auxiliary per-particle row layout (optical depths etc.)
+        self.aux_names = tuple(getattr(cfg, "binned_aux", ()))
+        self.aux_idx = {nm: i for i, nm in enumerate(self.aux_names)}
+        self.n_aux = len(self.aux_names)
         # One rebin per step, placed right AFTER the half-drift: between two
         # rebin points the particle moves at most one full step (≤1 cell by
         # CFL), so the rebin still only needs the 3 axis-neighbour candidate
@@ -153,7 +163,7 @@ class BinnedPlan:
 # conversion to/from flat slabs (host-side setup & diagnostics)
 # ---------------------------------------------------------------------------
 
-def bin_from_arrays(x, p, w, grid, K) -> BinnedSpecies:
+def bin_from_arrays(x, p, w, grid, K, n_aux: int = 0) -> BinnedSpecies:
     """Host-side: place flat particle arrays into the slot grid."""
     nd = grid.ndims
     n = grid.n
@@ -192,20 +202,29 @@ def bin_from_arrays(x, p, w, grid, K) -> BinnedSpecies:
         p=jnp.asarray(p_g.reshape((3, K) + g)),
         w=jnp.asarray(w_g.reshape((K,) + g)),
         n_dropped=jnp.asarray(ndrop, jnp.int32),
+        aux=(jnp.zeros((n_aux, K) + g, dtype) if n_aux else None),
     )
 
 
-def as_slab(binned: BinnedSpecies, grid, periodic=None) -> ParticleSlab:
+def as_slab(binned: BinnedSpecies, grid, periodic=None,
+            aux_names=()) -> ParticleSlab:
     """Flat ParticleSlab view for diagnostics / IO (host-side)."""
     x, p, w, alive = to_flat(binned, grid, periodic=periodic)
     n = x.shape[0]
+    od = {nm: jnp.zeros(n, x.dtype)
+          for nm in ("opdepth", "opdepth_brem", "opdepth_tri")}
+    if binned.aux is not None:
+        for i, nm in enumerate(aux_names):
+            if nm in od:
+                od[nm] = jnp.asarray(
+                    np.asarray(binned.aux[i]).reshape(-1))
     return ParticleSlab(
         x=jnp.asarray(x), p=jnp.asarray(p), weight=jnp.asarray(w),
         alive=jnp.asarray(alive),
         id=jnp.zeros(n, jnp.int32),
-        opdepth=jnp.zeros(n, x.dtype),
-        opdepth_brem=jnp.zeros(n, x.dtype),
-        opdepth_tri=jnp.zeros(n, x.dtype),
+        opdepth=od["opdepth"],
+        opdepth_brem=od["opdepth_brem"],
+        opdepth_tri=od["opdepth_tri"],
         pvol=jnp.zeros(n, x.dtype),
     )
 
@@ -571,6 +590,10 @@ def make_pallas_engines(cfg, plan, interpret=None):
         interpret = (mode == "interpret")
     if mode == "0":
         return [None] * len(cfg.species)
+    if plan.n_aux:
+        # per-particle aux rows (QED/brems optical depths): the Pallas
+        # rebin network does not carry aux payloads yet — XLA path only
+        return [None] * len(cfg.species)
     if plan.nd != 2 or jnp.dtype(cfg.dtype) != jnp.float32:
         return [None] * len(cfg.species)
     if not interpret:
@@ -587,7 +610,8 @@ def make_pallas_engines(cfg, plan, interpret=None):
         return [None] * len(cfg.species)
     out = []
     for sp in cfg.species:
-        if sp.immobile:
+        if sp.immobile or sp.species_type == const.SpeciesType.PHOTON:
+            # photons take the ballistic push (push_photons_binned)
             out.append(None)
         else:
             out.append(PallasBinned(plan, sp, cfg, interpret=interpret))
@@ -648,6 +672,186 @@ def apply_axis_bcs(xi, p, w, plan, d, bc_lo, bc_hi):
     return xi, p, w
 
 
+def gather_fields_binned(fpad, xi_stack, plan,
+                         comps=("ex", "ey", "ez", "bx", "by", "bz")):
+    """Field components at the particles on the slot grid.
+
+    Requires post-rebin fractions (ξ ∈ [-0.5, 0.5): c1 ≡ 0 and staggered
+    c2 ∈ {-1, 0}).  This is the gather stage of push_deposit_binned
+    factored out for the physics packages (QED η/χ at the particle,
+    ADK ionisation rates — the reference reuses the pusher's include
+    files for these, ionise.F90:430-470 / photons.F90:566-600).
+    Returns {name: (K, *grid)} with the shape-function normalisation
+    applied."""
+    from .boundaries import STAGGER
+    nd = plan.nd
+    xi_ax = [xi_stack[d] for d in range(nd)]
+    cf1 = [-xi_ax[d] for d in range(nd)]
+    c2 = [jnp.floor(x) for x in xi_ax]
+    cf2 = [c2[d] - xi_ax[d] + 0.5 for d in range(nd)]
+    gw = [{o: _tri_const(cf1[d], o) for o in plan.g_offsets}
+          for d in range(nd)]
+    hw = [{o: _w_rel(cf2[d], o, c2[d], (-1.0, 0.0)) for o in plan.h_offsets}
+          for d in range(nd)]
+    gpad = 2
+    names6 = ("ex", "ey", "ez", "bx", "by", "bz")
+    wprod_cache = {}
+
+    def wprods(bits):
+        if bits not in wprod_cache:
+            tabs = [hw[d] if bits[d] else gw[d] for d in range(nd)]
+            out = {}
+            for otup in itertools.product(*[sorted(t) for t in tabs]):
+                ww = None
+                for d in range(nd):
+                    wd = tabs[d][otup[d]]
+                    ww = wd if ww is None else ww * wd
+                out[otup] = ww
+            wprod_cache[bits] = out
+        return wprod_cache[bits]
+
+    out = {}
+    for nm in comps:
+        k = names6.index(nm)
+        bits = tuple(int(STAGGER[nm][d]) for d in range(nd))
+        acc = None
+        for otup, ww in wprods(bits).items():
+            sl = tuple(slice(gpad + otup[d], gpad + otup[d] + plan.n[d])
+                       for d in range(nd))
+            term = ww * fpad[(k,) + sl][None]
+            acc = term if acc is None else acc + term
+        out[nm] = plan.fac * acc
+    return out
+
+
+def deposit_scalar_binned(vals, xi_stack, plan):
+    """Shape-weighted scalar deposition (particle_to_grid analogue on the
+    slot grid): requires post-rebin ξ (c1 ≡ 0, support −1..1 per axis).
+    ``vals``: (K, *grid) with dead slots 0.  Returns the margin-padded
+    (*(n+2)) raw sums; fold/normalise with scalar_pad_to_padded +
+    boundaries.current_summation_bcs."""
+    nd = plan.nd
+    cf1 = [-xi_stack[d] for d in range(nd)]
+    M = 1
+    spad = jnp.zeros(tuple(n + 2 for n in plan.n), vals.dtype)
+    for otup in itertools.product((-1, 0, 1), repeat=nd):
+        ww = vals
+        for d in range(nd):
+            ww = ww * _tri_const(cf1[d], otup[d])
+        v = jnp.sum(ww, axis=0)
+        sl = tuple(slice(M + otup[d], M + otup[d] + plan.n[d])
+                   for d in range(nd))
+        spad = spad.at[sl].add(v)
+    return spad * plan.fac
+
+
+def scalar_pad_to_padded(spad, plan, grid):
+    """Place a margin-1-padded scalar deposition into a full ghost-padded
+    grid array (cf. jpad_to_padded); the ghost deposits then fold through
+    boundaries.current_summation_bcs exactly as the scatter path."""
+    ng = grid.ng
+    out = jnp.zeros(grid.padded_shape(), spad.dtype)
+    region = tuple(slice(ng - 1, ng + plan.n[d] + 1)
+                   for d in range(plan.nd))
+    return out.at[region].set(spad)
+
+
+def gather_centred_binned(pad2, xi_stack, plan):
+    """Cell-centred grid variable at the particles
+    (grid_centred_var_at_particle, bremsstrahlung.F90:718-760): ``pad2``
+    has 2 ghost cells per side (padded[ng-2 : ng+n+2]); requires
+    post-rebin ξ."""
+    nd = plan.nd
+    cf1 = [-xi_stack[d] for d in range(nd)]
+    gpad = 2
+    acc = None
+    for otup in itertools.product((-1, 0, 1), repeat=nd):
+        ww = None
+        for d in range(nd):
+            wd = _tri_const(cf1[d], otup[d])
+            ww = wd if ww is None else ww * wd
+        sl = tuple(slice(gpad + otup[d], gpad + otup[d] + plan.n[d])
+                   for d in range(nd))
+        term = ww * pad2[sl][None]
+        acc = term if acc is None else acc + term
+    return plan.fac * acc
+
+
+def ghost2_slice(padded, grid):
+    """Slice a ghost-padded grid array down to 2 ghost cells per side
+    (the gather window of the binned engine, cf. make_fpad)."""
+    ng = grid.ng
+    return padded[tuple(slice(ng - 2, ng + n + 2) for n in grid.n)]
+
+
+def merge_candidates(binned: BinnedSpecies, cand_xi, cand_p, cand_w, plan,
+                     cand_aux=None) -> BinnedSpecies:
+    """Append cell-local candidate particles into free slots.
+
+    The slot-grid analogue of the reference's dynamic-list appends
+    (partlist.F90:114-409) for particle-creating physics: every created
+    particle lives in the SAME cell as its parent (ionisation electrons,
+    emitted photons, Breit–Wheeler pairs), so appending is a per-cell
+    compaction — concatenate the Kc candidate slots onto the K existing
+    ones and re-sort live-first along the slot axis.  Candidates beyond
+    the free capacity of their cell are dropped and counted in
+    ``n_dropped``.  ``cand_w`` must be 0 for non-firing candidate slots;
+    ``cand_aux`` defaults to zeros (lazily re-sampled optical depths)."""
+    nd = plan.nd
+    K = binned.K
+    na = 0 if binned.aux is None else binned.aux.shape[0]
+    cw = jnp.concatenate([binned.w, cand_w], axis=0)
+    cxi = jnp.concatenate([binned.xi, cand_xi], axis=1)
+    cp = jnp.concatenate([binned.p, cand_p], axis=1)
+    if na:
+        if cand_aux is None:
+            cand_aux = jnp.zeros((na,) + cand_w.shape, cand_w.dtype)
+        cax = jnp.concatenate([binned.aux, cand_aux], axis=1)
+    ops = (-cw,) + tuple(cxi[i] for i in range(nd)) \
+        + tuple(cp[i] for i in range(3)) \
+        + (tuple(cax[i] for i in range(na)) if na else ())
+    sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1)
+    live_total = jnp.sum(cw > 0)
+    w = -sorted_ops[0][:K]
+    xi = jnp.stack([sorted_ops[1 + i][:K] for i in range(nd)])
+    p = jnp.stack([sorted_ops[1 + nd + i][:K] for i in range(3)])
+    aux = jnp.stack([sorted_ops[4 + nd + i][:K] for i in range(na)]) \
+        if na else binned.aux
+    kept = jnp.sum(w > 0)
+    dropped = binned.n_dropped + (live_total - kept).astype(jnp.int32)
+    return binned._replace(xi=xi, p=p, w=w, aux=aux, n_dropped=dropped)
+
+
+def push_photons_binned(binned: BinnedSpecies, plan,
+                        bc=None) -> BinnedSpecies:
+    """Ballistic photon advance on the slot grid (push_photons,
+    particles.F90:611-695): rebin first (restores ξ ∈ [-0.5, 0.5) and
+    applies boundary BCs, exactly as the massive-species mid-push rebin),
+    then drift x += p̂·c·dt.  CFL bounds c·dt below one cell per axis, so
+    the next step's rebin needs only the 3 neighbour candidate sets."""
+    binned = rebin(binned, plan, bc=bc)
+    w = binned.w
+    p = binned.p
+    mag = jnp.sqrt(p[0] ** 2 + p[1] ** 2 + p[2] ** 2)
+    ok = (w > 0) & (mag > 0)
+    fac = const.c * plan.dt / jnp.where(mag > 0, mag, 1.0)
+    xi = jnp.stack([
+        jnp.where(ok, binned.xi[d] + p[d] * fac / plan.delta[d],
+                  binned.xi[d])
+        for d in range(plan.nd)])
+    new_w = w
+    if bc is not None and any(b != const.BC.PERIODIC
+                              for b in bc[:2 * plan.nd]):
+        new_p = p
+        for d in range(plan.nd):
+            if bc[2 * d] != const.BC.PERIODIC \
+                    or bc[2 * d + 1] != const.BC.PERIODIC:
+                xi, new_p, new_w = apply_axis_bcs(
+                    xi, new_p, new_w, plan, d, bc[2 * d], bc[2 * d + 1])
+        return binned._replace(xi=xi, p=new_p, w=new_w)
+    return binned._replace(xi=xi)
+
+
 def rebin(binned: BinnedSpecies, plan, bc=None) -> BinnedSpecies:
     """Move particles whose ξ left [-0.5, 0.5) to the neighbouring bin,
     axis by axis (CFL ⇒ at most one cell), compacting with a slot sort.
@@ -657,6 +861,8 @@ def rebin(binned: BinnedSpecies, plan, bc=None) -> BinnedSpecies:
     xi = binned.xi
     p = binned.p
     w = binned.w
+    aux = binned.aux
+    na = 0 if aux is None else aux.shape[0]
     dropped = binned.n_dropped
     for d in range(nd):
         if bc is not None and (bc[2 * d] != const.BC.PERIODIC
@@ -668,26 +874,32 @@ def rebin(binned: BinnedSpecies, plan, bc=None) -> BinnedSpecies:
         dc = jnp.clip(jnp.floor(xi[d] + 0.5), -1.0, 1.0)
         dc = jnp.where(w > 0, dc, 0.0)
         xi = xi.at[d].add(-dc)
-        cands_w, cands_xi, cands_p = [], [], []
+        cands_w, cands_xi, cands_p, cands_aux = [], [], [], []
         for o in (-1, 0, 1):
             sel = (jnp.roll(dc, o, axis=gax_w) == o) \
                 & (jnp.roll(w, o, axis=gax_w) > 0)
             cands_w.append(jnp.where(sel, jnp.roll(w, o, axis=gax_w), 0.0))
             cands_xi.append(jnp.roll(xi, o, axis=gax_v))
             cands_p.append(jnp.roll(p, o, axis=gax_v))
+            if na:
+                cands_aux.append(jnp.roll(aux, o, axis=gax_v))
         cw = jnp.concatenate(cands_w, axis=0)               # (3K, *g)
         cxi = jnp.concatenate(cands_xi, axis=1)             # (nd, 3K, *g)
         cp = jnp.concatenate(cands_p, axis=1)
+        cax = jnp.concatenate(cands_aux, axis=1) if na else None
         # sort directly along the leading slot axis with -w as the key
         # (live slots w>0 sort first; no separate key operand, one less
         # payload of HBM traffic through the sort network)
         ops = (-cw,) + tuple(cxi[i] for i in range(nd)) \
-            + tuple(cp[i] for i in range(3))
+            + tuple(cp[i] for i in range(3)) \
+            + tuple(cax[i] for i in range(na))
         sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1)
         live_total = jnp.sum(cw > 0)
         w = -sorted_ops[0][:K]
         xi = jnp.stack([sorted_ops[1 + i][:K] for i in range(nd)])
         p = jnp.stack([sorted_ops[1 + nd + i][:K] for i in range(3)])
+        if na:
+            aux = jnp.stack([sorted_ops[4 + nd + i][:K] for i in range(na)])
         kept = jnp.sum(w > 0)
         dropped = dropped + (live_total - kept).astype(jnp.int32)
-    return binned._replace(xi=xi, p=p, w=w, n_dropped=dropped)
+    return binned._replace(xi=xi, p=p, w=w, aux=aux, n_dropped=dropped)

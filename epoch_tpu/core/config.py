@@ -107,6 +107,10 @@ class SimConfig:
     # cell-slot grid, all-periodic only — the TPU hot path, core/binned.py)
     engine: str = "scatter"
     bin_k: int = 0             # slots per cell for the binned engine
+    # per-particle auxiliary rows on the binned engine (optical depths for
+    # QED / bremsstrahlung / trident; subset of
+    # ("opdepth", "opdepth_brem", "opdepth_tri"))
+    binned_aux: tuple = ()
     use_current_correction: bool = False
     initial_currents: Any = None   # (jx0, jy0, jz0) padded arrays or None
     injector_plans: tuple = ()     # InjectorPlan per deck injector block

@@ -263,24 +263,12 @@ def build_config(deck: DeckConfig) -> SimConfig:
         from ..physics.ionise import IonisePlan
         cfg = dataclasses.replace(cfg, ionise_plan=IonisePlan(cfg, deck))
     if deck.collisions.use_collisions:
-        if deck.collisions.collisional_ionisation and cfg.engine == "binned":
-            raise NotImplementedError(
-                "collisional ionisation requires the scatter engine "
-                "(set pusher = scatter)")
         from ..physics.collisions import CollisionPlan
         cfg = dataclasses.replace(cfg, collision_plan=CollisionPlan(cfg, deck))
     if deck.qed.use_qed:
-        if cfg.engine == "binned":
-            raise NotImplementedError(
-                "QED emission requires the scatter engine in this version "
-                "(set pusher = scatter)")
         from ..physics.qed import QEDPlan
         cfg = dataclasses.replace(cfg, qed_plan=QEDPlan(cfg, deck))
     if deck.bremsstrahlung.use_bremsstrahlung:
-        if cfg.engine == "binned":
-            raise NotImplementedError(
-                "bremsstrahlung requires the scatter engine in this "
-                "version (set pusher = scatter)")
         from ..physics.bremsstrahlung import BremPlan
         plan = BremPlan(cfg, deck)
         cfg = dataclasses.replace(cfg, brem_plan=plan)
@@ -311,6 +299,17 @@ def build_config(deck: DeckConfig) -> SimConfig:
         cfg = dataclasses.replace(cfg, track_ejected=True)
     if any("absorption" in o.variables for o in deck.outputs):
         cfg = dataclasses.replace(cfg, dump_absorption=True)
+    if cfg.engine == "binned":
+        # per-particle aux rows the physics packages need on the slot grid
+        aux_rows = []
+        if deck.qed.use_qed:
+            aux_rows.append("opdepth")
+            if getattr(deck.qed, "use_trident", False):
+                aux_rows.append("opdepth_tri")
+        if deck.bremsstrahlung.use_bremsstrahlung:
+            aux_rows.append("opdepth_brem")
+        if aux_rows:
+            cfg = dataclasses.replace(cfg, binned_aux=tuple(aux_rows))
     return cfg
 
 
@@ -318,8 +317,11 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
     """Pick the particle engine.  'binned' (core/binned.py) is the dense TPU
     hot path; it supports periodic/open/reflect particle boundaries, any
     field BCs (incl. lasers/CPML — field-side machinery is engine
-    independent), the moving window, and the triangle shape.  Thermal BCs,
-    photon species and particle-creating physics stay on scatter."""
+    independent), the moving window, the triangle shape, photon species
+    and the particle-creating physics packages (field/collisional
+    ionisation, QED, bremsstrahlung — cell-local candidate merges,
+    binned.merge_candidates).  Thermal BCs, injectors, probes,
+    splitting/migration and delta-f stay on scatter."""
     choice = deck.control.pusher
     if choice == "scatter":
         return "scatter"
@@ -330,15 +332,11 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
         and all(bc in binned_bcs
                 for bc in cfg.bc_particle[:2 * cfg.ndims])
         and cfg.grid.shape_fn == const.Shape.TRIANGLE
-        and all(sp.species_type != const.SpeciesType.PHOTON
-                for sp in cfg.species)
         and len(cfg.species) > 0
-        and not deck.bremsstrahlung.use_bremsstrahlung
         and not any(sb.split for sb in deck.species)
         and not any(getattr(sb, "density_back", 0.0)
                     for sb in deck.species)   # delta-f
         and not deck.control.use_migration
-        and not deck.collisions.collisional_ionisation
         and not deck.injectors
         and not deck.probes
     )
@@ -346,8 +344,8 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
         if not eligible:
             raise ValueError(
                 "pusher=binned requires periodic/open/reflect particle "
-                "boundaries, triangle shape, no photon species, no "
-                "injectors and no particle-creating physics")
+                "boundaries, triangle shape, no injectors/probes and no "
+                "splitting/migration/delta-f")
         return "binned"
     # 3D auto-selects too since the mid-push-rebin window narrowing
     # (125-term deposit): ~8 s compile on TPU.  The moving window stays
@@ -433,7 +431,8 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
                 arrs = dict(x=np.zeros((0, grid.ndims)), p=np.zeros((0, 3)),
                             weight=np.zeros((0,)))
             slabs.append(bin_from_arrays(
-                arrs["x"], arrs["p"], arrs["weight"], grid, K))
+                arrs["x"], arrs["p"], arrs["weight"], grid, K,
+                n_aux=len(cfg.binned_aux)))
     else:
         # ionisation products need capacity headroom scaled by their sources
         ion_levels = []

@@ -192,6 +192,13 @@ def make_step_functions(cfg):
             if sp_cfg.immobile:
                 new_species.append(b)
                 continue
+            if sp_cfg.species_type == const.SpeciesType.PHOTON:
+                # ballistic, current-free (push_photons,
+                # particles.F90:611-695)
+                b = binmod.push_photons_binned(
+                    b, bplan, bc=sp_cfg.bc_particle[:2 * cfg.ndims])
+                new_species.append(b)
+                continue
             if pallas_engines[si] is not None:
                 b, jpart = binmod.push_deposit_pallas(
                     pallas_engines[si], fwin, b, bplan)

@@ -200,9 +200,10 @@ def _shift_binned(b, plan, cfg, new_offset, time):
     w = jnp.roll(b.w, -1, axis=1)
     xi = jnp.roll(b.xi, -1, axis=2)
     p = jnp.roll(b.p, -1, axis=2)
+    aux = jnp.roll(b.aux, -1, axis=2) if b.aux is not None else b.aux
     # clear the wrapped-in column (old column 0 = departed particles)
     w = w.at[:, -1].set(0.0)
-    return b._replace(w=w, xi=xi, p=p)
+    return b._replace(w=w, xi=xi, p=p, aux=aux)
 
 
 def _insert_column_binned(b, plan, cfg, offset, time, key, all_plans=None):

@@ -53,6 +53,10 @@ def write_restart(path, cfg, state: SimState, deck_text: str = "",
             w.write_constant(f"restart/binned_drop/{sp.name}",
                              f"Restart/Binned/dropped/{sp.name}",
                              int(s.n_dropped))
+            if s.aux is not None:
+                w.write_plain_variable(f"restart/binned_aux/{sp.name}",
+                                       f"Restart/Binned/aux/{sp.name}",
+                                       np.asarray(s.aux), "grid")
         else:
             w.write_plain_variable(f"restart/x/{sp.name}",
                                    f"Restart/Particles/x/{sp.name}",
@@ -183,6 +187,8 @@ def read_restart(path, cfg, template: SimState) -> SimState:
                 w=arr(f"Restart/Binned/w/{sp.name}"),
                 n_dropped=jnp.asarray(
                     d[f"Restart/Binned/dropped/{sp.name}"].data, jnp.int32),
+                aux=(arr(f"Restart/Binned/aux/{sp.name}")
+                     if f"Restart/Binned/aux/{sp.name}" in d else t.aux),
             ))
         else:
             extra = {}

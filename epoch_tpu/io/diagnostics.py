@@ -32,7 +32,8 @@ def get_slab(cfg, state, i):
         periodic = tuple(
             cfg.bc_particle[2 * d] == const.BC.PERIODIC
             for d in range(cfg.ndims))
-        return as_slab(sp, cfg.grid, periodic=periodic)
+        return as_slab(sp, cfg.grid, periodic=periodic,
+                       aux_names=getattr(cfg, "binned_aux", ()))
     return sp
 
 

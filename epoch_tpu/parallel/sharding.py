@@ -100,11 +100,12 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "x"):
             # binned kernels become collective-permutes over ICI
             spec_w = divisible(slab.w.shape, offset=1)
             if any(s is not None for s in spec_w):
+                vec = NamedSharding(mesh, P(None, *spec_w))
                 return type(slab)(
-                    xi=NamedSharding(mesh, P(None, *spec_w)),
-                    p=NamedSharding(mesh, P(None, *spec_w)),
+                    xi=vec, p=vec,
                     w=NamedSharding(mesh, P(*spec_w)),
-                    n_dropped=repl)
+                    n_dropped=repl,
+                    aux=(vec if slab.aux is not None else None))
             return jax.tree.map(lambda _: repl, slab)
         if slab.cap % mesh.size == 0:
             # particle (capacity) decomposition over the whole mesh

@@ -212,11 +212,126 @@ def _sample_photon_energy(tab: BremTable, part_e, u):
     return (1.0 - fx) * invert(i1) + fx * invert(i2)
 
 
+def _brem_binned(state, cfg, plan: BremPlan, key):
+    """Bremsstrahlung on the binned (slot-grid) engine: the rate/sampling
+    math is shared; ion densities deposit through the slot-grid rolls
+    (deposit_scalar_binned), the gather-back is the cell-centred roll
+    gather, and emission is a cell-local candidate merge.  Plasma
+    screening uses exact per-cell moments (the slot grid gives these for
+    free) instead of the scatter path's shape-weighted deposits."""
+    from ..core import binned as binmod
+    from ..core import boundaries as bnd
+    from .collisions import _cell_density, _cell_temp
+
+    grid = cfg.grid
+    bplan = binmod.BinnedPlan(cfg)
+    dt = cfg.dt
+    species = list(state.species)
+    active = state.time > plan.start_time
+    i_ob = bplan.aux_idx["opdepth_brem"]
+
+    def rebinned(idx):
+        b = binmod.rebin(
+            species[idx], bplan,
+            bc=cfg.species[idx].bc_particle[:2 * cfg.ndims])
+        species[idx] = b
+        return b
+
+    def padded2(full):
+        full = bnd.current_summation_bcs(full, "", cfg)
+        full = bnd.field_bc(full, "jz", cfg)
+        return binmod.ghost2_slice(full, grid)
+
+    root_te_ne2 = None
+    if plan.use_plasma_screening:
+        num_t, num_n = 0.0, 0.0
+        for ie in plan.electrons:
+            b = rebinned(ie)
+            w_cell = jnp.sum(b.w, axis=0)
+            temp = _cell_temp(b, cfg.species[ie].mass)
+            num_t = num_t + temp * w_cell
+            num_n = num_n + w_cell
+        te = jnp.where(num_n > 0, num_t / jnp.maximum(num_n, 1e-30), 0.0)
+        ne = num_n / grid.cell_volume
+        root = jnp.where((ne > 1e-10) & (te > 1e-10),
+                         jnp.sqrt(te / jnp.maximum(ne, 1e-30)), 0.0)
+        full = jnp.zeros(grid.padded_shape(), root.dtype)
+        ng = grid.ng
+        full = full.at[tuple(slice(ng, ng + n) for n in grid.n)].set(root)
+        root_te_ne2 = padded2(full)
+
+    for ion_idx, z, q_ion in plan.ions:
+        tab = plan.tables[z]
+        bi = rebinned(ion_idx)
+        spad = binmod.deposit_scalar_binned(bi.w, bi.xi, bplan)
+        ni2 = padded2(binmod.scalar_pad_to_padded(spad, bplan, grid)) \
+            / grid.cell_volume
+        for ie in plan.electrons:
+            b = rebinned(ie)
+            sp = cfg.species[ie]
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            mc0 = sp.mass * const.c
+            u0, u1, u2 = b.p[0] / mc0, b.p[1] / mc0, b.p[2] / mc0
+            gamma = jnp.sqrt(u0 ** 2 + u1 ** 2 + u2 ** 2 + 1.0)
+            part_e = gamma * sp.mass * const.c ** 2
+            mag_p = jnp.sqrt(b.p[0] ** 2 + b.p[1] ** 2 + b.p[2] ** 2)
+            part_v = mag_p * const.c ** 2 / part_e
+            moving = gamma - 1.0 > 1e-15
+            alive = b.w > 0
+
+            ni = binmod.gather_centred_binned(ni2, b.xi, bplan)
+            if plan.use_plasma_screening:
+                rtn = binmod.gather_centred_binned(root_te_ne2, b.xi, bplan)
+                pf = _plasma_factor(q_ion, z, rtn)
+            else:
+                pf = 1.0
+            sigma = jnp.interp(part_e, jnp.asarray(tab.e_table),
+                               jnp.asarray(tab.cross_section)) * pf
+            d_od = ni * sigma * part_v * dt / plan.photon_weight
+
+            od = b.aux[i_ob]
+            od = jnp.where(od <= 0.0,
+                           -jnp.log(1.0 - jax.random.uniform(
+                               k1, od.shape, od.dtype, maxval=0.999999)),
+                           od)
+            od = od - jnp.where(alive & moving & active, d_od, 0.0)
+            fire = alive & moving & (od <= 0.0)
+
+            r = jax.random.uniform(k2, od.shape, od.dtype)
+            k_ph = _sample_photon_energy(
+                tab, part_e.reshape(-1), r.reshape(-1)).reshape(od.shape)
+            mag_safe = jnp.where(mag_p > 0, mag_p, 1.0)
+            dirv = b.p / mag_safe[None]
+            if plan.use_recoil:
+                new_mag = jnp.where(
+                    fire, jnp.maximum(
+                        mag_p - plan.photon_weight * k_ph / const.c, 0.0),
+                    mag_p)
+                newp = dirv * new_mag[None]
+            else:
+                newp = b.p
+            od = jnp.where(fire, -jnp.log(1.0 - jax.random.uniform(
+                k3, od.shape, od.dtype, maxval=0.999999)), od)
+            b = b._replace(p=newp, aux=b.aux.at[i_ob].set(od))
+            species[ie] = b
+
+            if plan.produce_photons and plan.photon_species >= 0:
+                keep = fire & (k_ph > plan.photon_energy_min)
+                p_ph = dirv * (k_ph / const.c)[None]
+                species[plan.photon_species] = binmod.merge_candidates(
+                    species[plan.photon_species], b.xi, p_ph,
+                    jnp.where(keep, b.w * plan.photon_weight, 0.0), bplan)
+
+    return state._replace(species=tuple(species)), key
+
+
 def brem_update(state, cfg, plan: BremPlan, key):
     """bremsstrahlung_update_optical_depth (:434-578): the static
     (ion species x electron species) loop is unrolled at trace time; each
     pair depletes the depth and fires emissions against that ion's Z
     table, exactly matching the reference's nested-list ordering."""
+    if cfg.species and hasattr(state.species[0], "xi"):
+        return _brem_binned(state, cfg, plan, key)
     dt = cfg.dt
     species = list(state.species)
     active = state.time > plan.start_time

@@ -114,20 +114,24 @@ class CollisionPlan:
 
 def _shuffle_alive_first(b, key):
     """Per-cell random permutation with live slots packed first (one sort
-    along the slot axis)."""
+    along the slot axis).  Aux rows (optical depths) ride along."""
     K = b.K
     nd = b.xi.shape[0]
+    na = 0 if b.aux is None else b.aux.shape[0]
     u = jax.random.uniform(key, b.w.shape, b.w.dtype)
     sort_key = jnp.where(b.w > 0, u, 2.0)       # dead slots last
     ops = tuple(jnp.moveaxis(a, 0, -1) for a in
                 (sort_key, b.w) + tuple(b.xi[i] for i in range(nd))
-                + tuple(b.p[i] for i in range(3)))
+                + tuple(b.p[i] for i in range(3))
+                + tuple(b.aux[i] for i in range(na)))
     out = jax.lax.sort(ops, dimension=b.w.ndim - 1, num_keys=1)
     back = [jnp.moveaxis(a, -1, 0) for a in out]
     return b._replace(
         w=back[1],
         xi=jnp.stack([back[2 + i] for i in range(nd)]),
         p=jnp.stack([back[2 + nd + i] for i in range(3)]),
+        aux=(jnp.stack([back[5 + nd + i] for i in range(na)])
+             if na else b.aux),
     )
 
 
@@ -711,6 +715,75 @@ def _collisional_ionise_pair(species, cfg, entry, key):
     return species, key, drops
 
 
+def _collisional_ionise_binned(species, cfg, entry, key, bplan):
+    """Electron-impact ionisation on the binned engine (preionise,
+    collisions.F90:467-711): rank-k electron slot pairs with rank-k ion
+    slot after the alive-first shuffle (the slot grid's analogue of the
+    reference's shuffled secondary lists); creations are cell-local
+    candidate merges.  Keeps the same two documented divergences as the
+    scatter path (lab-frame energy-loss formula; deferred scatter)."""
+    from ..core import binned as binmod
+    grid = cfg.grid
+    dvol = grid.cell_volume
+    dt = cfg.dt
+    ie, jj = entry["e"], entry["ion"]
+    m_e = cfg.species[ie].mass
+    m_ion = cfg.species[jj].mass
+    q_ion = cfg.species[jj].charge
+    i_ev = entry["e_ion_ev"]
+    key, k1, k2, k3 = jax.random.split(key, 4)
+    be = _shuffle_alive_first(species[ie], k1)
+    bj = _shuffle_alive_first(species[jj], k2)
+    Kp = min(be.K, bj.K)
+    p_e = be.p[:, :Kp]                       # (3, Kp, *g)
+    w_e = be.w[:Kp]
+    p_i = bj.p[:, :Kp]
+    w_i = bj.w[:Kp]
+    pairable = (w_e > 0) & (w_i > 0)
+
+    e_dens = jnp.sum(species[entry["release"]].w, axis=0) / dvol   # (*g)
+    np_cell = jnp.sum(jnp.where(pairable, w_e, 0.0), axis=0)
+    fsum = jnp.sum(jnp.where(pairable, jnp.minimum(w_e, w_i), 0.0), axis=0)
+    prob_factor = -e_dens * np_cell / jnp.maximum(fsum, 1e-300) * dt * 1e-4
+
+    mec = m_e * const.c
+    e_e = const.c * jnp.sqrt(p_e[0] ** 2 + p_e[1] ** 2 + p_e[2] ** 2
+                             + mec ** 2)
+    gam_i = jnp.sqrt((p_i[0] ** 2 + p_i[1] ** 2 + p_i[2] ** 2)
+                     / (m_ion * const.c) ** 2 + 1.0)
+    v_i = p_i / (m_ion * gam_i[None])
+    vdotp = v_i[0] * p_e[0] + v_i[1] * p_e[1] + v_i[2] * p_e[2]
+    e_prime = gam_i * (e_e - vdotp)
+    e_ke_i = jnp.maximum((e_prime - m_e * const.c ** 2) / const.ev, 1e-30)
+    e_p2_i = jnp.maximum((e_prime ** 2 - (m_e * const.c ** 2) ** 2)
+                         / const.c ** 2, 1e-300)
+    e_v_i = jnp.sqrt(e_p2_i) * const.c ** 2 / e_prime
+
+    thresh = e_ke_i >= w_i / jnp.maximum(w_e, 1e-300) * i_ev
+    eiics = _eiics_cm2(e_ke_i, entry, q_ion)
+    u = jax.random.uniform(k3, w_e.shape, w_e.dtype)
+    prob = 1.0 - jnp.exp(prob_factor[None] * jnp.maximum(eiics, 0.0)
+                         * e_v_i)
+    fire = pairable & thresh & (u < prob)
+
+    e_new = (e_ke_i - w_i / jnp.maximum(w_e, 1e-300) * i_ev
+             + E_REST_EV) * const.ev
+    scale = jnp.sqrt(jnp.maximum((e_new / const.c) ** 2 - mec ** 2, 0.0)
+                     / e_p2_i)
+    p_e_new = jnp.where(fire[None], p_e * scale[None], p_e)
+    species[ie] = be._replace(p=be.p.at[:, :Kp].set(p_e_new))
+
+    p_ej = (m_e / m_ion) * p_i
+    cand_w = jnp.where(fire, w_i, 0.0)
+    species[entry["release"]] = binmod.merge_candidates(
+        species[entry["release"]], bj.xi[:, :Kp], p_ej, cand_w, bplan)
+    species[entry["to"]] = binmod.merge_candidates(
+        species[entry["to"]], bj.xi[:, :Kp], p_i - p_ej, cand_w, bplan)
+    species[jj] = bj._replace(
+        w=bj.w.at[:Kp].set(jnp.where(fire, 0.0, w_i)))
+    return species, key
+
+
 def particle_collisions(state, cfg, plan: CollisionPlan, key):
     """One collision pass over all enabled pairs (both engines)."""
     from ..core.binned import BinnedSpecies
@@ -798,4 +871,10 @@ def particle_collisions(state, cfg, plan: CollisionPlan, key):
                 idens[None], jdens[None], r1, r2, valid)
             species[i] = bi._replace(p=bi.p.at[:, :Kp].set(np1))
             species[j] = bj._replace(p=bj.p.at[:, :Kp].set(np2))
+    if plan.ionise_entries:
+        from ..core.binned import BinnedPlan
+        bplan = BinnedPlan(cfg)
+        for entry in plan.ionise_entries:
+            species, key = _collisional_ionise_binned(species, cfg, entry,
+                                                      key, bplan)
     return state._replace(species=tuple(species)), key

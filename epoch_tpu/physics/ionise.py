@@ -126,9 +126,60 @@ def madelung_nl(n_electrons: int):
     return n, l
 
 
+def _ionise_binned(state, cfg, plan: IonisePlan, key):
+    """Field ionisation on the binned (slot-grid) engine: the ADK/BSI rate
+    math is identical; the gather is the slot-grid roll gather and the
+    level promotion/electron release are cell-local candidate merges
+    (binned.merge_candidates) — created particles always land in the
+    parent's cell (ionise.F90:768-812)."""
+    from ..core import binned as binmod
+
+    grid = cfg.grid
+    bplan = binmod.BinnedPlan(cfg)
+    fpad = binmod.make_fpad(state.fields, grid)
+    species = list(state.species)
+    dt_at = cfg.dt / const.atomic_time
+
+    for lv in plan.levels:
+        b = species[lv["species"]]
+        sp_cfg = cfg.species[lv["species"]]
+        # restore ξ ∈ [-0.5, 0.5) so the gather window is the pusher's
+        # (the reference ionises at the current position; the rebin is
+        # pure bookkeeping)
+        b = binmod.rebin(b, bplan, bc=sp_cfg.bc_particle[:2 * cfg.ndims])
+        fl = binmod.gather_fields_binned(fpad, b.xi, bplan,
+                                         comps=("ex", "ey", "ez"))
+        e_mag = jnp.sqrt(fl["ex"] ** 2 + fl["ey"] ** 2 + fl["ez"] ** 2) \
+            / const.atomic_electric_field
+
+        key, k1 = jax.random.split(key)
+        rate = adk_rate(lv, e_mag)
+        u = jax.random.uniform(k1, e_mag.shape,
+                               dtype=e_mag.dtype, minval=1e-12)
+        prob = 1.0 - jnp.exp(-rate * dt_at)
+        fire = (b.w > 0) & (u < prob)
+        cand_w = jnp.where(fire, b.w, 0.0)
+
+        # electron release: momentum split by mass fraction
+        # (ionise.F90:773-781)
+        p_e = b.p * lv["rel_mass_frac"]
+        species[lv["release"]] = binmod.merge_candidates(
+            species[lv["release"]], b.xi, p_e, cand_w, bplan)
+        # promote the ion to the next charge state
+        species[lv["to"]] = binmod.merge_candidates(
+            species[lv["to"]], b.xi, b.p - p_e, cand_w, bplan)
+        # kill in the source level
+        species[lv["species"]] = b._replace(
+            w=jnp.where(fire, 0.0, b.w))
+
+    return state._replace(species=tuple(species)), key
+
+
 def ionise_particles(state, cfg, plan: IonisePlan, key):
     """One ionisation pass over all levels (ionise_particles,
     ionise.F90:359-400 → tunnelling(-bsi) paths)."""
+    if cfg.species and hasattr(state.species[0], "xi"):
+        return _ionise_binned(state, cfg, plan, key)
     from ..core import push as psh
     from ..core.boundaries import STAGGER
     from ..core import shapes

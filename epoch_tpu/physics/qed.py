@@ -228,8 +228,160 @@ def _chi_photon(e, b, dirv, part_e):
     return 0.5 * jnp.sqrt(qx ** 2 + qy ** 2 + qz ** 2) * part_e / E_S
 
 
+def _qed_binned(state, cfg, plan: QEDPlan, key):
+    """QED on the binned (slot-grid) engine: identical rate math; the
+    gather is the slot-grid roll gather, optical depths live in the
+    per-particle aux rows, and photon/pair creation is a cell-local
+    candidate merge (binned.merge_candidates) — every created particle
+    lands in its parent's cell (photons.F90:867-1042)."""
+    from ..core import binned as binmod
+
+    grid = cfg.grid
+    bplan = binmod.BinnedPlan(cfg)
+    tab = plan.tables
+    dt = cfg.dt
+    mc0 = const.m0 * const.c
+    species = list(state.species)
+    active = (state.time > plan.start_time) \
+        & (state.time >= cfg.particle_push_start_time)
+    fpad = binmod.make_fpad(state.fields, grid)
+    i_od = bplan.aux_idx["opdepth"]
+    i_odt = bplan.aux_idx.get("opdepth_tri", -1)
+
+    def flat_invert(log_x_axis, row_axes, p_table, x_in, p):
+        out = _invert_cdf_rows(log_x_axis, row_axes, p_table,
+                               x_in.reshape(-1), p.reshape(-1))
+        return out.reshape(x_in.shape)
+
+    for i in plan.emitters:
+        b = species[i]
+        sp_cfg = cfg.species[i]
+        key, k1, k2 = jax.random.split(key, 3)
+        b = binmod.rebin(b, bplan, bc=sp_cfg.bc_particle[:2 * cfg.ndims])
+        fl = binmod.gather_fields_binned(fpad, b.xi, bplan)
+        u = [b.p[c] / mc0 for c in range(3)]
+        gamma = jnp.sqrt(u[0] ** 2 + u[1] ** 2 + u[2] ** 2 + 1.0)
+        eta = _eta_electron((fl["ex"], fl["ey"], fl["ez"]),
+                            (fl["bx"], fl["by"], fl["bz"]), u, gamma)
+        alive = b.w > 0
+        od = b.aux[i_od]
+        od = jnp.where(od <= 0.0,
+                       -jnp.log(1.0 - jax.random.uniform(
+                           k1, od.shape, od.dtype, maxval=0.999999)),
+                       od)
+        h = 10.0 ** _interp_1d(tab.h_logeta, tab.h_val,
+                               jnp.log10(jnp.maximum(eta, 1e-30)))
+        d_od = dt * eta * const.alpha_fine * math.sqrt(3.0) * h \
+            / (2.0 * math.pi * TAU_C * gamma)
+        od = od - jnp.where(alive & active, d_od, 0.0)
+        fire = alive & active & (od <= 0.0)
+
+        r = jax.random.uniform(k2, od.shape, od.dtype)
+        chi_final = flat_invert(tab.log_eta, tab.log_chi, tab.p_photon,
+                                eta, r)
+        e_ph = (2.0 * chi_final / jnp.maximum(eta, 1e-30)) * gamma \
+            * const.m0 * const.c ** 2
+        mag_p = jnp.sqrt(b.p[0] ** 2 + b.p[1] ** 2 + b.p[2] ** 2)
+        mag_safe = jnp.where(mag_p > 0, mag_p, 1.0)
+        dirv = b.p / mag_safe[None]
+        if plan.use_radiation_reaction:
+            new_mag = jnp.where(fire, jnp.maximum(
+                mag_p - e_ph / const.c, 0.0), mag_p)
+            newp = dirv * new_mag[None]
+        else:
+            newp = b.p
+        b = b._replace(p=newp, aux=b.aux.at[i_od].set(od))
+        species[i] = b
+
+        if plan.produce_photons and plan.photon_species >= 0:
+            keep = fire & (e_ph > plan.photon_energy_min)
+            p_ph = dirv * (e_ph / const.c)[None]
+            species[plan.photon_species] = binmod.merge_candidates(
+                species[plan.photon_species], b.xi, p_ph,
+                jnp.where(keep, b.w, 0.0), bplan)
+
+        # trident pairs (TRIDENT_PHOTONS, photons.F90:502-572,1010-1042)
+        if plan.use_trident and i_odt >= 0 and plan.tri_electron >= 0 \
+                and plan.tri_positron >= 0:
+            key, k3 = jax.random.split(key)
+            odt = b.aux[i_odt]
+            odt = jnp.where(odt <= 0.0,
+                            -jnp.log(1.0 - jax.random.uniform(
+                                k3, odt.shape, odt.dtype, maxval=0.999999)),
+                            odt)
+            omega_hat = 10.0 ** _interp_1d(
+                tab.t_logchi, tab.omega_val,
+                jnp.log10(jnp.maximum(eta, 1e-30)))
+            d_odt = dt * eta * const.alpha_fine ** 2 * 0.64 * omega_hat \
+                / (2.0 * math.pi * TAU_C * gamma)
+            odt = odt - jnp.where(alive & active, d_odt, 0.0)
+            fire_t = alive & active & (odt <= 0.0)
+            p_zero = jnp.zeros_like(b.p)
+            cand_w = jnp.where(fire_t, b.w, 0.0)
+            species[plan.tri_electron] = binmod.merge_candidates(
+                species[plan.tri_electron], b.xi, p_zero, cand_w, bplan)
+            species[plan.tri_positron] = binmod.merge_candidates(
+                species[plan.tri_positron], b.xi, p_zero, cand_w, bplan)
+            odt = jnp.where(fire_t, -jnp.log(1.0 - jax.random.uniform(
+                jax.random.fold_in(k3, 1), odt.shape, odt.dtype,
+                maxval=0.999999)), odt)
+            species[i] = b._replace(aux=b.aux.at[i_odt].set(odt))
+
+    # photons → pairs (Breit-Wheeler, generate_pair :944)
+    if plan.produce_pairs and plan.photon_species >= 0:
+        iph = plan.photon_species
+        b = species[iph]
+        sp_cfg = cfg.species[iph]
+        key, k1, k2 = jax.random.split(key, 3)
+        b = binmod.rebin(b, bplan, bc=sp_cfg.bc_particle[:2 * cfg.ndims])
+        mag_p = jnp.sqrt(b.p[0] ** 2 + b.p[1] ** 2 + b.p[2] ** 2)
+        mag_safe = jnp.where(mag_p > 0, mag_p, 1.0)
+        e_photon = const.c * mag_p
+        part_e = e_photon / (const.m0 * const.c ** 2)
+        dirv = b.p / mag_safe[None]
+        fl = binmod.gather_fields_binned(fpad, b.xi, bplan)
+        chi = _chi_photon((fl["ex"], fl["ey"], fl["ez"]),
+                          (fl["bx"], fl["by"], fl["bz"]),
+                          (dirv[0], dirv[1], dirv[2]), part_e)
+        alive = b.w > 0
+        od = b.aux[i_od]
+        od = jnp.where(od <= 0.0,
+                       -jnp.log(1.0 - jax.random.uniform(
+                           k1, od.shape, od.dtype, maxval=0.999999)),
+                       od)
+        tpair = 10.0 ** _interp_1d(
+            tab.t_logchi, tab.t_val,
+            jnp.log10(jnp.maximum(chi, 1e-30)))
+        d_od = dt / TAU_C * const.alpha_fine \
+            / jnp.maximum(part_e, 1e-30) * chi * tpair
+        od = od - jnp.where(alive & active, d_od, 0.0)
+        fire = alive & active & (od <= 0.0) & (part_e > 2.0)
+
+        r = jax.random.uniform(k2, od.shape, od.dtype)
+        eps_axes = jnp.broadcast_to(
+            jnp.log10(jnp.maximum(jnp.asarray(tab.epsilon_split),
+                                  1e-30))[None, :],
+            (tab.log_chi2.shape[0], tab.epsilon_split.shape[0]))
+        frac = flat_invert(tab.log_chi2, eps_axes, tab.p_energy, chi, r)
+        frac = jnp.clip(frac, 0.0, 1.0)
+        if plan.bw_electron >= 0 and plan.bw_positron >= 0:
+            cand_w = jnp.where(fire, b.w, 0.0)
+            pe = dirv * (frac * mag_p)[None]
+            pp = dirv * ((1.0 - frac) * mag_p)[None]
+            species[plan.bw_electron] = binmod.merge_candidates(
+                species[plan.bw_electron], b.xi, pe, cand_w, bplan)
+            species[plan.bw_positron] = binmod.merge_candidates(
+                species[plan.bw_positron], b.xi, pp, cand_w, bplan)
+        species[iph] = b._replace(
+            w=jnp.where(fire, 0.0, b.w), aux=b.aux.at[i_od].set(od))
+
+    return state._replace(species=tuple(species)), key
+
+
 def qed_update(state, cfg, plan: QEDPlan, key):
     """qed_update_optical_depth (photons.F90:524-607)."""
+    if cfg.species and hasattr(state.species[0], "xi"):
+        return _qed_binned(state, cfg, plan, key)
     dt = cfg.dt
     species = list(state.species)
     tab = plan.tables
