@@ -87,6 +87,9 @@ class ControlBlock:
     use_exact_restart: bool = False
     allow_cpu_reduce: bool = True
     check_stop_frequency: int = 10
+    # debug sanitizer: per-step field finiteness checks (the runtime
+    # analogue of the reference debug build's -ffpe-trap, Makefile:92-99)
+    use_nan_check: bool = False
     stop_at_walltime: float = -1.0
     simplify_deck: bool = True
     print_constants: bool = False

@@ -293,6 +293,8 @@ class DeckParser:
                 c.use_exact_restart = self.logical(val)
             elif el == "check_stop_frequency":
                 c.check_stop_frequency = self.integer(val)
+            elif el in ("use_nan_check", "check_nans", "nan_check"):
+                c.use_nan_check = self.logical(val)
             elif el == "stop_at_walltime":
                 c.stop_at_walltime = self.num(val)
             elif el == "use_current_correction":

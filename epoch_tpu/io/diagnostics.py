@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 import os
+import time as time_mod
 
 import numpy as np
 import jax.numpy as jnp
@@ -760,7 +761,16 @@ class OutputManager:
         # subsets (deck_subset_block.F90; random fraction / box / ranges)
         for sub in self.deck.subsets:
             self._write_subset(w, state, sub)
-        w.write_run_info()
+        # provenance: version/commit/defines bitmask + deck md5
+        # (diagnostics.F90:395-397, constants.F90:221-247)
+        import hashlib
+        from ..utils.version import VERSION, git_commit, defines_bitmask
+        deck_md5 = hashlib.md5(
+            getattr(self.deck, "deck_text", "").encode()).hexdigest()
+        w.write_run_info(version=VERSION, commit_id=git_commit(),
+                         deck_md5=deck_md5,
+                         defines=defines_bitmask(cfg),
+                         run_date=int(time_mod.time()))
         w.close()
         # reset per-window averages after a dump
         for st in self.blocks:

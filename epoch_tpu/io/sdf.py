@@ -220,10 +220,16 @@ class SDFWriter:
         meta = _pad(mimetype, ID_LENGTH)
         self._add(bid, name, BT_DATABLOCK, DT_CHARACTER, 1, meta, payload)
 
-    def write_run_info(self, version=(0, 1, 0), commit_id="", deck_md5=""):
+    def write_run_info(self, version=(0, 1, 0), commit_id="", deck_md5="",
+                       defines=0, run_date=0):
+        """Run provenance block (sdf_write_run_info; the reference embeds
+        version, commit string and the compile-defines i8 bitmask,
+        diagnostics.F90:395-397 / constants.F90:221-247)."""
         meta = struct.pack("<3i", *version)
         meta += _pad(commit_id, ID_LENGTH)
         meta += _pad(deck_md5, ID_LENGTH)
+        meta += struct.pack("<q", int(defines))
+        meta += struct.pack("<i", int(run_date))
         self._add("run_info", "Run_info", BT_RUN_INFO, DT_NULL, 1, meta, b"")
 
     # -- serialisation ----------------------------------------------------
@@ -393,6 +399,22 @@ def _parse_block(blk, raw, meta_off, data_loc, data_len):
     elif blk.blocktype == BT_DATABLOCK:
         blk.meta["mimetype"] = raw[p:p + ID_LENGTH].decode().strip()
         blk.data = raw[data_loc:data_loc + data_len]
+    elif blk.blocktype == BT_RUN_INFO:
+        version = struct.unpack_from("<3i", raw, p)
+        p += 12
+        commit_id = raw[p:p + ID_LENGTH].decode().strip()
+        p += ID_LENGTH
+        deck_md5 = raw[p:p + ID_LENGTH].decode().strip()
+        p += ID_LENGTH
+        defines = 0
+        run_date = 0
+        if p + 12 <= len(raw):       # extended layout (defines + run date)
+            (defines,) = struct.unpack_from("<q", raw, p)
+            (run_date,) = struct.unpack_from("<i", raw, p + 8)
+        blk.data = {"version": version, "commit_id": commit_id,
+                    "deck_md5": deck_md5, "defines": defines,
+                    "run_date": run_date}
+        blk.meta.update(blk.data)
     # other blocktypes: keep raw
     else:
         blk.data = raw[data_loc:data_loc + data_len]

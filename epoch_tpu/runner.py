@@ -117,6 +117,8 @@ class Runner:
                 break
             st = sim.fns["step_a"](st)
             s = int(st.step)
+            if deck.control.use_nan_check:
+                self._nan_check(st)
             if stdout_freq and s % stdout_freq == 0:
                 self._status_line(st)
             st = self.out.maybe_dump(sim, st)
@@ -148,14 +150,40 @@ class Runner:
                       f"dropped by slot-grid overflow — raise "
                       f"bin_headroom", file=self.stdout)
 
+    def _nan_check(self, st):
+        """Debug sanitizer (use_nan_check deck key): the runtime analogue
+        of the reference debug build's FPE traps (Makefile:92-99,
+        -ffpe-trap=invalid,zero,overflow).  Costs a device sync per step —
+        debug runs only."""
+        for nm in st.fields._fields:
+            a = getattr(st.fields, nm)
+            if not bool(np.isfinite(np.asarray(a)).all()):
+                raise FloatingPointError(
+                    f"nan_check: non-finite values in field '{nm}' at "
+                    f"step {int(st.step)} (t={float(st.time):.6e})")
+        for sp_cfg, s in zip(self.sim.cfg.species, st.species):
+            p = np.asarray(s.p)
+            live = np.asarray(s.w > 0) if hasattr(s, "w") \
+                else np.asarray(s.alive)
+            sel = p[:, live] if hasattr(s, "w") else p[live]
+            if sel.size and not np.isfinite(sel).all():
+                raise FloatingPointError(
+                    f"nan_check: non-finite momentum in species "
+                    f"'{sp_cfg.name}' at step {int(st.step)}")
+
     def _status_line(self, st):
-        # per-step stdout line with runtime + ETA (diagnostics.F90:245-282)
+        # per-step stdout line with runtime + ETA (diagnostics.F90:245-282);
+        # on a tty the line rewrites in place (terminal_controls.F90)
         t = float(st.time)
         frac = min(t / self.sim.cfg.t_end, 1.0) if self.sim.cfg.t_end else 0.0
         wall = _time.time() - self._t0
         eta = wall / frac - wall if frac > 0 else 0.0
-        print(f" Time {t:14.6e}  step {int(st.step):8d}  "
-              f"wall {wall:8.1f}s  eta {eta:8.1f}s", file=self.stdout)
+        line = (f" Time {t:14.6e}  step {int(st.step):8d}  "
+                f"wall {wall:8.1f}s  eta {eta:8.1f}s")
+        if getattr(self.stdout, "isatty", lambda: False)():
+            print("\r" + line, end="", file=self.stdout, flush=True)
+        else:
+            print(line, file=self.stdout)
 
     def _check_stop(self):
         for name, dump in (("STOP", True), ("STOP_NODUMP", False)):
