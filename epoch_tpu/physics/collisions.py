@@ -104,12 +104,19 @@ class CollisionPlan:
                     while getattr(deck.species[end], "ionise", False):
                         end = deck.species_index(
                             deck.species[end].ionise_to_species_name)
+                    # e_user_factor = coll_pairs(electron, ionise_to)
+                    # gates the in-pass ionising-vs-ejected scatter
+                    # (collisions.F90:361,389-396)
+                    e_factor = cb.collide_pairs.get(
+                        f"{se.name} {cfg.species[to].name}",
+                        1.0 if cb.collide_all else 0.0)
                     self.ionise_entries.append(dict(
                         e=ie, ion=jj, to=to, release=rel,
                         e_ion_ev=sbj.ionisation_energy / const.ev,
                         n1=sbj.principal_n, l=sbj.l_quantum,
                         n2=deck.species[to].principal_n,
-                        q_full=cfg.species[end].charge))
+                        q_full=cfg.species[end].charge,
+                        e_factor=e_factor))
 
 
 def _shuffle_alive_first(b, key):
@@ -625,12 +632,12 @@ def _collisional_ionise_pair(species, cfg, entry, key):
     (preionise, collisions.F90:467-711), vectorised over cell-sorted
     rank-matched pairs.
 
-    Divergences from the reference, both noted deliberate: the incident
+    The ionising-vs-ejected electron Coulomb scatter runs in-pass,
+    exactly as the reference (inter_coll_fn on (ejected_e, ionising_e),
+    collisions.F90:389-396).  One noted divergence remains: the incident
     electron's energy loss uses the reference's own lab-frame fallback
     formula for every event (exact for slow ions; the reference's
-    ion-frame rotation path reduces to it); the immediate
-    ionising-vs-ejected electron scatter happens on the next step's
-    collision pass instead of in-place."""
+    ion-frame rotation path reduces to it)."""
     grid = cfg.grid
     dvol = grid.cell_volume
     dt = cfg.dt
@@ -692,13 +699,46 @@ def _collisional_ionise_pair(species, cfg, entry, key):
     scale = jnp.sqrt(jnp.maximum((e_new / const.c) ** 2 - mec ** 2, 0.0)
                      / e_p2_i)
     p_e_new = jnp.where(fire[:, None], p_e * scale[:, None], p_e)
-    slab_e = species[ie]
-    species[ie] = slab_e._replace(p=slab_e.p.at[sve["perm"]].set(p_e_new))
 
     # ejected electron carries the mass-fraction share of the ion momentum
     # (preionise :687-692); the ion promotes to ionise_to_species
     p_ej = (m_e / m_ion) * p_i
     p_ion_new = p_i - p_ej
+
+    # in-pass Coulomb scatter of the (ejected, ionising) electron pairs
+    # (inter_coll_fn on (ejected_e, ionising_e), collisions.F90:389-396),
+    # gated by e_user_factor = coll_pairs(electron, ionise_to)
+    if entry.get("e_factor", 0.0) > 0.0:
+        plan_cl = getattr(cfg.collision_plan, "coulomb_log", -1.0) \
+            if cfg.collision_plan is not None else -1.0
+        key, kr1, kr2, kr3 = jax.random.split(key, 4)
+        q_el = cfg.species[ie].charge
+        imp_stats = _flat_cell_stats(sve, m_e, n_cell, dvol)
+        rel_sv = _sorted_view(species[entry["release"]], grid, kr3)
+        rel_stats = _flat_cell_stats(rel_sv, m_e, n_cell, dvol)
+        fsum_f = jnp.zeros(n_cell + 1, p_e.dtype).at[c].add(
+            jnp.where(fire, jnp.minimum(w_i, sve["w"]), 0.0))
+        factor_e = entry["e_factor"] / jnp.maximum(fsum_f, 1e-300)
+        if plan_cl < 0:
+            ll_e = coulomb_log_auto(
+                imp_stats["ekbar"], rel_stats["temp"], imp_stats["dens"],
+                rel_stats["dens"], q_el, q_el, m_e)
+        else:
+            ll_e = plan_cl
+        cell_fac = rel_stats["dens"] * imp_stats["dens"] * dt \
+            * factor_e * dvol
+        s_fac = (cell_fac * ll_e / PI4_EPS2_C4)[c]
+        s_fac_p = (cell_fac * PI_FAC)[c]
+        r1s = jax.random.uniform(kr1, c.shape, p_e.dtype)
+        r2s = jax.random.uniform(kr2, c.shape, p_e.dtype)
+        np_ej, np_ion = _scatter_pairs(
+            p_ej.T, p_e_new.T, m_e, m_e, q_el, q_el, s_fac, s_fac_p,
+            rel_stats["dens"][c], imp_stats["dens"][c], r1s, r2s, fire)
+        p_ej = jnp.where(fire[:, None], np_ej.T, p_ej)
+        p_e_new = jnp.where(fire[:, None], np_ion.T, p_e_new)
+
+    slab_e = species[ie]
+    species[ie] = slab_e._replace(p=slab_e.p.at[sve["perm"]].set(p_e_new))
     from ..core.slab_ops import append_particles
     species[entry["release"]], d1 = append_particles(
         species[entry["release"]], x_i, p_ej, w_i, fire, with_count=True)
@@ -720,8 +760,9 @@ def _collisional_ionise_binned(species, cfg, entry, key, bplan):
     collisions.F90:467-711): rank-k electron slot pairs with rank-k ion
     slot after the alive-first shuffle (the slot grid's analogue of the
     reference's shuffled secondary lists); creations are cell-local
-    candidate merges.  Keeps the same two documented divergences as the
-    scatter path (lab-frame energy-loss formula; deferred scatter)."""
+    candidate merges; the ionising-vs-ejected electron scatter runs
+    in-pass (collisions.F90:389-396).  Keeps the scatter path's one
+    documented divergence (lab-frame energy-loss formula)."""
     from ..core import binned as binmod
     grid = cfg.grid
     dvol = grid.cell_volume
@@ -771,14 +812,47 @@ def _collisional_ionise_binned(species, cfg, entry, key, bplan):
     scale = jnp.sqrt(jnp.maximum((e_new / const.c) ** 2 - mec ** 2, 0.0)
                      / e_p2_i)
     p_e_new = jnp.where(fire[None], p_e * scale[None], p_e)
-    species[ie] = be._replace(p=be.p.at[:, :Kp].set(p_e_new))
 
     p_ej = (m_e / m_ion) * p_i
+    p_ion_new = p_i - p_ej
+
+    # in-pass Coulomb scatter of the (ejected, ionising) electron pairs
+    # (collisions.F90:389-396); densities/temps from the exact per-cell
+    # slot-grid moments
+    if entry.get("e_factor", 0.0) > 0.0:
+        plan_cl = getattr(cfg.collision_plan, "coulomb_log", -1.0) \
+            if cfg.collision_plan is not None else -1.0
+        key, kr1, kr2 = jax.random.split(key, 3)
+        q_el = cfg.species[ie].charge
+        rel_b = species[entry["release"]]
+        rel_dens = _cell_density(rel_b, dvol)
+        imp_dens = _cell_density(be, dvol)
+        fsum_f = jnp.sum(jnp.where(fire, jnp.minimum(w_i, w_e), 0.0),
+                         axis=0)
+        factor_e = entry["e_factor"] / jnp.maximum(fsum_f, 1e-300)
+        if plan_cl < 0:
+            ll_e = coulomb_log_auto(
+                _cell_ekbar(be, m_e), _cell_temp(rel_b, m_e),
+                imp_dens, rel_dens, q_el, q_el, m_e)
+        else:
+            ll_e = plan_cl
+        cell_fac = rel_dens * imp_dens * dt * factor_e * dvol
+        s_fac = (cell_fac * ll_e / PI4_EPS2_C4)[None]
+        s_fac_p = (cell_fac * PI_FAC)[None]
+        r1s = jax.random.uniform(kr1, w_e.shape, w_e.dtype)
+        r2s = jax.random.uniform(kr2, w_e.shape, w_e.dtype)
+        np_ej, np_ion = _scatter_pairs(
+            p_ej, p_e_new, m_e, m_e, q_el, q_el, s_fac, s_fac_p,
+            rel_dens[None], imp_dens[None], r1s, r2s, fire)
+        p_ej = jnp.where(fire[None], np_ej, p_ej)
+        p_e_new = jnp.where(fire[None], np_ion, p_e_new)
+
+    species[ie] = be._replace(p=be.p.at[:, :Kp].set(p_e_new))
     cand_w = jnp.where(fire, w_i, 0.0)
     species[entry["release"]] = binmod.merge_candidates(
         species[entry["release"]], bj.xi[:, :Kp], p_ej, cand_w, bplan)
     species[entry["to"]] = binmod.merge_candidates(
-        species[entry["to"]], bj.xi[:, :Kp], p_i - p_ej, cand_w, bplan)
+        species[entry["to"]], bj.xi[:, :Kp], p_ion_new, cand_w, bplan)
     species[jj] = bj._replace(
         w=bj.w.at[:Kp].set(jnp.where(fire, 0.0, w_i)))
     return species, key
