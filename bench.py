@@ -130,7 +130,7 @@ def main():
     nx = int(os.environ.get("BENCH_NX", 256))
     ny = int(os.environ.get("BENCH_NY", 256))
     ppc = int(os.environ.get("BENCH_PPC", 8))
-    steps = int(os.environ.get("BENCH_STEPS", 50))
+    steps = int(os.environ.get("BENCH_STEPS", 200))
     mode = os.environ.get("BENCH_MODE", "lwfa")
 
     d = tempfile.mkdtemp()

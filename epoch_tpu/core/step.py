@@ -332,21 +332,32 @@ def make_step_functions(cfg):
     }
 
 
-def make_full_step(cfg):
+def make_full_step(cfg, chunk: int = 10):
     """One fused, donated step + an n-step driver for benchmarks.
 
-    A host loop over the single jitted step outperforms lax.scan here: the
-    scan carry forces relayout copies of the large state pytree each
-    iteration, while the donated jit reuses buffers in place.
+    Per-dispatch latency through the runtime is ~1.8 ms on the bench
+    chip — comparable to the whole step's device time — so the driver
+    scans ``chunk`` steps inside one jit and dispatches n//chunk times;
+    the remainder runs through a single donated step.
     """
     fns = make_step_functions(cfg)
     a, b = fns["step_a_raw"], fns["step_b_raw"]
-    full = jax.jit(lambda s: b(a(s)), donate_argnums=0)
+    step = lambda s: b(a(s))
+    full = jax.jit(step, donate_argnums=0)
+
+    def chunk_body(s):
+        return jax.lax.scan(lambda c, _: (step(c), None), s, None,
+                            length=chunk)[0]
+
+    full_chunk = jax.jit(chunk_body, donate_argnums=0)
 
     def run_n(state, n: int):
-        for _ in range(n):
+        for _ in range(n // chunk):
+            state = full_chunk(state)
+        for _ in range(n % chunk):
             state = full(state)
         return state
 
     run_n.single_step = full
+    run_n.chunk = chunk
     return run_n
