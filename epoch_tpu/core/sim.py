@@ -424,7 +424,10 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
                 ppc = arrs["x"].shape[0] / n_cells
                 kmax = max(kmax, int(math.ceil(
                     ppc * deck.control.bin_headroom)) + 2)
-        K = ((kmax + 7) // 8) * 8      # lane-friendly slot count
+        # K is the leading (non-tiled) axis of every slot array: no lane
+        # alignment needed, and every kernel's VPU work scales ∝ K — use
+        # kmax directly (rounding up to 8 cost 25% at bench shapes)
+        K = kmax
         cfg = dataclasses.replace(cfg, bin_k=K)
         for arrs in loaded:
             if arrs is None:
