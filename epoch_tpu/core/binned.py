@@ -576,6 +576,27 @@ def fold_margins(jpad, plan):
     return jcore[0], jcore[1], jcore[2]
 
 
+def window_pending_capable(cfg):
+    """True when the moving window can use the pending-shift mechanism:
+    every species is pushed by the fused Pallas kernel each step (so the
+    rebin routing consumes the relabel) and nothing else touches the slot
+    grids between the shift and the next push.  Otherwise the window
+    falls back to rolling the slot state (window._shift_binned)."""
+    if not cfg.move_window:
+        return False
+    for p in (cfg.qed_plan, cfg.brem_plan, cfg.ionise_plan,
+              cfg.collision_plan, cfg.split_plan, cfg.migration_plan):
+        if p is not None:
+            return False
+    for sp in cfg.species:
+        if sp.immobile or sp.species_type == const.SpeciesType.PHOTON:
+            return False
+        if sp.bc_particle[0] == const.BC.PERIODIC \
+                or sp.bc_particle[1] == const.BC.PERIODIC:
+            return False
+    return bool(cfg.species)
+
+
 def make_pallas_engines(cfg, plan, interpret=None):
     """Per-species fused Pallas kernel drivers, or None where ineligible.
 
@@ -608,20 +629,22 @@ def make_pallas_engines(cfg, plan, interpret=None):
     fbytes = 6 * (plan.n[0] + 4) * (plan.n[1] + 4) * 4
     if fbytes > 6 * 1024 * 1024:
         return [None] * len(cfg.species)
+    with_window = window_pending_capable(cfg)
     out = []
     for sp in cfg.species:
         if sp.immobile or sp.species_type == const.SpeciesType.PHOTON:
             # photons take the ballistic push (push_photons_binned)
             out.append(None)
         else:
-            out.append(PallasBinned(plan, sp, cfg, interpret=interpret))
+            out.append(PallasBinned(plan, sp, cfg, interpret=interpret,
+                                    with_window=with_window))
     return out
 
 
-def push_deposit_pallas(engine, fwin, binned, plan):
+def push_deposit_pallas(engine, fwin, binned, plan, shift=None):
     """Fused-kernel variant of push_deposit_binned; returns per-stripe
     partial currents (callers sum over species, then fold once)."""
-    return engine(fwin, binned)
+    return engine(fwin, binned, shift=shift)
 
 
 def apply_axis_bcs(xi, p, w, plan, d, bc_lo, bc_hi):

@@ -502,6 +502,8 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
         injector_depth=tuple(jnp.zeros((p.n_cells,), dtype)
                              for p in cfg.injector_plans),
         slab_dropped=jnp.zeros((), jnp.int32),
+        window_pending=(jnp.zeros((), jnp.int32) if cfg.move_window
+                        else None),
     )
     if deck.probes and cfg.engine != "binned":
         from .probes import build_probe_plans, init_probe_buffers

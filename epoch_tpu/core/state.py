@@ -111,6 +111,10 @@ class SimState(NamedTuple):
     # lists cannot overflow, so a nonzero count is a capacity warning
     # surfaced at end of run (runner) and in dumps
     slab_dropped: jax.Array | None = None
+    # moving window: 1 while a one-cell shift awaits consumption by the
+    # next push's rebin (binned Pallas engines only — the rebin routing
+    # performs the slot-grid roll for free; window._shift_once)
+    window_pending: jax.Array | None = None
 
 
 def zero_fields(padded_shape, dtype) -> Fields:

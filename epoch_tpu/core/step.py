@@ -117,10 +117,18 @@ def make_step_functions(cfg):
         f = bnd.efield_bcs(f, cfg)
         return state._replace(fields=f, cpml=cpml)
 
+    window_pending_ok = False
     if cfg.engine == "binned":
         from . import binned as binmod
         bplan = binmod.BinnedPlan(cfg)
         pallas_engines = binmod.make_pallas_engines(cfg, bplan)
+        # pending-shift moving window: every species must go through the
+        # fused kernel so the rebin routing consumes the relabel
+        window_pending_ok = (
+            binmod.window_pending_capable(cfg)
+            and cfg.particle_push_start_time <= 0
+            and len(pallas_engines) > 0
+            and all(e is not None for e in pallas_engines))
 
     def push_all(state: SimState) -> SimState:
         f = state.fields
@@ -200,8 +208,9 @@ def make_step_functions(cfg):
                 new_species.append(b)
                 continue
             if pallas_engines[si] is not None:
+                shift = state.window_pending if window_pending_ok else None
                 b, jpart = binmod.push_deposit_pallas(
-                    pallas_engines[si], fwin, b, bplan)
+                    pallas_engines[si], fwin, b, bplan, shift=shift)
                 if not sp_cfg.zero_current:
                     jpart_sum = jpart if jpart_sum is None \
                         else jpart_sum + jpart
@@ -221,6 +230,10 @@ def make_step_functions(cfg):
             f = f._replace(jx=jfull[0], jy=jfull[1], jz=jfull[2])
             # periodic ghost summation, exactly as the scatter path
             f = bnd.current_bcs(f, cfg)
+        if window_pending_ok:
+            # the rebin routing consumed any pending window relabel
+            state = state._replace(
+                window_pending=jnp.zeros((), jnp.int32))
         return state._replace(fields=f, species=tuple(new_species))
 
     def current_finish(state: SimState) -> SimState:
@@ -310,7 +323,8 @@ def make_step_functions(cfg):
         state = fields_final(state)
         if cfg.move_window:
             from . import window as win
-            state = win.moving_window(state, cfg)
+            state = win.moving_window(state, cfg,
+                                      pending_ok=window_pending_ok)
         return state._replace()
 
     def init_b_boundaries(state: SimState) -> SimState:

@@ -71,8 +71,13 @@ def _shift_left(arr, axis=0):
     return jnp.concatenate([arr[tuple(idx)], arr[tuple(last)]], axis=axis)
 
 
-def moving_window(state: SimState, cfg) -> SimState:
-    """window.F90:350-397."""
+def moving_window(state: SimState, cfg, pending_ok: bool = False) -> SimState:
+    """window.F90:350-397.
+
+    ``pending_ok``: every species runs the fused Pallas kernel each step,
+    so a shift can be recorded as ``window_pending`` and consumed by the
+    next push's rebin routing (binned_kernels._axis_rebin) instead of
+    rolling the whole slot state in HBM here."""
     if not cfg.move_window:
         return state
     t = state.time
@@ -103,13 +108,15 @@ def moving_window(state: SimState, cfg) -> SimState:
         except Exception:
             pass
     for _ in range(n_conds):
-        state = jax.lax.cond(nshift > 0, lambda s: _shift_once(s, cfg),
-                             lambda s: s, state)
+        state = jax.lax.cond(
+            nshift > 0,
+            lambda s: _shift_once(s, cfg, pending_ok=pending_ok),
+            lambda s: s, state)
         nshift = nshift - 1
     return state
 
 
-def _shift_once(state: SimState, cfg) -> SimState:
+def _shift_once(state: SimState, cfg, pending_ok: bool = False) -> SimState:
     grid = cfg.grid
     dx = grid.delta[0]
     offset = state.window_offset
@@ -161,36 +168,62 @@ def _shift_once(state: SimState, cfg) -> SimState:
 
     new_offset = offset + 1
 
-    rng = state.rng
-    drops = jnp.zeros((), jnp.int32)
-    new_species = []
-    for i, (sp_cfg, slab) in enumerate(zip(cfg.species, state.species)):
-        plan = cfg.window_plans[i]
-        if hasattr(slab, "xi"):      # binned engine: roll the slot grid
-            slab = _shift_binned(slab, plan, cfg, new_offset, state.time)
+    def shift_species(state: SimState, roll_binned: bool) -> SimState:
+        rng = state.rng
+        drops = jnp.zeros((), jnp.int32)
+        new_species = []
+        for i, (sp_cfg, slab) in enumerate(zip(cfg.species, state.species)):
+            plan = cfg.window_plans[i]
+            if hasattr(slab, "xi"):      # binned engine
+                if roll_binned:
+                    # roll the slot grid; refill the (new) last column
+                    slab = _shift_binned(slab, plan, cfg, new_offset,
+                                         state.time)
+                    col = -1
+                else:
+                    # pending-shift: the next push's rebin routing does
+                    # the relabel — only clear + refill the wrapped
+                    # column (array col 0 = incoming cell nx−1; its old
+                    # content is the departed cell 0, removed here
+                    # exactly as remove_particles, window.F90:324)
+                    slab = slab._replace(w=slab.w.at[:, 0].set(0.0))
+                    col = 0
+                if plan["max_new"] > 0 and plan["density"] is not None:
+                    rng, sub = jax.random.split(rng)
+                    slab = _insert_column_binned(slab, plan, cfg,
+                                                 new_offset, state.time,
+                                                 sub, cfg.window_plans,
+                                                 col=col)
+                new_species.append(slab)
+                continue
+            # scatter engine: grid-relative shift + removal at the edge
+            x = slab.x.at[:, 0].add(-dx)
+            alive = slab.alive & (x[:, 0] >= grid.local_lo(0))
+            weight = jnp.where(alive, slab.weight, 0.0)
+            slab = slab._replace(x=x, alive=alive, weight=weight)
             if plan["max_new"] > 0 and plan["density"] is not None:
                 rng, sub = jax.random.split(rng)
-                slab = _insert_column_binned(slab, plan, cfg, new_offset,
-                                             state.time, sub,
-                                             cfg.window_plans)
+                slab, d_ = _insert_column(slab, plan, cfg, new_offset,
+                                          state.time, sub,
+                                          cfg.window_plans)
+                drops = drops + d_
             new_species.append(slab)
-            continue
-        # scatter engine: grid-relative shift + removal at the static edge
-        x = slab.x.at[:, 0].add(-dx)
-        alive = slab.alive & (x[:, 0] >= grid.local_lo(0))
-        weight = jnp.where(alive, slab.weight, 0.0)
-        slab = slab._replace(x=x, alive=alive, weight=weight)
-        if plan["max_new"] > 0 and plan["density"] is not None:
-            rng, sub = jax.random.split(rng)
-            slab, d_ = _insert_column(slab, plan, cfg, new_offset,
-                                      state.time, sub, cfg.window_plans)
-            drops = drops + d_
-        new_species.append(slab)
+        from .slab_ops import add_dropped
+        return add_dropped(
+            state._replace(species=tuple(new_species), rng=rng), drops)
 
-    from .slab_ops import add_dropped
-    return add_dropped(
-        state._replace(fields=f, cpml=cpml, species=tuple(new_species),
-                       window_offset=new_offset, rng=rng), drops)
+    state = state._replace(fields=f, cpml=cpml, window_offset=new_offset)
+    if pending_ok and state.window_pending is not None:
+        # record the shift for the next rebin; if one is already pending
+        # (push skipped since the last shift) fall back to a real roll
+        state = jax.lax.cond(
+            state.window_pending > 0,
+            lambda s: shift_species(s, True),
+            lambda s: shift_species(s, False)._replace(
+                window_pending=jnp.ones((), jnp.int32)),
+            state)
+        return state
+    return shift_species(state, True)
 
 
 def _shift_binned(b, plan, cfg, new_offset, time):
@@ -206,10 +239,13 @@ def _shift_binned(b, plan, cfg, new_offset, time):
     return b._replace(w=w, xi=xi, p=p, aux=aux)
 
 
-def _insert_column_binned(b, plan, cfg, offset, time, key, all_plans=None):
-    """Refill the incoming rightmost column of the slot grid
-    (insert_particles, window.F90:182-258); density/temperature/drift are
-    evaluated at the new absolute particle positions."""
+def _insert_column_binned(b, plan, cfg, offset, time, key, all_plans=None,
+                          col=-1):
+    """Refill the incoming column of the slot grid (insert_particles,
+    window.F90:182-258); density/temperature/drift are evaluated at the
+    new absolute particle positions.  ``col`` is the array column holding
+    the incoming cell: −1 after a rolled shift, 0 for a pending shift
+    (the wrapped column; the grid cell is nx−1 either way)."""
     grid = cfg.grid
     nd = grid.ndims
     dx = grid.delta[0]
@@ -257,11 +293,11 @@ def _insert_column_binned(b, plan, cfg, offset, time, key, all_plans=None):
         p_new.append(norms[i] * std + drift)
     p_new = jnp.stack(p_new)
 
-    w = b.w.at[:, -1].set(jnp.where(valid, w_new, 0.0))
-    xi = b.xi.at[:, :, -1].set(jnp.where(valid[None], xi_new,
-                                         jnp.zeros_like(xi_new)))
-    p = b.p.at[:, :, -1].set(jnp.where(valid[None], p_new,
-                                       jnp.zeros_like(p_new)))
+    w = b.w.at[:, col].set(jnp.where(valid, w_new, 0.0))
+    xi = b.xi.at[:, :, col].set(jnp.where(valid[None], xi_new,
+                                          jnp.zeros_like(xi_new)))
+    p = b.p.at[:, :, col].set(jnp.where(valid[None], p_new,
+                                        jnp.zeros_like(p_new)))
     return b._replace(w=w, xi=xi, p=p, n_dropped=b.n_dropped + n_over)
 
 

@@ -98,6 +98,9 @@ def write_restart(path, cfg, state: SimState, deck_text: str = "",
     if state.slab_dropped is not None:
         w.write_constant("restart/slab_dropped", "Restart/slab_dropped",
                          int(state.slab_dropped))
+    if state.window_pending is not None:
+        w.write_constant("restart/window_pending", "Restart/window_pending",
+                         int(state.window_pending))
     w.write_plain_variable("restart/rng", "Restart/rng",
                            np.asarray(jax.random.key_data(state.rng)
                                       if hasattr(jax.random, "key_data")
@@ -255,4 +258,7 @@ def read_restart(path, cfg, template: SimState) -> SimState:
         slab_dropped=(jnp.asarray(d["Restart/slab_dropped"].data, jnp.int32)
                       if "Restart/slab_dropped" in d
                       else template.slab_dropped),
+        window_pending=(
+            jnp.asarray(d["Restart/window_pending"].data, jnp.int32)
+            if "Restart/window_pending" in d else template.window_pending),
     )

@@ -1,26 +1,30 @@
-"""Fused Pallas TPU kernels for the binned particle engine (2D).
+"""Fused Pallas TPU kernel for the binned particle engine (2D).
 
 The hot loop of the reference is the per-particle gather/Boris/move/deposit
 walk (``epoch2d/src/particles.F90:28-565``).  ``core/binned.py`` re-designs
-that as dense slot-grid array programs; this module lowers the two hot
-phases to Pallas so the slot payloads stay VMEM-resident instead of paying
-an HBM round-trip per intermediate:
+that as dense slot-grid array programs; this module lowers the whole hot
+path to ONE Pallas kernel per species so the slot payloads stay
+VMEM-resident across every phase (no HBM round trip between rebin and
+push, which two separate kernels would pay):
 
-* **drift + rebin kernel**: the half-drift followed by the per-axis slot
+* **drift + rebin**: the half-drift followed by the per-axis slot
   compaction.  The XLA path compacts with ``lax.sort`` over 3K candidate
   slots (~3 ms/step at bench shapes); here the compaction is a butterfly
   routing network along the *slot* axis — the leading, register-tiled axis,
   so every shuffle is free and only the selects cost VPU work.  Stable
   compaction is a monotone routing, which an LSB→MSB butterfly performs
   conflict-free (verified exhaustively in tests).
-* **push + deposit kernel**: field gather (per-component ≤4×4 windows,
-  c1 ≡ 0 after the rebin), Boris rotation, move, and the closed-form PSC
+* **push + deposit**: field gather (per-component ≤4×4 windows, c1 ≡ 0
+  after the rebin), Boris rotation, move, and the closed-form PSC
   charge-conserving deposition into a margin-padded J accumulated in VMEM
   across the sequential stripe grid.
 
-Both kernels tile the grid into x-stripes of ``BX`` cells; the rebin kernel
-receives the two halo columns of each stripe as separate inputs (periodic
-wrap is applied by the XLA-side gather of those columns).
+The kernel tiles the grid into x-stripes of ``BX`` cells and receives the
+two halo columns of each stripe as separate inputs (periodic wrap is
+applied by the XLA-side gather of those columns).  A scalar-prefetch
+any-live flag per stripe (computed over the stripe + its halo columns)
+lets vacuum stripes — the region ahead of the plasma in a moving-window
+LWFA run — skip all VPU work and pass their slots through.
 """
 from __future__ import annotations
 
@@ -134,12 +138,21 @@ def _compact(payloads, w, n_rows):
     return payloads, w
 
 
-def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop):
+def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop,
+                haloR2=None, shmask=None):
     """One axis of the rebin: adjust ξ by dc, gather the 3 neighbour
     candidate sets along the slot axis and compact back to K slots.
 
     ``axis`` 0 = stripe-x (halo columns supplied), 1 = lane-y (periodic
     roll).  ``p`` is a list of 3 momentum arrays.
+
+    ``shmask``/``haloR2`` (axis 0, moving-window decks only): when the
+    traced bool ``shmask`` is set, a window shift is pending — the grid
+    labels slid one cell left (window.F90:350-397), so the candidate
+    sources for output column b are array columns {b, b+1, b+2} instead
+    of {b-1, b, b+1}: the rebin's routing performs the slot-grid roll
+    for free instead of paying an HBM round trip for jnp.roll of the
+    whole slot state.  ``haloR2`` supplies the second right halo column.
     """
     xi_a = xi0 if axis == 0 else xi1
     alive = w > 0
@@ -167,12 +180,36 @@ def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop):
         def from_right(a, h):
             return jnp.concatenate([a[:, 1:, :], h], axis=1)
 
-        w_l = from_left(w, wL)
-        w_r = from_right(w, wR)
-        dc_l = from_left(dc, dcL)
-        dc_r = from_right(dc, dcR)
-        pls_l = [from_left(a, h) for a, h in zip(payload, plL)]
-        pls_r = [from_right(a, h) for a, h in zip(payload, plR)]
+        def from_right2(a, h1, h2):
+            return jnp.concatenate([a[:, 2:, :], h1, h2], axis=1)
+
+        if shmask is None:
+            w_l = from_left(w, wL)
+            w_r = from_right(w, wR)
+            dc_l = from_left(dc, dcL)
+            dc_r = from_right(dc, dcR)
+            pls_l = [from_left(a, h) for a, h in zip(payload, plL)]
+            pls_r = [from_right(a, h) for a, h in zip(payload, plR)]
+        else:
+            wR2, plR2, dcR2 = col(haloR2)
+
+            def sel(un, sh):
+                return jnp.where(shmask, sh, un)
+
+            # shifted: "+1 set" = self, "0 set" = cols+1, "−1 set" = cols+2
+            w_l = sel(from_left(w, wL), w)
+            dc_l = sel(from_left(dc, dcL), dc)
+            pls_l = [sel(from_left(a, h), a)
+                     for a, h in zip(payload, plL)]
+            w_c = sel(w, from_right(w, wR))
+            dc_c = sel(dc, from_right(dc, dcR))
+            pls_c = [sel(a, from_right(a, h))
+                     for a, h in zip(payload, plR)]
+            w_r = sel(from_right(w, wR), from_right2(w, wR, wR2))
+            dc_r = sel(from_right(dc, dcR), from_right2(dc, dcR, dcR2))
+            pls_r = [sel(from_right(a, h1), from_right2(a, h1, h2))
+                     for a, h1, h2 in zip(payload, plR, plR2)]
+            w, dc, payload = w_c, dc_c, pls_c
     else:
         def roll_y(a, o):
             return jnp.roll(a, o, axis=2)
@@ -199,147 +236,42 @@ def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop):
     return w, cands[0], cands[1], cands[2:], ndrop
 
 
-def make_drift_rebin(K, BX, NY, nxb, dt, delta, mass, dtype,
-                     bc=None, kb=None, interpret=False):
-    """Build the drift+rebin pallas_call for one species (2D).
-
-    Inputs: w (K,nx,NY), xi (2,K,nx,NY), p (3,K,nx,NY), halo columns
-    wE (K,nxb,2,NY), xiE (2,K,nxb,2,NY), pE (3,K,nxb,2,NY) where
-    [...,0,:] is the column left of each stripe and [...,1,:] the column
-    right of it.  ``bc``: 4 particle-BC enums (x_lo, x_hi, y_lo, y_hi);
-    ``kb``: ((kbx_lo, kbx_hi), (kby_lo, kby_hi)) kill-boundary cells.
-    Returns (w', xi', p', n_dropped_increment).
-    """
-    from .. import constants as const_
-    ipart_mc = float(1.0 / (const.c * mass))
-    dtco2 = float(const.c * dt / 2.0)
-    fx = float(dtco2 / delta[0])
-    fy = float(dtco2 / delta[1])
-    PER = const_.BC.PERIODIC
-    bc = bc or (PER, PER, PER, PER)
-    bounded_x = bc[0] != PER or bc[1] != PER
-    bounded_y = bc[2] != PER or bc[3] != PER
-
-    def drift(w, xi0, xi1, p0, p1, p2):
-        alive = w > 0
-        u0 = p0 * ipart_mc
-        u1 = p1 * ipart_mc
-        u2 = p2 * ipart_mc
-        igam = jax.lax.rsqrt(u0 * u0 + u1 * u1 + u2 * u2 + 1.0)
-        xi0 = jnp.where(alive, xi0 + u0 * igam * fx, xi0)
-        xi1 = jnp.where(alive, xi1 + u1 * igam * fy, xi1)
-        return xi0, xi1
-
-    def kernel(w_ref, xi_ref, p_ref, we_ref, xie_ref, pe_ref,
-               wo_ref, xio_ref, po_ref, nd_ref):
-        i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            nd_ref[0, 0] = 0
-
-        w = w_ref[:]
-        xi0 = xi_ref[0]
-        xi1 = xi_ref[1]
-        p = [p_ref[0], p_ref[1], p_ref[2]]
-        xi0, xi1 = drift(w, xi0, xi1, *p)
-        if bounded_x:
-            gx = i * BX + jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
-            xis, p, w = _bc_axis([xi0, xi1], p, w, 0, bc[0], bc[1],
-                                 kb[0][0], kb[0][1], gx)
-            xi0, xi1 = xis
-
-        def halo(side):
-            hw = we_ref[:, 0, side, :][:, None, :]
-            hx0 = xie_ref[0, :, 0, side, :][:, None, :]
-            hx1 = xie_ref[1, :, 0, side, :][:, None, :]
-            hp = [pe_ref[c, :, 0, side, :][:, None, :] for c in range(3)]
-            hx0, hx1 = drift(hw, hx0, hx1, *hp)
-            if bounded_x:
-                # signed global column index: wrap columns fall outside
-                # [0, n) and are auto-killed by the kill masks
-                hg = jnp.asarray(i * BX + (-1 if side == 0 else BX),
-                                 jnp.int32)
-                hxis, hp, hw = _bc_axis([hx0, hx1], hp, hw, 0, bc[0],
-                                        bc[1], kb[0][0], kb[0][1], hg)
-                hx0, hx1 = hxis
-            return (hw, hx0, hx1, *hp)
-
-        ndrop = jnp.zeros((), jnp.int32)
-        w, xi0, xi1, p, ndrop = _axis_rebin(
-            w, xi0, xi1, p, halo(0), halo(1), K, 0, ndrop)
-        if bounded_y:
-            gy = jax.lax.broadcasted_iota(jnp.int32, w.shape, 2)
-            xis, p, w = _bc_axis([xi0, xi1], p, w, 1, bc[2], bc[3],
-                                 kb[1][0], kb[1][1], gy)
-            xi0, xi1 = xis
-        w, xi0, xi1, p, ndrop = _axis_rebin(
-            w, xi0, xi1, p, None, None, K, 1, ndrop)
-        wo_ref[:] = w
-        xio_ref[0] = xi0
-        xio_ref[1] = xi1
-        po_ref[0] = p[0]
-        po_ref[1] = p[1]
-        po_ref[2] = p[2]
-        nd_ref[0, 0] = nd_ref[0, 0] + ndrop
-
-    nx = nxb * BX
-    grid = (nxb,)
-    in_specs = [
-        pl.BlockSpec((K, BX, NY), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, K, BX, NY), lambda i: (0, 0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, K, BX, NY), lambda i: (0, 0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, 1, 2, NY), lambda i: (0, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, K, 1, 2, NY), lambda i: (0, 0, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, K, 1, 2, NY), lambda i: (0, 0, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_specs = (
-        pl.BlockSpec((K, BX, NY), lambda i: (0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, K, BX, NY), lambda i: (0, 0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, K, BX, NY), lambda i: (0, 0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-    )
-    out_shape = (
-        jax.ShapeDtypeStruct((K, nx, NY), dtype),
-        jax.ShapeDtypeStruct((2, K, nx, NY), dtype),
-        jax.ShapeDtypeStruct((3, K, nx, NY), dtype),
-        jax.ShapeDtypeStruct((1, 1), jnp.int32),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )
-
-
 # ---------------------------------------------------------------------------
-# push + deposit kernel
+# fused drift + rebin + gather + Boris + move + deposit kernel
 # ---------------------------------------------------------------------------
 
-def make_push_deposit(K, BX, NY, nxb, plan, sp, dtype, bc=None,
-                      interpret=False):
-    """Build the gather/Boris/move/deposit pallas_call for one species.
+def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
+                    interpret=False, with_window=False):
+    """Build the fused per-species pallas_call (2D).
 
-    Inputs: w, xi, p (post-rebin, ξ ∈ [-0.5,0.5)) and per-stripe field
-    windows fwin (nxb, 6, BX+4, NY+4) pre-sliced by the XLA caller, so
-    every in-kernel access is a *static* slice (Mosaic cannot lower
-    dynamic sublane starts).  Outputs: new xi, p and per-stripe partial
-    currents jpart (nxb, 3, BX+4, NY+4); the caller overlap-adds the
-    stripes and folds the periodic margins.  Mirrors particles.F90:199-514.
+    One kernel per stripe does the full reference hot loop
+    (particles.F90:28-565): half-drift, slot rebin (the cell binning the
+    reference gets from its per-cell linked lists), field gather, Boris
+    rotation, move, and the closed-form PSC charge-conserving deposition
+    — the slot payloads stay VMEM-resident across all phases instead of
+    paying an HBM round trip between a rebin kernel and a push kernel.
+
+    Inputs: flags (nxb,) int32 any-live-in-stripe-or-halos, w (K,nx,NY),
+    xi (2,K,nx,NY), p (3,K,nx,NY), halo columns wE (K,nxb,2,NY),
+    xiE (2,K,nxb,2,NY), pE (3,K,nxb,2,NY) ([...,0,:] left of the stripe,
+    [...,1,:] right of it), and per-stripe field windows
+    fwin (nxb, 6, BX+4, NY+4) pre-sliced by the XLA caller (every
+    in-kernel access is a *static* slice; Mosaic cannot lower dynamic
+    sublane starts).  Outputs: w', xi', p', per-stripe partial currents
+    jpart (nxb, 3, BX+4, NY+4) (caller overlap-adds stripes and folds the
+    periodic margins), and the dropped-particle counter.  A stripe whose
+    flag is 0 (no live particles in it or its halo columns — LWFA vacuum
+    ahead of the plasma) skips all compute and passes its slots through.
+
+    ``bc``: 4 particle-BC enums (x_lo, x_hi, y_lo, y_hi).
+
+    ``with_window``: moving-window deck — a second scalar-prefetch input
+    (``shift`` ∈ {0, 1}) reports a pending one-cell window shift
+    (window.F90:350-397); the rebin routing consumes it by sourcing
+    candidates one column to the right (see _axis_rebin), the halo inputs
+    carry a THIRD column (the second column right of the stripe), and
+    boundary-cell indices are shift-adjusted.  This replaces rolling the
+    whole slot state in HBM at every window shift.
     """
     nd = 2
     mass = float(sp.mass)
@@ -361,16 +293,120 @@ def make_push_deposit(K, BX, NY, nxb, plan, sp, dtype, bc=None,
     PER = const.BC.PERIODIC
     bc = bc or (PER,) * 4
     bounded = any(b != PER for b in bc)
+    bounded_x = bc[0] != PER or bc[1] != PER
+    bounded_y = bc[2] != PER or bc[3] != PER
+    if with_window and not bounded_x:
+        # the relabelling BC arithmetic relies on the signed-kill trick
+        raise ValueError("window pending-shift needs non-periodic x BCs")
     kb = plan.kb
+    fx = float(const.c * plan.dt / 2.0 / plan.delta[0])
+    fy = float(const.c * plan.dt / 2.0 / plan.delta[1])
 
-    def kernel(w_ref, xi_ref, p_ref, f_ref, wo_ref, xio_ref, po_ref,
-               j_ref):
-        i = pl.program_id(0)
-        j_ref[...] = jnp.zeros(j_ref.shape, j_ref.dtype)
-        w = w_ref[:]
+    def drift(w, xi0, xi1, p0, p1, p2):
         alive = w > 0
-        xi = [xi_ref[0], xi_ref[1]]
+        u0 = p0 * ipart_mc
+        u1 = p1 * ipart_mc
+        u2 = p2 * ipart_mc
+        igam = jax.lax.rsqrt(u0 * u0 + u1 * u1 + u2 * u2 + 1.0)
+        xi0 = jnp.where(alive, xi0 + u0 * igam * fx, xi0)
+        xi1 = jnp.where(alive, xi1 + u1 * igam * fy, xi1)
+        return xi0, xi1
+
+    def kernel(flag_ref, *rest):
+        if with_window:
+            shift_ref = rest[0]
+            rest = rest[1:]
+        (w_ref, xi_ref, p_ref, we_ref, xie_ref, pe_ref,
+         f_ref, wo_ref, xio_ref, po_ref, j_ref, nd_ref) = rest
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            nd_ref[0, 0] = 0
+
+        flag = flag_ref[i]
+        sh = shift_ref[0] if with_window else None
+
+        @pl.when(flag == 0)
+        def _():
+            # vacuum stripe: nothing here, nothing incoming — pass through
+            # (with a pending shift only stripes with particles in reach
+            # of the relabelling are live-flagged; a vacuum stripe's slots
+            # are all dead, so the relabel is a no-op on them)
+            j_ref[...] = jnp.zeros(j_ref.shape, j_ref.dtype)
+            wo_ref[:] = w_ref[:]
+            xio_ref[...] = xi_ref[...]
+            po_ref[...] = p_ref[...]
+
+        @pl.when(flag > 0)
+        def _():
+            _live_body(i, sh, w_ref, xi_ref, p_ref, we_ref, xie_ref,
+                       pe_ref, f_ref, wo_ref, xio_ref, po_ref, j_ref,
+                       nd_ref)
+
+    def _live_body(i, sh, w_ref, xi_ref, p_ref, we_ref, xie_ref, pe_ref,
+                   f_ref, wo_ref, xio_ref, po_ref, j_ref, nd_ref):
+        # ---- phase 1: half-drift + rebin (particles.F90:234-257 + the
+        # reference's implicit cell binning) ----
+        w = w_ref[:]
+        xi0 = xi_ref[0]
+        xi1 = xi_ref[1]
         p = [p_ref[0], p_ref[1], p_ref[2]]
+        xi0, xi1 = drift(w, xi0, xi1, *p)
+        if bounded_x:
+            gx0 = i * BX + jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+            if with_window:
+                # pending shift: array column c is grid cell c−sh; the
+                # wrapped column 0 is the freshly refilled cell nx−1
+                gx0 = gx0 - sh
+                gx0 = jnp.where(gx0 < 0, gx0 + nx, gx0)
+            xis, p, w = _bc_axis([xi0, xi1], p, w, 0, bc[0], bc[1],
+                                 kb[0][0], kb[0][1], gx0)
+            xi0, xi1 = xis
+
+        def halo(side):
+            hw = we_ref[:, 0, side, :][:, None, :]
+            hx0 = xie_ref[0, :, 0, side, :][:, None, :]
+            hx1 = xie_ref[1, :, 0, side, :][:, None, :]
+            hp = [pe_ref[c, :, 0, side, :][:, None, :] for c in range(3)]
+            hx0, hx1 = drift(hw, hx0, hx1, *hp)
+            if bounded_x:
+                # signed global column index: wrap columns fall outside
+                # [0, n) and are auto-killed by the kill masks.  With a
+                # pending shift the last stripe's first right halo is the
+                # refilled column (array col 0 → cell nx−1): nx−sh keeps
+                # it alive exactly when sh = 1.
+                off = (-1, BX, BX + 1)[side]
+                hg = jnp.asarray(i * BX + off, jnp.int32)
+                if with_window:
+                    hg = hg - sh
+                hxis, hp, hw = _bc_axis([hx0, hx1], hp, hw, 0, bc[0],
+                                        bc[1], kb[0][0], kb[0][1], hg)
+                hx0, hx1 = hxis
+            return (hw, hx0, hx1, *hp)
+
+        ndrop = jnp.zeros((), jnp.int32)
+        if with_window:
+            w, xi0, xi1, p, ndrop = _axis_rebin(
+                w, xi0, xi1, p, halo(0), halo(1), K, 0, ndrop,
+                haloR2=halo(2), shmask=sh > 0)
+        else:
+            w, xi0, xi1, p, ndrop = _axis_rebin(
+                w, xi0, xi1, p, halo(0), halo(1), K, 0, ndrop)
+        if bounded_y:
+            gy = jax.lax.broadcasted_iota(jnp.int32, w.shape, 2)
+            xis, p, w = _bc_axis([xi0, xi1], p, w, 1, bc[2], bc[3],
+                                 kb[1][0], kb[1][1], gy)
+            xi0, xi1 = xis
+        w, xi0, xi1, p, ndrop = _axis_rebin(
+            w, xi0, xi1, p, None, None, K, 1, ndrop)
+        nd_ref[0, 0] = nd_ref[0, 0] + ndrop
+
+        # ---- phase 2: gather/Boris/move/deposit on the rebinned slots
+        # (ξ ∈ [-0.5, 0.5): c1 ≡ 0) ----
+        j_ref[...] = jnp.zeros(j_ref.shape, j_ref.dtype)
+        alive = w > 0
+        xi = [xi0, xi1]
         u = [p[c] * ipart_mc for c in range(3)]
 
         cf1 = [-xi[d] for d in range(nd)]
@@ -527,37 +563,49 @@ def make_push_deposit(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         write_back(xi_b, p_b, w_b)
 
     grid = (nxb,)
+    H = 3 if with_window else 2
     in_specs = [
-        pl.BlockSpec((K, BX, NY), lambda i: (0, i, 0),
+        pl.BlockSpec((K, BX, NY), lambda i, *_: (0, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, K, BX, NY), lambda i: (0, 0, i, 0),
+        pl.BlockSpec((2, K, BX, NY), lambda i, *_: (0, 0, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, K, BX, NY), lambda i: (0, 0, i, 0),
+        pl.BlockSpec((3, K, BX, NY), lambda i, *_: (0, 0, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 6, BX + 2 * M, NY + 2 * M), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((K, 1, H, NY), lambda i, *_: (0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, K, 1, H, NY), lambda i, *_: (0, 0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, K, 1, H, NY), lambda i, *_: (0, 0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 6, BX + 2 * M, NY + 2 * M), lambda i, *_: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_specs = (
-        pl.BlockSpec((K, BX, NY), lambda i: (0, i, 0),
+        pl.BlockSpec((K, BX, NY), lambda i, *_: (0, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, K, BX, NY), lambda i: (0, 0, i, 0),
+        pl.BlockSpec((2, K, BX, NY), lambda i, *_: (0, 0, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, K, BX, NY), lambda i: (0, 0, i, 0),
+        pl.BlockSpec((3, K, BX, NY), lambda i, *_: (0, 0, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 3, BX + 2 * M, NY + 2 * M), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((1, 3, BX + 2 * M, NY + 2 * M), lambda i, *_: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     )
     out_shape = (
         jax.ShapeDtypeStruct((K, nx, NY), dtype),
         jax.ShapeDtypeStruct((2, K, nx, NY), dtype),
         jax.ShapeDtypeStruct((3, K, nx, NY), dtype),
         jax.ShapeDtypeStruct((nxb, 3, BX + 2 * M, NY + 2 * M), dtype),
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),
     )
     return pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2 if with_window else 1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
@@ -582,9 +630,9 @@ def pick_bx(nx):
 
 
 class PallasBinned:
-    """Per-(species, config) kernel pair + the XLA glue."""
+    """Per-(species, config) fused kernel + the XLA glue."""
 
-    def __init__(self, plan, sp, cfg, interpret=False):
+    def __init__(self, plan, sp, cfg, interpret=False, with_window=False):
         self.plan = plan
         self.sp = sp
         self.K = cfg.bin_k
@@ -594,24 +642,28 @@ class PallasBinned:
         dtype = jnp.dtype(cfg.dtype)
         self.dtype = dtype
         self.interpret = interpret
+        self.with_window = with_window
         bc = tuple(sp.bc_particle[:4])
-        self.rebin = make_drift_rebin(
-            self.K, self.BX, self.ny, self.nxb, plan.dt, plan.delta,
-            sp.mass, dtype, bc=bc, kb=plan.kb, interpret=interpret)
-        self.pushdep = make_push_deposit(
+        self.fused = make_fused_push(
             self.K, self.BX, self.ny, self.nxb, plan, sp, dtype, bc=bc,
-            interpret=interpret)
-        # static halo-column gather indices (periodic wrap)
+            interpret=interpret, with_window=with_window)
+        # static halo-column gather indices (periodic wrap); the window
+        # variant needs the second column right of each stripe too
         idx_l = (np.arange(self.nxb) * self.BX - 1) % self.nx
         idx_r = (np.arange(self.nxb) * self.BX + self.BX) % self.nx
-        self.halo_idx = np.stack([idx_l, idx_r], axis=1)   # (nxb, 2)
+        cols = [idx_l, idx_r]
+        if with_window:
+            cols.append((np.arange(self.nxb) * self.BX + self.BX + 1)
+                        % self.nx)
+        self.n_halo = len(cols)
+        self.halo_idx = np.stack(cols, axis=1)   # (nxb, n_halo)
 
     def halo_cols(self, a, axis):
-        """Gather the (left, right) halo columns per stripe along
-        grid-x ``axis`` → shape [..., nxb, 2, NY]."""
+        """Gather the halo columns per stripe along grid-x ``axis`` →
+        shape [..., nxb, n_halo, NY]."""
         return jnp.take(a, jnp.asarray(self.halo_idx.reshape(-1)),
                         axis=axis).reshape(
-            a.shape[:axis] + (self.nxb, 2) + a.shape[axis + 1:])
+            a.shape[:axis] + (self.nxb, self.n_halo) + a.shape[axis + 1:])
 
     def make_fwin(self, fpad):
         """Per-stripe field windows (shared by every species)."""
@@ -627,14 +679,31 @@ class PallasBinned:
             jpad = jpad.at[:, i * BX:i * BX + BX + 4].add(jpart[i])
         return jpad
 
-    def __call__(self, fwin, binned):
-        """fwin from make_fwin.  Returns (new binned, jpart)."""
+    def __call__(self, fwin, binned, shift=None):
+        """fwin from make_fwin.  Returns (new binned, jpart).
+
+        ``shift`` (with_window only): traced int32 scalar, 1 when a
+        window shift is pending (consumed by the rebin's routing)."""
         w, xi, p = binned.w, binned.xi, binned.p
         we = self.halo_cols(w, 1)
         xie = self.halo_cols(xi, 2)
         pe = self.halo_cols(p, 2)
-        w, xi, p, ndrop = self.rebin(w, xi, p, we, xie, pe)
-        new_w, new_xi, new_p, jpart = self.pushdep(w, xi, p, fwin)
+        # per-stripe any-live flag over the stripe + its halo columns
+        # (weights are non-negative: max > 0 ⇔ any live); vacuum stripes
+        # skip all VPU work inside the kernel
+        smax = jnp.max(w.reshape(self.K, self.nxb, self.BX, self.ny),
+                       axis=(0, 2, 3))
+        hmax = jnp.max(we, axis=(0, 2, 3))
+        flags = ((jnp.maximum(smax, hmax) > 0)).astype(jnp.int32)
+        if self.with_window:
+            if shift is None:
+                shift = jnp.zeros((), jnp.int32)
+            sh1 = jnp.reshape(shift.astype(jnp.int32), (1,))
+            new_w, new_xi, new_p, jpart, ndrop = self.fused(
+                flags, sh1, w, xi, p, we, xie, pe, fwin)
+        else:
+            new_w, new_xi, new_p, jpart, ndrop = self.fused(
+                flags, w, xi, p, we, xie, pe, fwin)
         out = binned._replace(
             xi=new_xi, p=new_p, w=new_w,
             n_dropped=binned.n_dropped + ndrop[0, 0])

@@ -126,6 +126,7 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "x"):
         time=repl, step=repl, window_offset=repl, window_frac=repl,
         rng=repl, bc_fields=bc_fields,
         slab_dropped=repl if state.slab_dropped is not None else None,
+        window_pending=repl if state.window_pending is not None else None,
         injector_depth=jax.tree.map(lambda _: repl, state.injector_depth),
         probes=jax.tree.map(lambda _: repl, state.probes),
         ejected=jax.tree.map(lambda _: repl, state.ejected),

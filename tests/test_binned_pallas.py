@@ -83,6 +83,83 @@ def test_pallas_matches_xla_engine(bc_name):
         assert int(b_p.n_dropped) == 0
 
 
+WINDOW_DECK = """
+begin:control
+  nx = 64
+  ny = 16
+  t_end = 1.0
+  nsteps = 40
+  x_min = 0
+  x_max = 64e-6
+  y_min = 0
+  y_max = 16e-6
+end:control
+begin:boundaries
+  bc_x_min = simple_outflow
+  bc_x_max = simple_outflow
+  bc_y_min = periodic
+  bc_y_max = periodic
+end:boundaries
+begin:window
+  move_window = T
+  window_start_time = 0
+  window_v_x = 3.0e8
+  bc_x_min_after_move = simple_outflow
+  bc_x_max_after_move = simple_outflow
+end:window
+begin:species
+  name = electron
+  charge = -1
+  mass = 1.0
+  nparticles_per_cell = 4
+  number_density = if(abs(x - 80e-6) lt 16e-6, 2e23, 1e23)
+  temperature_ev = 10
+end:species
+begin:output
+  dt_snapshot = 1
+end:output
+"""
+
+
+def test_window_pending_shift_matches_roll(tmp_path, monkeypatch):
+    """Moving window on the Pallas engine records shifts as
+    ``window_pending`` and lets the rebin routing relabel the slot grid
+    (binned_kernels._axis_rebin shmask path); the XLA engine rolls the
+    slot state (window._shift_binned).  Same deck, same seed → the two
+    must agree on the particle set and the fields."""
+    import os
+    from epoch_tpu.core import Simulation
+
+    def run(mode):
+        monkeypatch.setenv("EPOCH_TPU_PALLAS", mode)
+        d = tmp_path / mode
+        d.mkdir(exist_ok=True)
+        (d / "input.deck").write_text(WINDOW_DECK)
+        sim = Simulation(str(d / "input.deck"))
+        assert sim.cfg.engine == "binned"
+        st = sim.run(max_steps=25)
+        return sim, st
+
+    sim_p, st_p = run("interpret")
+    sim_x, st_x = run("0")
+    assert int(st_p.window_offset) == int(st_x.window_offset) > 3
+    # pending is consumed by the push before the dump point
+    assert int(st_p.window_pending) == 0
+    grid = sim_p.cfg.grid
+    per = (False, True)
+    xp_, pp_, wp_, ap_ = binmod.to_flat(st_p.species[0], grid, periodic=per)
+    xx_, px_, wx_, ax_ = binmod.to_flat(st_x.species[0], grid, periodic=per)
+    assert abs(int(ap_.sum()) - int(ax_.sum())) == 0
+    np.testing.assert_allclose(np.sort(xp_[ap_][:, 0]),
+                               np.sort(xx_[ax_][:, 0]), atol=5e-11)
+    np.testing.assert_allclose(float(wp_[ap_].sum()),
+                               float(wx_[ax_].sum()), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_p.fields.ex),
+                               np.asarray(st_x.fields.ex),
+                               atol=2e-4 * max(
+                                   1.0, float(np.abs(st_x.fields.ex).max())))
+
+
 def test_butterfly_compaction_property():
     """The in-kernel compaction is stable live-first routing; check the
     vectorised jnp implementation directly against numpy for random
