@@ -107,6 +107,11 @@ def moving_window(state: SimState, cfg, pending_ok: bool = False) -> SimState:
                 n_conds = 1
         except Exception:
             pass
+    if pending_ok and n_conds == 1 and state.window_pending is not None:
+        # branch-free pending shift: the hot path pays only column ops +
+        # small-array selects every step (a lax.cond join would copy the
+        # whole slot state); the rebin consumes the relabel next push
+        return _shift_masked(state, cfg, nshift > 0)
     for _ in range(n_conds):
         state = jax.lax.cond(
             nshift > 0,
@@ -116,10 +121,59 @@ def moving_window(state: SimState, cfg, pending_ok: bool = False) -> SimState:
     return state
 
 
-def _shift_once(state: SimState, cfg, pending_ok: bool = False) -> SimState:
+def _shift_masked(state: SimState, cfg, shifted) -> SimState:
+    """Unconditional (masked) one-cell shift for the pending-shift path:
+    fields roll + select (small arrays), the wrapped slot column is
+    cleared/refilled under the ``shifted`` mask, and ``window_pending``
+    records the relabel for the next push's rebin routing."""
+    new_offset = state.window_offset + shifted.astype(jnp.int32)
+    f, cpml = _shift_fields(state, cfg)
+    f = type(f)(*[jnp.where(shifted, b, a)
+                  for a, b in zip(state.fields, f)])
+    if cpml is not None:
+        cpml = cpml.__class__(psi=tuple(
+            jnp.where(shifted, b, a)
+            for a, b in zip(state.cpml.psi, cpml.psi)))
+    new_species = []
+    for i, (sp_cfg, slab) in enumerate(zip(cfg.species, state.species)):
+        plan = cfg.window_plans[i]
+        # clear the wrapped column (departed cell 0 — remove_particles,
+        # window.F90:324) and refill it as incoming cell nx−1
+        cleared = slab._replace(
+            w=slab.w.at[:, 0].set(
+                jnp.where(shifted, 0.0, slab.w[:, 0])))
+        if plan["max_new"] > 0 and plan["density"] is not None:
+            key = jax.random.fold_in(
+                jax.random.fold_in(state.rng, new_offset), i)
+            refilled = _insert_column_binned(
+                cleared, plan, cfg, new_offset, state.time, key,
+                cfg.window_plans, col=0)
+            slab = slab._replace(
+                w=slab.w.at[:, 0].set(
+                    jnp.where(shifted, refilled.w[:, 0], slab.w[:, 0])),
+                xi=slab.xi.at[:, :, 0].set(
+                    jnp.where(shifted, refilled.xi[:, :, 0],
+                              slab.xi[:, :, 0])),
+                p=slab.p.at[:, :, 0].set(
+                    jnp.where(shifted, refilled.p[:, :, 0],
+                              slab.p[:, :, 0])),
+                n_dropped=slab.n_dropped + jnp.where(
+                    shifted, refilled.n_dropped - slab.n_dropped, 0),
+            )
+        else:
+            slab = cleared
+        new_species.append(slab)
+    return state._replace(
+        fields=f, cpml=cpml, species=tuple(new_species),
+        window_offset=new_offset,
+        window_pending=jnp.maximum(state.window_pending,
+                                   shifted.astype(jnp.int32)))
+
+
+def _shift_fields(state: SimState, cfg):
+    """Slide fields (+psi) one cell left with incoming-edge fix rows
+    (shift_fields, window.F90:98-136)."""
     grid = cfg.grid
-    dx = grid.delta[0]
-    offset = state.window_offset
     f = state.fields
 
     new_fields = {}
@@ -165,8 +219,14 @@ def _shift_once(state: SimState, cfg, pending_ok: bool = False) -> SimState:
     if cpml is not None:
         cpml = cpml.__class__(psi=tuple(
             _shift_left(p, axis=1) for p in cpml.psi))
+    return f, cpml
 
-    new_offset = offset + 1
+
+def _shift_once(state: SimState, cfg, pending_ok: bool = False) -> SimState:
+    grid = cfg.grid
+    dx = grid.delta[0]
+    f, cpml = _shift_fields(state, cfg)
+    new_offset = state.window_offset + 1
 
     def shift_species(state: SimState, roll_binned: bool) -> SimState:
         rng = state.rng
@@ -189,7 +249,12 @@ def _shift_once(state: SimState, cfg, pending_ok: bool = False) -> SimState:
                     slab = slab._replace(w=slab.w.at[:, 0].set(0.0))
                     col = 0
                 if plan["max_new"] > 0 and plan["density"] is not None:
-                    rng, sub = jax.random.split(rng)
+                    # key derived from (rng, offset, species) WITHOUT
+                    # advancing the stream: identical refills whether the
+                    # shift goes through this rolled path or the masked
+                    # pending path (_shift_masked)
+                    sub = jax.random.fold_in(
+                        jax.random.fold_in(state.rng, new_offset), i)
                     slab = _insert_column_binned(slab, plan, cfg,
                                                  new_offset, state.time,
                                                  sub, cfg.window_plans,
