@@ -301,7 +301,7 @@ def jpad_to_padded(jpad, plan, grid):
 
 
 def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
-                        _debug=None):
+                        key=None, _debug=None):
     """One full Boris push + PSC deposition on the slot grid.
 
     ``fpad``: (6, *(n+4)) field stack from make_fpad.  Returns
@@ -332,7 +332,11 @@ def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
     # rebin NOW (mid-push): the slot permutation restores ξ ∈ [-0.5,0.5),
     # so cell1 ≡ bin (c1 = 0) for the gather below; boundary particle BCs
     # are applied here (see apply_axis_bcs for the timing argument)
-    binned = rebin(binned._replace(xi=jnp.stack(xi_ax)), plan, bc=bc)
+    sub = None
+    if key is not None:
+        key, sub = jax.random.split(key)
+    binned = rebin(binned._replace(xi=jnp.stack(xi_ax)), plan, bc=bc,
+                   key=sub, sp=sp)
     w = binned.w
     p = binned.p
     alive = w > 0
@@ -546,8 +550,12 @@ def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
         for d in range(nd):
             if bc[2 * d] != const.BC.PERIODIC \
                     or bc[2 * d + 1] != const.BC.PERIODIC:
+                sub = None
+                if key is not None:
+                    key, sub = jax.random.split(key)
                 new_xi, new_p, new_w = apply_axis_bcs(
-                    new_xi, new_p, new_w, plan, d, bc[2 * d], bc[2 * d + 1])
+                    new_xi, new_p, new_w, plan, d, bc[2 * d],
+                    bc[2 * d + 1], key=sub, sp=sp)
     # no rebin here — the next step's mid-push rebin (above) restores the
     # binning invariant; ξ stays in [-1.5, 1.5) until then
     out = binned._replace(xi=new_xi, p=new_p, w=new_w)
@@ -584,15 +592,19 @@ def window_pending_capable(cfg):
     falls back to rolling the slot state (window._shift_binned)."""
     if not cfg.move_window:
         return False
+    if cfg.injector_plans:
+        # injector column writes land between the shift and the push
+        return False
     for p in (cfg.qed_plan, cfg.brem_plan, cfg.ionise_plan,
               cfg.collision_plan, cfg.split_plan, cfg.migration_plan):
         if p is not None:
             return False
+    kernel_bcs = (const.BC.OPEN, const.BC.REFLECT)
     for sp in cfg.species:
         if sp.immobile or sp.species_type == const.SpeciesType.PHOTON:
             return False
-        if sp.bc_particle[0] == const.BC.PERIODIC \
-                or sp.bc_particle[1] == const.BC.PERIODIC:
+        if sp.bc_particle[0] not in kernel_bcs \
+                or sp.bc_particle[1] not in kernel_bcs:
             return False
     return bool(cfg.species)
 
@@ -630,10 +642,15 @@ def make_pallas_engines(cfg, plan, interpret=None):
     if fbytes > 6 * 1024 * 1024:
         return [None] * len(cfg.species)
     with_window = window_pending_capable(cfg)
+    kernel_bcs = (const.BC.PERIODIC, const.BC.OPEN, const.BC.REFLECT)
     out = []
     for sp in cfg.species:
         if sp.immobile or sp.species_type == const.SpeciesType.PHOTON:
             # photons take the ballistic push (push_photons_binned)
+            out.append(None)
+        elif any(bc not in kernel_bcs
+                 for bc in sp.bc_particle[:2 * plan.nd]):
+            # thermal/heat-bath re-emission needs RNG — XLA path only
             out.append(None)
         else:
             out.append(PallasBinned(plan, sp, cfg, interpret=interpret,
@@ -647,8 +664,8 @@ def push_deposit_pallas(engine, fwin, binned, plan, shift=None):
     return engine(fwin, binned, shift=shift)
 
 
-def apply_axis_bcs(xi, p, w, plan, d, bc_lo, bc_hi):
-    """Open/reflect particle BCs on the slot grid for axis ``d``
+def apply_axis_bcs(xi, p, w, plan, d, bc_lo, bc_hi, key=None, sp=None):
+    """Open/reflect/thermal particle BCs on the slot grid for axis ``d``
     (boundary.F90:948-1354 analogue), applied both at the end of the push
     (reference timing — dumps never see out-of-domain particles) and at
     the mid-push rebin (for half-drift overhang, where the reference
@@ -666,6 +683,13 @@ def apply_axis_bcs(xi, p, w, plan, d, bc_lo, bc_hi):
     cell of an axis can host a boundary-crossing particle (|ξ| < 1.5 by
     CFL), except with CPML where every cell inside the absorbing layer
     kills (the reference removes at x_min which excludes the CPML cells).
+
+    Thermal/heat-bath BCs (boundary.F90:664-694) reflect the crossing
+    particle and resample its momentum: flux-Maxwellian inward along the
+    axis, Maxwellian transverse, at the species boundary temperature
+    (``sp.ext_temp``).  They need ``key`` + ``sp`` — the XLA binned path
+    supplies them; the Pallas kernel has no RNG, so thermal species fall
+    back to this path (make_pallas_engines).
     """
     gax = 1 + d
     kb_lo, kb_hi = plan.kb[d]
@@ -688,6 +712,26 @@ def apply_axis_bcs(xi, p, w, plan, d, bc_lo, bc_hi):
         if bc == const.BC.REFLECT:
             xi = xi.at[d].set(jnp.where(crossing, refl, xa))
             p = p.at[d].set(jnp.where(crossing, -p[d], p[d]))
+            w = jnp.where(inside_kill & alive, 0.0, w)
+        elif bc in (const.BC.THERMAL, const.BC.HEAT_BATH) \
+                and key is not None and sp is not None:
+            from .slab_ops import sample_maxwellian_p, \
+                sample_flux_maxwellian_p
+            from .boundaries import _ext_temp
+            temps = _ext_temp(sp, 2 * d + (1 if hi_side else 0))
+            sgn = 1.0 if hi_side else -1.0
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            ks = (k1, k2, k3)
+            xi = xi.at[d].set(jnp.where(crossing, refl, xa))
+            for comp in range(3):
+                if comp == d:
+                    newp = sample_flux_maxwellian_p(
+                        ks[comp], sp.mass, temps[comp], 0.0, -sgn,
+                        w.shape)
+                else:
+                    newp = sample_maxwellian_p(
+                        ks[comp], sp.mass, temps[comp], 0.0, w.shape)
+                p = p.at[comp].set(jnp.where(crossing, newp, p[comp]))
             w = jnp.where(inside_kill & alive, 0.0, w)
         else:   # OPEN (simple_laser/outflow/cpml already normalised)
             w = jnp.where((crossing | (inside_kill & alive)), 0.0, w)
@@ -846,13 +890,16 @@ def merge_candidates(binned: BinnedSpecies, cand_xi, cand_p, cand_w, plan,
 
 
 def push_photons_binned(binned: BinnedSpecies, plan,
-                        bc=None) -> BinnedSpecies:
+                        bc=None, key=None, sp=None) -> BinnedSpecies:
     """Ballistic photon advance on the slot grid (push_photons,
     particles.F90:611-695): rebin first (restores ξ ∈ [-0.5, 0.5) and
     applies boundary BCs, exactly as the massive-species mid-push rebin),
     then drift x += p̂·c·dt.  CFL bounds c·dt below one cell per axis, so
     the next step's rebin needs only the 3 neighbour candidate sets."""
-    binned = rebin(binned, plan, bc=bc)
+    sub = None
+    if key is not None:
+        key, sub = jax.random.split(key)
+    binned = rebin(binned, plan, bc=bc, key=sub, sp=sp)
     w = binned.w
     p = binned.p
     mag = jnp.sqrt(p[0] ** 2 + p[1] ** 2 + p[2] ** 2)
@@ -869,16 +916,22 @@ def push_photons_binned(binned: BinnedSpecies, plan,
         for d in range(plan.nd):
             if bc[2 * d] != const.BC.PERIODIC \
                     or bc[2 * d + 1] != const.BC.PERIODIC:
+                sub = None
+                if key is not None:
+                    key, sub = jax.random.split(key)
                 xi, new_p, new_w = apply_axis_bcs(
-                    xi, new_p, new_w, plan, d, bc[2 * d], bc[2 * d + 1])
+                    xi, new_p, new_w, plan, d, bc[2 * d], bc[2 * d + 1],
+                    key=sub, sp=sp)
         return binned._replace(xi=xi, p=new_p, w=new_w)
     return binned._replace(xi=xi)
 
 
-def rebin(binned: BinnedSpecies, plan, bc=None) -> BinnedSpecies:
+def rebin(binned: BinnedSpecies, plan, bc=None, key=None,
+          sp=None) -> BinnedSpecies:
     """Move particles whose ξ left [-0.5, 0.5) to the neighbouring bin,
     axis by axis (CFL ⇒ at most one cell), compacting with a slot sort.
-    ``bc``: per-boundary particle BCs (2 per axis); None = all periodic."""
+    ``bc``: per-boundary particle BCs (2 per axis); None = all periodic.
+    ``key``/``sp``: for thermal re-emission BCs (apply_axis_bcs)."""
     nd = plan.nd
     K = binned.K
     xi = binned.xi
@@ -890,8 +943,12 @@ def rebin(binned: BinnedSpecies, plan, bc=None) -> BinnedSpecies:
     for d in range(nd):
         if bc is not None and (bc[2 * d] != const.BC.PERIODIC
                                or bc[2 * d + 1] != const.BC.PERIODIC):
+            sub = None
+            if key is not None:
+                key, sub = jax.random.split(key)
             xi, p, w = apply_axis_bcs(xi, p, w, plan, d,
-                                      bc[2 * d], bc[2 * d + 1])
+                                      bc[2 * d], bc[2 * d + 1],
+                                      key=sub, sp=sp)
         gax_w = 1 + d          # grid axis in (K, *g)
         gax_v = 2 + d          # grid axis in (c, K, *g)
         dc = jnp.clip(jnp.floor(xi[d] + 0.5), -1.0, 1.0)

@@ -74,15 +74,17 @@ def _boundary_ctx(plan, cfg, time, xp):
     return ctx
 
 
-def run_injector(state, plan: InjectorPlan, depth, cfg, key):
-    """One emission pass; returns (new_slab, new_depth)."""
+def _emission_counts(plan: InjectorPlan, cfg, time, depth, k0):
+    """Shared flux-Maxwellian emission arithmetic
+    (run_single_injector, injectors.F90:183-280): per-boundary-cell ideal
+    counts with shot noise, depth accumulation, integer emission counts.
+    Returns (parts, depth', dens, temps, drifts, v_inject_dt), all flat
+    (n_cells,)."""
     grid = cfg.grid
     dt = cfg.dt
     dtype = cfg.dtype
     axis = plan.axis
     dxa = grid.delta[axis]
-    slab = state.species[plan.species_idx]
-    time = state.time
 
     ctx = _boundary_ctx(plan, cfg, time, jnp)
     dens = plan.density(ctx, xp=jnp) if plan.density is not None else 0.0
@@ -128,7 +130,6 @@ def run_injector(state, plan: InjectorPlan, depth, cfg, key):
     v_inject_dt = dt * v_inject_s
 
     npart_ideal = plan.npc * v_inject * density_corr * dt / dxa
-    k0, k1, k2, k3, k4 = jax.random.split(key, 5)
     noise_std = 0.5 * jnp.sqrt(jnp.maximum(
         npart_ideal * (1.0 - npart_ideal / plan.npc), 0.0))
     itemp = jax.random.normal(k0, (plan.n_cells,), dtype) * noise_std \
@@ -139,6 +140,26 @@ def run_injector(state, plan: InjectorPlan, depth, cfg, key):
     parts = jnp.where(depth < 0.0,
                       jnp.floor(jnp.abs(depth - 1.0)), 0.0)
     depth = depth + parts
+    return parts, depth, dens, temps, drifts, v_inject_dt
+
+
+def run_injector(state, plan: InjectorPlan, depth, cfg, key):
+    """One emission pass; returns (new_state, new_depth)."""
+    slab = state.species[plan.species_idx]
+    if hasattr(slab, "xi"):
+        return _run_injector_binned(state, plan, depth, cfg, key)
+    grid = cfg.grid
+    dt = cfg.dt
+    dtype = cfg.dtype
+    axis = plan.axis
+    dxa = grid.delta[axis]
+    time = state.time
+
+    k0, k1, k2, k3, k4 = jax.random.split(key, 5)
+    parts, depth, dens, temps, drifts, v_inject_dt = _emission_counts(
+        plan, cfg, time, depth, k0)
+    mass = plan.mass
+    dir_mult = plan.dir_mult
 
     # emit up to max_new_per_cell per cell
     mpc = plan.max_new_per_cell
@@ -195,3 +216,109 @@ def run_injector(state, plan: InjectorPlan, depth, cfg, key):
     from .slab_ops import add_dropped
     return add_dropped(state._replace(species=tuple(species)),
                        drops), depth
+
+
+def _run_injector_binned(state, plan: InjectorPlan, depth, cfg, key):
+    """Emission onto the slot grid (binned engine).
+
+    The emitted particles land in the boundary-cell column: per
+    transverse cell up to ``max_new_per_cell`` candidates, flux-weighted
+    along the boundary normal, are merged into the column's free slots
+    with one column-local live-first sort (the slot-grid analogue of the
+    reference's list appends).  Positions are placed within ``v·dt``
+    INSIDE the edge cell (the reference stages them in the ghost band
+    outside and lets the push carry them in, injectors.F90:289-296 — the
+    slot grid has no outside cells; the arrival-phase difference is
+    O(v·dt) and flux-neutral).  Overflow is counted in n_dropped."""
+    grid = cfg.grid
+    dtype = cfg.dtype
+    axis = plan.axis
+    dxa = grid.delta[axis]
+    time = state.time
+    b = state.species[plan.species_idx]
+    K = b.K
+    nd = grid.ndims
+
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    parts, depth, dens, temps, drifts, v_inject_dt = _emission_counts(
+        plan, cfg, time, depth, k0)
+
+    tshape = tuple(grid.n[d] for d in plan.tdims)
+    cshape = (plan.max_new_per_cell,) + tshape
+    parts_t = parts.reshape(tshape) if tshape else parts.reshape(())
+    iota = jax.lax.broadcasted_iota(jnp.int32, cshape, 0)
+    valid = iota < parts_t[None].astype(jnp.int32) if tshape \
+        else iota < parts.astype(jnp.int32)
+
+    # ξ along the boundary normal: within |v·dt| of the wall, inside the
+    # edge cell (dir_mult maps lo/hi symmetrically)
+    u = jax.random.uniform(k1, cshape, dtype)
+    vmag = jnp.abs(v_inject_dt).reshape(tshape) if tshape \
+        else jnp.abs(v_inject_dt).reshape(())
+    xi_axis = plan.dir_mult * (u * (vmag[None] / dxa) - 0.5)
+    xi_new = []
+    tkeys = jax.random.split(k2, max(nd - 1, 1))
+    ti = 0
+    for d in range(nd):
+        if d == axis:
+            xi_new.append(xi_axis)
+        else:
+            xi_new.append(jax.random.uniform(tkeys[ti], cshape, dtype) - 0.5)
+            ti += 1
+    xi_new = jnp.stack(xi_new)
+
+    keys = jax.random.split(k3, 3)
+    p_new = []
+    for i in range(3):
+        t_i = temps[i].reshape(tshape)[None] if tshape else temps[i]
+        d_i = drifts[i].reshape(tshape)[None] if tshape else drifts[i]
+        t_i = jnp.broadcast_to(t_i, cshape)
+        d_i = jnp.broadcast_to(d_i, cshape)
+        if plan.use_flux and i == axis:
+            p_new.append(sample_flux_maxwellian_p(
+                keys[i], plan.mass, t_i, d_i, plan.dir_mult, cshape))
+        else:
+            p_new.append(sample_maxwellian_p(
+                keys[i], plan.mass, t_i, d_i, cshape))
+    p_new = jnp.stack(p_new)
+
+    w_new = (grid.cell_volume / plan.npc) \
+        * (dens.reshape(tshape)[None] if tshape else dens)
+    w_new = jnp.broadcast_to(w_new, cshape)
+    w_new = jnp.where(valid & (w_new > 0), w_new, 0.0)
+
+    # column-local live-first merge (cf. binned.merge_candidates)
+    col = grid.n[axis] - 1 if plan.hi else 0
+    idx_w = (slice(None),) * (1 + axis) + (col,)
+    idx_v = (slice(None),) * (2 + axis) + (col,)
+    w_col = b.w[idx_w]
+    xi_col = b.xi[idx_v]
+    p_col = b.p[idx_v]
+    na = 0 if b.aux is None else b.aux.shape[0]
+    cw = jnp.concatenate([w_col, w_new], axis=0)
+    cxi = jnp.concatenate([xi_col, xi_new], axis=1)
+    cp = jnp.concatenate([p_col, p_new], axis=1)
+    if na:
+        cax = jnp.concatenate(
+            [b.aux[idx_v], jnp.zeros((na,) + cshape, dtype)], axis=1)
+    ops = (-cw,) + tuple(cxi[i] for i in range(nd)) \
+        + tuple(cp[i] for i in range(3)) \
+        + (tuple(cax[i] for i in range(na)) if na else ())
+    sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1)
+    live_total = jnp.sum(cw > 0)
+    w_k = -sorted_ops[0][:K]
+    xi_k = jnp.stack([sorted_ops[1 + i][:K] for i in range(nd)])
+    p_k = jnp.stack([sorted_ops[1 + nd + i][:K] for i in range(3)])
+    kept = jnp.sum(w_k > 0)
+    dropped = (live_total - kept).astype(jnp.int32)
+    b = b._replace(
+        w=b.w.at[idx_w].set(w_k),
+        xi=b.xi.at[idx_v].set(xi_k),
+        p=b.p.at[idx_v].set(p_k),
+        aux=(b.aux.at[idx_v].set(
+            jnp.stack([sorted_ops[4 + nd + i][:K] for i in range(na)]))
+            if na else b.aux),
+        n_dropped=b.n_dropped + dropped)
+    species = list(state.species)
+    species[plan.species_idx] = b
+    return state._replace(species=tuple(species)), depth

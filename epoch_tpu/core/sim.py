@@ -325,7 +325,8 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
     choice = deck.control.pusher
     if choice == "scatter":
         return "scatter"
-    binned_bcs = (const.BC.PERIODIC, const.BC.OPEN, const.BC.REFLECT)
+    binned_bcs = (const.BC.PERIODIC, const.BC.OPEN, const.BC.REFLECT,
+                  const.BC.THERMAL, const.BC.HEAT_BATH)
     eligible = (
         all(bc in binned_bcs
             for sp in cfg.species for bc in sp.bc_particle[:2 * cfg.ndims])
@@ -337,14 +338,13 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
         and not any(getattr(sb, "density_back", 0.0)
                     for sb in deck.species)   # delta-f
         and not deck.control.use_migration
-        and not deck.injectors
         and not deck.probes
     )
     if choice == "binned":
         if not eligible:
             raise ValueError(
-                "pusher=binned requires periodic/open/reflect particle "
-                "boundaries, triangle shape, no injectors/probes and no "
+                "pusher=binned requires periodic/open/reflect/thermal "
+                "particle boundaries, triangle shape, no probes and no "
                 "splitting/migration/delta-f")
         return "binned"
     # 3D auto-selects too since the mid-push-rebin window narrowing
@@ -424,6 +424,15 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
                 ppc = arrs["x"].shape[0] / n_cells
                 kmax = max(kmax, int(math.ceil(
                     ppc * deck.control.bin_headroom)) + 2)
+        for inj in deck.injectors:
+            # a steady injected stream fills the boundary cell to ~npc
+            # (flux in = flux out); size the slots like a loaded species
+            npc = inj.npart_per_cell
+            if npc <= 0:
+                si = deck.species_index(inj.species)
+                npc = max(deck.species[si].npart_per_cell, 1.0)
+            kmax = max(kmax, int(math.ceil(
+                npc * deck.control.bin_headroom)) + 2)
         # K is the leading (non-tiled) axis of every slot array: no lane
         # alignment needed, and every kernel's VPU work scales ∝ K — use
         # kmax directly (rounding up to 8 cost 25% at bench shapes)

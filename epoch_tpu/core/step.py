@@ -193,10 +193,18 @@ def make_step_functions(cfg):
                             None)
         if first_engine is not None:
             fwin = first_engine.make_fwin(fpad)
+        any_thermal = any(
+            bc in (const.BC.THERMAL, const.BC.HEAT_BATH)
+            for sp_cfg in cfg.species
+            for bc in sp_cfg.bc_particle[:2 * cfg.ndims])
+        rng = state.rng
         jpad_sum = None
         jpart_sum = None
         new_species = []
         for si, (sp_cfg, b) in enumerate(zip(cfg.species, state.species)):
+            key = None
+            if any_thermal:
+                rng, key = jax.random.split(rng)
             if sp_cfg.immobile:
                 new_species.append(b)
                 continue
@@ -204,7 +212,8 @@ def make_step_functions(cfg):
                 # ballistic, current-free (push_photons,
                 # particles.F90:611-695)
                 b = binmod.push_photons_binned(
-                    b, bplan, bc=sp_cfg.bc_particle[:2 * cfg.ndims])
+                    b, bplan, bc=sp_cfg.bc_particle[:2 * cfg.ndims],
+                    key=key, sp=sp_cfg)
                 new_species.append(b)
                 continue
             if pallas_engines[si] is not None:
@@ -217,11 +226,13 @@ def make_step_functions(cfg):
             else:
                 b, jpad = binmod.push_deposit_binned(
                     fpad, b, sp_cfg, bplan,
-                    bc=sp_cfg.bc_particle[:2 * cfg.ndims])
+                    bc=sp_cfg.bc_particle[:2 * cfg.ndims], key=key)
                 if jpad is not None:
                     jpad_sum = jpad if jpad_sum is None \
                         else jpad_sum + jpad
             new_species.append(b)
+        if any_thermal:
+            state = state._replace(rng=rng)
         if jpart_sum is not None:
             jp = first_engine.fold_jpart(jpart_sum)
             jpad_sum = jp if jpad_sum is None else jpad_sum + jp

@@ -647,23 +647,34 @@ class PallasBinned:
         self.fused = make_fused_push(
             self.K, self.BX, self.ny, self.nxb, plan, sp, dtype, bc=bc,
             interpret=interpret, with_window=with_window)
-        # static halo-column gather indices (periodic wrap); the window
-        # variant needs the second column right of each stripe too
-        idx_l = (np.arange(self.nxb) * self.BX - 1) % self.nx
-        idx_r = (np.arange(self.nxb) * self.BX + self.BX) % self.nx
-        cols = [idx_l, idx_r]
-        if with_window:
-            cols.append((np.arange(self.nxb) * self.BX + self.BX + 1)
-                        % self.nx)
-        self.n_halo = len(cols)
-        self.halo_idx = np.stack(cols, axis=1)   # (nxb, n_halo)
+        self.n_halo = 3 if with_window else 2
 
     def halo_cols(self, a, axis):
-        """Gather the halo columns per stripe along grid-x ``axis`` →
-        shape [..., nxb, n_halo, NY]."""
-        return jnp.take(a, jnp.asarray(self.halo_idx.reshape(-1)),
-                        axis=axis).reshape(
-            a.shape[:axis] + (self.nxb, self.n_halo) + a.shape[axis + 1:])
+        """Halo columns per stripe along grid-x ``axis`` →
+        shape [..., nxb, n_halo, NY].
+
+        Reshape + unit slice + a one-stripe roll, NOT a gather (neither a
+        take() nor a BX-strided slice — both lower to HLO gathers whose
+        layout preference makes XLA carry the whole slot state x-minor,
+        inserting ~14 MB layout-conversion copies around the kernel every
+        step).  The columns are {i·BX−1}, {(i+1)·BX}, {(i+1)·BX+1} mod
+        nx: column c of every stripe is the row-major reshape
+        (..., nxb, BX, ny)[..., c, :], rolled by one stripe."""
+        BX = self.BX
+        pre = a.shape[:axis]
+        post = a.shape[axis + 1:]
+        ar = a.reshape(pre + (self.nxb, BX) + post)
+
+        def stripecol(col0):
+            idx = (slice(None),) * (axis + 1) + (col0,)
+            return ar[idx]
+
+        left = jnp.roll(stripecol(BX - 1), 1, axis=axis)
+        right = jnp.roll(stripecol(0), -1, axis=axis)
+        cols = [left, right]
+        if self.with_window:
+            cols.append(jnp.roll(stripecol(1), -1, axis=axis))
+        return jnp.stack(cols, axis=axis + 1)
 
     def make_fwin(self, fpad):
         """Per-stripe field windows (shared by every species)."""
@@ -672,12 +683,25 @@ class PallasBinned:
                           for i in range(self.nxb)], axis=0)
 
     def fold_jpart(self, jpart):
-        """Overlap-add per-stripe partial currents into the padded J."""
+        """Overlap-add per-stripe partial currents into the padded J.
+
+        Stripe i's (BX+2M) rows start at padded row i·BX, so row-group g
+        (rows [g·BX, (g+1)·BX) of every stripe) is contiguous across
+        stripes after a reshape: the whole fold is ⌈(BX+2M)/BX⌉ dense
+        adds instead of nxb sequential dynamic-update-slices."""
         BX = self.BX
-        jpad = jnp.zeros((3, self.nx + 4, self.ny + 4), jpart.dtype)
-        for i in range(self.nxb):
-            jpad = jpad.at[:, i * BX:i * BX + BX + 4].add(jpart[i])
-        return jpad
+        M = 2
+        ny4 = self.ny + 2 * M
+        G = -(-(BX + 2 * M) // BX)
+        ext = jnp.zeros((3, self.nx + G * BX, ny4), jpart.dtype)
+        for g in range(G):
+            rows = jpart[:, :, g * BX:min((g + 1) * BX, BX + 2 * M), :]
+            r = rows.shape[2]
+            if r < BX:
+                rows = jnp.pad(rows, ((0, 0), (0, 0), (0, BX - r), (0, 0)))
+            block = jnp.moveaxis(rows, 0, 1).reshape(3, self.nx, ny4)
+            ext = ext.at[:, g * BX:g * BX + self.nx].add(block)
+        return ext[:, :self.nx + 2 * M]
 
     def __call__(self, fwin, binned, shift=None):
         """fwin from make_fwin.  Returns (new binned, jpart).
