@@ -301,6 +301,12 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
     kb = plan.kb
     fx = float(const.c * plan.dt / 2.0 / plan.delta[0])
     fy = float(const.c * plan.dt / 2.0 / plan.delta[1])
+    import os as _os
+    # two row blocks by default: per-block fixed costs (gather weight
+    # tables) outweigh finer skip granularity in the sweep (RB 9 > 4 > 6
+    # > 3 at bench shapes, K=18)
+    ROW_BLOCK = max(int(_os.environ.get("EPOCH_TPU_ROW_BLOCK",
+                                        (K + 1) // 2)), 1)
 
     def drift(w, xi0, xi1, p0, p1, p2):
         alive = w > 0
@@ -404,7 +410,34 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
 
         # ---- phase 2: gather/Boris/move/deposit on the rebinned slots
         # (ξ ∈ [-0.5, 0.5): c1 ≡ 0) ----
+        #
+        # Work in row BLOCKS of the slot axis, each gated on any-live:
+        # the rebin compacts live slots to the top of every cell, so a
+        # stripe occupied to depth m only pays for ⌈m/RB⌉ blocks — on an
+        # LWFA deck most stripes sit far below the wake-peak depth that
+        # sizes K.  Dead/skipped rows keep the pass-through write below.
         j_ref[...] = jnp.zeros(j_ref.shape, j_ref.dtype)
+        wo_ref[:] = w
+        xio_ref[0] = xi0
+        xio_ref[1] = xi1
+        po_ref[0] = p[0]
+        po_ref[1] = p[1]
+        po_ref[2] = p[2]
+        for r0 in range(0, K, ROW_BLOCK):
+            r1 = min(r0 + ROW_BLOCK, K)
+            blk = slice(r0, r1)
+            wb = w[blk]
+            x0b = xi0[blk]
+            x1b = xi1[blk]
+            pb = [p[0][blk], p[1][blk], p[2][blk]]
+
+            @pl.when(jnp.any(wb > 0))
+            def _(i=i, r0=r0, r1=r1, wb=wb, x0b=x0b, x1b=x1b, pb=pb):
+                _push_block(i, r0, r1, wb, x0b, x1b, pb, f_ref,
+                            wo_ref, xio_ref, po_ref, j_ref)
+
+    def _push_block(i, r0, r1, w, xi0, xi1, p, f_ref,
+                    wo_ref, xio_ref, po_ref, j_ref):
         alive = w > 0
         xi = [xi0, xi1]
         u = [p[c] * ipart_mc for c in range(3)]
@@ -488,12 +521,12 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         p_new = [ux * part_mc, uy * part_mc, uz * part_mc]
 
         def write_back(xi_out, p_out, w_out):
-            xio_ref[0] = jnp.where(alive, xi_out[0], xi[0])
-            xio_ref[1] = jnp.where(alive, xi_out[1], xi[1])
-            po_ref[0] = jnp.where(alive, p_out[0], p[0])
-            po_ref[1] = jnp.where(alive, p_out[1], p[1])
-            po_ref[2] = jnp.where(alive, p_out[2], p[2])
-            wo_ref[:] = w_out
+            xio_ref[0, r0:r1] = jnp.where(alive, xi_out[0], xi[0])
+            xio_ref[1, r0:r1] = jnp.where(alive, xi_out[1], xi[1])
+            po_ref[0, r0:r1] = jnp.where(alive, p_out[0], p[0])
+            po_ref[1, r0:r1] = jnp.where(alive, p_out[1], p[1])
+            po_ref[2, r0:r1] = jnp.where(alive, p_out[2], p[2])
+            wo_ref[r0:r1] = w_out
 
         def apply_bcs(xi_out, p_out, w_out):
             # end-of-push boundary BCs (reference particle_bcs timing);
