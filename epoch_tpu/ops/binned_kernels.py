@@ -710,10 +710,24 @@ class PallasBinned:
         return jnp.stack(cols, axis=axis + 1)
 
     def make_fwin(self, fpad):
-        """Per-stripe field windows (shared by every species)."""
+        """Per-stripe field windows (shared by every species).
+
+        Overlapping (BX+4)-wide windows at stride BX, built from two
+        row-major reshapes instead of an nxb-long stack of slices (which
+        lowers to a chain of dynamic-update-slices): window rows
+        [0, BX) are the contiguous stripe cores; rows [BX, BX+4) are the
+        first 4 rows of the BX-groups starting 1 stripe later."""
         BX = self.BX
-        return jnp.stack([fpad[:, i * BX:i * BX + BX + 4]
-                          for i in range(self.nxb)], axis=0)
+        nxb = self.nxb
+        ny4 = fpad.shape[2]
+        M2 = fpad.shape[1] - self.nx          # 2·margin (= 4)
+        core = jnp.moveaxis(
+            fpad[:, :self.nx].reshape(6, nxb, BX, ny4), 0, 1)
+        shifted = jnp.pad(fpad[:, BX:],
+                          ((0, 0), (0, max(BX - M2, 0)), (0, 0)))
+        ext = jnp.moveaxis(
+            shifted[:, :self.nx].reshape(6, nxb, BX, ny4), 0, 1)[:, :, :M2]
+        return jnp.concatenate([core, ext], axis=2)
 
     def fold_jpart(self, jpart):
         """Overlap-add per-stripe partial currents into the padded J.
