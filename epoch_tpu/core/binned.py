@@ -115,6 +115,8 @@ class BinnedPlan:
         self.n = grid.n
         self.dt = cfg.dt
         self.delta = grid.delta
+        self.grid_min = tuple(float(grid.grid_min(d))
+                              for d in range(self.nd))
         self.fac = float(shapes.FAC_1D[self.shape] ** self.nd)
         self.dto2 = float(cfg.dt / 2.0)
         self.dtco2 = float(const.c * self.dto2)
@@ -301,13 +303,21 @@ def jpad_to_padded(jpad, plan, grid):
 
 
 def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
-                        key=None, _debug=None):
+                        key=None, probes=None, _debug=None):
     """One full Boris push + PSC deposition on the slot grid.
 
     ``fpad``: (6, *(n+4)) field stack from make_fpad.  Returns
     (new_binned, jpad) where jpad = (3, *(n+4)) raw margin-padded
     currents (caller folds via jpad_to_padded + current_bcs).
     Mirrors particles.F90:199-514.
+
+    ``probes``: optional list of ProbePlans attached to this species —
+    the kernel then also returns per-plan crossing records (x, p, w,
+    valid, n_fired), detected exactly as the scatter pusher does
+    (particles.F90:518-557): the signed plane distance at the step entry
+    is carried THROUGH the rebin as an extra slot payload (plane
+    distances are invariant under the bin relabelling), and compared
+    against the end-of-step distance before the boundary BCs apply.
     """
     nd = plan.nd
     dtype = binned.w.dtype
@@ -317,6 +327,7 @@ def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
     ipart_mc = 1.0 / part_mc
     cm = q * 0.5 * plan.dt * ipart_mc
     ccm = cm * const.c
+    n_aux = 0 if binned.aux is None else binned.aux.shape[0]
 
     # half drift in grid units (particles.F90:234-257); entry ξ ∈ [-1.5,1.5)
     # (previous step's full move, unrebinned)
@@ -329,14 +340,35 @@ def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
     xi_ax = [jnp.where(alive, binned.xi[d] + u[d] * root / plan.delta[d],
                        binned.xi[d]) for d in range(nd)]
 
+    aux_in = binned.aux
+    if probes:
+        # signed plane distances at the step entry, one row per probe
+        cells = [jax.lax.broadcasted_iota(jnp.int32, w.shape, 1 + d)
+                 .astype(dtype) for d in range(nd)]
+        x0 = [plan.grid_min[d] + (cells[d] + binned.xi[d]) * plan.delta[d]
+              for d in range(nd)]
+        dinit = []
+        for pb in probes:
+            acc = jnp.zeros_like(w)
+            for d in range(nd):
+                acc = acc + pb.normal[d] * (pb.point[d] - x0[d])
+            dinit.append(acc)
+        dinit = jnp.stack(dinit)
+        aux_in = dinit if aux_in is None \
+            else jnp.concatenate([aux_in, dinit], axis=0)
+
     # rebin NOW (mid-push): the slot permutation restores ξ ∈ [-0.5,0.5),
     # so cell1 ≡ bin (c1 = 0) for the gather below; boundary particle BCs
     # are applied here (see apply_axis_bcs for the timing argument)
     sub = None
     if key is not None:
         key, sub = jax.random.split(key)
-    binned = rebin(binned._replace(xi=jnp.stack(xi_ax)), plan, bc=bc,
-                   key=sub, sp=sp)
+    binned = rebin(binned._replace(xi=jnp.stack(xi_ax), aux=aux_in),
+                   plan, bc=bc, key=sub, sp=sp)
+    if probes:
+        dinit_rows = binned.aux[n_aux:]
+        binned = binned._replace(
+            aux=binned.aux[:n_aux] if n_aux else None)
     w = binned.w
     p = binned.p
     alive = w > 0
@@ -440,6 +472,33 @@ def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
     xi_new = [xi_ax[d] + delta[d] for d in range(nd)]
     new_p = jnp.stack([ux, uy, uz]) * part_mc
     new_p = jnp.where(alive[None], new_p, binned.p)
+
+    probe_recs = None
+    if probes:
+        # crossing detection against the PRE-BC final position, exactly
+        # as the scatter path captures before particle_bcs
+        cells = [jax.lax.broadcasted_iota(jnp.int32, w.shape, 1 + d)
+                 .astype(dtype) for d in range(nd)]
+        xf = [plan.grid_min[d] + (cells[d] + xi_new[d]) * plan.delta[d]
+              for d in range(nd)]
+        ek = u2 / (gamma + 1.0) * mass * const.c ** 2
+        probe_recs = []
+        kk = min(1024, w.size)
+        for pi, pb in enumerate(probes):
+            dfin = jnp.zeros_like(w)
+            for d in range(nd):
+                dfin = dfin + pb.normal[d] * (pb.point[d] - xf[d])
+            fire = alive & (ek > pb.ek_min) & (ek < pb.ek_max) \
+                & (dfin < 0.0) & (dinit_rows[pi] >= 0.0)
+            score = fire.astype(dtype).reshape(-1)
+            vals, idx = jax.lax.top_k(score, kk)
+            ok = vals > 0
+            xs = jnp.stack([xf[d].reshape(-1)[idx] for d in range(nd)],
+                           axis=1)
+            ps = jnp.stack([new_p[c].reshape(-1)[idx] for c in range(3)],
+                           axis=1)
+            ws = w.reshape(-1)[idx]
+            probe_recs.append((xs, ps, ws, ok, jnp.sum(fire)))
 
     # ---- deposition at t+1.5dt (particles.F90:397-514) ----
     currents = None
@@ -559,6 +618,8 @@ def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
     # no rebin here — the next step's mid-push rebin (above) restores the
     # binning invariant; ξ stays in [-1.5, 1.5) until then
     out = binned._replace(xi=new_xi, p=new_p, w=new_w)
+    if probes is not None:
+        return out, currents, probe_recs
     return out, currents
 
 
@@ -626,6 +687,9 @@ def make_pallas_engines(cfg, plan, interpret=None):
     if plan.n_aux:
         # per-particle aux rows (QED/brems optical depths): the Pallas
         # rebin network does not carry aux payloads yet — XLA path only
+        return [None] * len(cfg.species)
+    if getattr(cfg, "probe_plans", ()):
+        # probe plane distances ride the XLA rebin as extra payloads
         return [None] * len(cfg.species)
     if plan.nd != 2 or jnp.dtype(cfg.dtype) != jnp.float32:
         return [None] * len(cfg.species)

@@ -55,16 +55,21 @@ def capture(probe_buf, plan: ProbePlan, sp_cfg, x_old, slab):
     """Append particles that crossed the probe plane this step
     (particles.F90:518-557)."""
     mc = sp_cfg.mass * const.c
-    p2 = jnp.sum(slab.p ** 2, axis=1)
     if sp_cfg.species_type == const.SpeciesType.PHOTON:
-        ek = const.c * jnp.sqrt(p2)
+        ek = const.c * jnp.sqrt(jnp.sum(slab.p ** 2, axis=1))
     else:
-        gamma = jnp.sqrt(1.0 + p2 / mc ** 2)
-        ek = p2 / mc ** 2 / (gamma + 1.0) * sp_cfg.mass * const.c ** 2
+        # normalise BEFORE squaring: p² in kg²m²/s² (~1e-45 for thermal
+        # electrons) underflows single precision
+        u2 = jnp.sum((slab.p / mc) ** 2, axis=1)
+        gamma = jnp.sqrt(1.0 + u2)
+        ek = u2 / (gamma + 1.0) * sp_cfg.mass * const.c ** 2
     normal = jnp.asarray(plan.normal, slab.x.dtype)
     point = jnp.asarray(plan.point, slab.x.dtype)
     d_init = jnp.sum(normal * (point[None, :] - x_old), axis=1)
     d_final = jnp.sum(normal * (point[None, :] - slab.x), axis=1)
-    fire = slab.alive & (ek > plan.ek_min) & (ek < plan.ek_max) \
+    # weight>0 excludes the loader's zero-weight placeholder particles
+    # (zero-density cells) — the reference never instantiates those
+    fire = slab.alive & (slab.weight > 0) \
+        & (ek > plan.ek_min) & (ek < plan.ek_max) \
         & (d_final < 0.0) & (d_init >= 0.0)
     return append_particles(probe_buf, slab.x, slab.p, slab.weight, fire)

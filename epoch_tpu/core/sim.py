@@ -278,9 +278,6 @@ def build_config(deck: DeckConfig) -> SimConfig:
             sp[plan.photon_species] = dataclasses.replace(
                 sp[plan.photon_species], immobile=True)
             cfg = dataclasses.replace(cfg, species=tuple(sp))
-    if deck.probes and cfg.engine == "binned":
-        raise NotImplementedError(
-            "particle probes require the scatter engine (pusher = scatter)")
     if any(sb.split for sb in deck.species):
         from .housekeeping import SplitPlan
         cfg = dataclasses.replace(cfg, split_plan=SplitPlan(cfg, deck))
@@ -338,13 +335,22 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
         and not any(getattr(sb, "density_back", 0.0)
                     for sb in deck.species)   # delta-f
         and not deck.control.use_migration
-        and not deck.probes
+        # probes run on the binned engine (plane distances carried
+        # through the rebin) except with a moving window (probe planes
+        # are window-frame-fixed there) or photon species (photon push
+        # bypasses the massive-particle path that detects crossings)
+        and not (deck.probes and (
+            deck.window.move_window
+            or any(cfg.species[i].species_type == const.SpeciesType.PHOTON
+                   for pb in deck.probes
+                   for i in (deck.species_index(s)
+                             for s in pb.include_species))))
     )
     if choice == "binned":
         if not eligible:
             raise ValueError(
                 "pusher=binned requires periodic/open/reflect/thermal "
-                "particle boundaries, triangle shape, no probes and no "
+                "particle boundaries, triangle shape and no "
                 "splitting/migration/delta-f")
         return "binned"
     # 3D auto-selects too since the mid-push-rebin window narrowing
@@ -514,7 +520,7 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
         window_pending=(jnp.zeros((), jnp.int32) if cfg.move_window
                         else None),
     )
-    if deck.probes and cfg.engine != "binned":
+    if deck.probes:
         from .probes import build_probe_plans, init_probe_buffers
         cfg = dataclasses.replace(
             cfg, probe_plans=build_probe_plans(cfg, deck))

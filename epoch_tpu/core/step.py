@@ -198,6 +198,7 @@ def make_step_functions(cfg):
             for sp_cfg in cfg.species
             for bc in sp_cfg.bc_particle[:2 * cfg.ndims])
         rng = state.rng
+        probes = list(state.probes)
         jpad_sum = None
         jpart_sum = None
         new_species = []
@@ -224,9 +225,22 @@ def make_step_functions(cfg):
                     jpart_sum = jpart if jpart_sum is None \
                         else jpart_sum + jpart
             else:
-                b, jpad = binmod.push_deposit_binned(
-                    fpad, b, sp_cfg, bplan,
-                    bc=sp_cfg.bc_particle[:2 * cfg.ndims], key=key)
+                sp_probes = [(pi, pp) for pi, pp in
+                             enumerate(cfg.probe_plans) if si in pp.species]
+                if sp_probes:
+                    b, jpad, recs = binmod.push_deposit_binned(
+                        fpad, b, sp_cfg, bplan,
+                        bc=sp_cfg.bc_particle[:2 * cfg.ndims], key=key,
+                        probes=[pp for _, pp in sp_probes])
+                    from .slab_ops import append_particles
+                    for (pi, _), (xs, ps, ws, ok, _nf) in zip(sp_probes,
+                                                              recs):
+                        probes[pi] = append_particles(
+                            probes[pi], xs, ps, ws, ok)
+                else:
+                    b, jpad = binmod.push_deposit_binned(
+                        fpad, b, sp_cfg, bplan,
+                        bc=sp_cfg.bc_particle[:2 * cfg.ndims], key=key)
                 if jpad is not None:
                     jpad_sum = jpad if jpad_sum is None \
                         else jpad_sum + jpad
@@ -245,6 +259,8 @@ def make_step_functions(cfg):
             # the rebin routing consumed any pending window relabel
             state = state._replace(
                 window_pending=jnp.zeros((), jnp.int32))
+        if cfg.probe_plans:
+            state = state._replace(probes=tuple(probes))
         return state._replace(fields=f, species=tuple(new_species))
 
     def current_finish(state: SimState) -> SimState:
