@@ -544,11 +544,14 @@ def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
                 slice(M + off[d], M + off[d] + plan.n[d]) for d in range(nd))
             return jp.at[sl].add(v3)
 
+        zcell = jnp.zeros(w.shape[1:], dtype)
         if nd == 1:
             for i in range(W):
                 wy = gx5[0][i] + 0.5 * dxw[0][i]
+                # dcum[..][W-1] = Σ(hx−gx) ≡ 0: no jx at the last offset
                 v3 = jnp.stack([
-                    jnp.sum(-fjx * dcum[0][i], axis=0),
+                    zcell if i == W - 1
+                    else jnp.sum(-fjx * dcum[0][i], axis=0),
                     jnp.sum(fjy * vy * wy, axis=0),
                     jnp.sum(fjz * vz * wy, axis=0)])
                 jpad = pad_add(jpad, (plan.offsets[i],), v3)
@@ -561,9 +564,13 @@ def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
             fz = fjz * vz
             for i in range(W):
                 for j in range(W):
+                    # dcum[..][W-1] ≡ 0: the last x-offset deposits no jx,
+                    # the last y-offset no jy
                     v3 = jnp.stack([
-                        jnp.sum(-fjx * dcum[0][i] * yfac1[j], axis=0),
-                        jnp.sum(-fjy * xfac1[i] * dcum[1][j], axis=0),
+                        zcell if i == W - 1
+                        else jnp.sum(-fjx * dcum[0][i] * yfac1[j], axis=0),
+                        zcell if j == W - 1
+                        else jnp.sum(-fjy * xfac1[i] * dcum[1][j], axis=0),
                         jnp.sum(fz * (gx5[0][i] * yfac1[j]
                                       + dxw[0][i] * yfac2[j]), axis=0)])
                     jpad = pad_add(jpad, (plan.offsets[i], plan.offsets[j]),
@@ -587,11 +594,15 @@ def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
                         xfac1 = gx + 0.5 * hx
                         xfac2 = third * hx + 0.5 * gx
                         v3 = jnp.stack([
-                            jnp.sum(-fjx * dcum[0][ix] * yzfac, axis=0),
-                            jnp.sum(-fjy * (xfac1 * gz + xfac2 * hz)
-                                    * dcum[1][iy], axis=0),
-                            jnp.sum(-fjz * (gx * yfac1 + hx * yfac2)
-                                    * dcum[2][iz], axis=0)])
+                            zcell if ix == W - 1
+                            else jnp.sum(-fjx * dcum[0][ix] * yzfac,
+                                         axis=0),
+                            zcell if iy == W - 1
+                            else jnp.sum(-fjy * (xfac1 * gz + xfac2 * hz)
+                                         * dcum[1][iy], axis=0),
+                            zcell if iz == W - 1
+                            else jnp.sum(-fjz * (gx * yfac1 + hx * yfac2)
+                                         * dcum[2][iz], axis=0)])
                         jpad = pad_add(jpad, (plan.offsets[ix],
                                               plan.offsets[iy],
                                               plan.offsets[iz]), v3)

@@ -582,14 +582,19 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
             for kj in range(W):
                 ox = offsets[ki]
                 oy = offsets[kj]
-                vx = jnp.sum(-fjx * dcum[0][ki] * yfac1[kj], axis=0)
-                vy_ = jnp.sum(-fjy * xfac1[ki] * dcum[1][kj], axis=0)
-                vz_ = jnp.sum(fz * (gx5[0][ki] * yfac1[kj]
-                                    + dxw[0][ki] * yfac2[kj]), axis=0)
                 xs = slice(ox + M, ox + M + BX)
                 ys = slice(M + oy, M + oy + NY)
-                j_ref[0, 0, xs, ys] += vx
-                j_ref[0, 1, xs, ys] += vy_
+                # the full-window running sum dcum[..][W-1] = Σ(hx−gx)
+                # is identically zero (both normalise to 1): the last
+                # x-offset contributes no jx, the last y-offset no jy
+                if ki < W - 1:
+                    vx = jnp.sum(-fjx * dcum[0][ki] * yfac1[kj], axis=0)
+                    j_ref[0, 0, xs, ys] += vx
+                if kj < W - 1:
+                    vy_ = jnp.sum(-fjy * xfac1[ki] * dcum[1][kj], axis=0)
+                    j_ref[0, 1, xs, ys] += vy_
+                vz_ = jnp.sum(fz * (gx5[0][ki] * yfac1[kj]
+                                    + dxw[0][ki] * yfac2[kj]), axis=0)
                 j_ref[0, 2, xs, ys] += vz_
 
         xi_b, p_b, w_b = apply_bcs(list(xi_new), list(p_new), w)
