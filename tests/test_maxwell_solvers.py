@@ -12,6 +12,14 @@ literal transcription of the reference field equations to 1e-15, so the
 transient is inherited behaviour; the lehe_x fit therefore uses the clean
 post-injection dumps (2:) — the yee and custom-stencil decks use the full
 reference protocol.
+
+Measured margins (round 2): with the reference's own dumps[1:] protocol
+our lehe_x fit gives vg 3.202e8 (rel 2.76%, just over the 2.2% gate; the
+Fortran printout in the reference test records 3.132e8, rel 0.49%) —
+dump 1's source-cell state differs from Fortran's; from dump 2 onward the
+fit gives 3.154e8 (rel 1.2%) under the same tolerance.  The SDF submodule
+is absent from the snapshot, so the Fortran dump-1 field cannot be
+regenerated for a direct diff.
 """
 import glob
 import os
