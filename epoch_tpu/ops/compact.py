@@ -6,7 +6,12 @@ runs a bitonic network entirely in VMEM, touching HBM once per payload
 in and once out; the sort key is the negated weight (live w>0 first)
 and payloads ride along through the same compare-exchange selects.
 
-STATUS: correct (validated against lax.sort) but NOT wired into rebin.
+STATUS: superseded in round 2 by the FUSED kernel's butterfly routing
+(ops/binned_kernels._compact, inside make_fused_push): a monotone
+live-first routing needs only log2(3K) stages vs the bitonic network's
+~21, and running it inside the fused kernel keeps the payloads
+VMEM-resident with no extra HBM round trip.  This standalone kernel is
+kept as the measured negative result that motivated the fusion.
 Measured on v5e at the bench shapes (48->16 slots, 256x256 grid,
 6 payloads): this kernel 2.2 ms vs the in-graph XLA variadic sort at
 0.79 ms — the bitonic network's 21 stages x 7 payloads of VMEM traffic
