@@ -143,6 +143,34 @@ def _cell_counts(slab, grid):
     return counts, flat
 
 
+def _split_binned(b, npart_max, plan, cfg, key):
+    """Splitting on the slot grid: per-cell live counts are one
+    reduction, the clone set is a cell-local candidate merge
+    (binned.merge_candidates), jitter is ±0.25 cells in ξ units
+    (split_particle.F90:121-199)."""
+    from . import binned as binmod
+    grid = cfg.grid
+    bplan = binmod.BinnedPlan(cfg)
+    nd = grid.ndims
+    dtype = b.w.dtype
+    counts = jnp.sum((b.w > 0).astype(jnp.int32), axis=0)
+    eligible = (b.w > 0) & (counts > 0)[None] \
+        & (counts <= plan.min_count)[None] & (b.w >= 1.0)
+    if npart_max > 0:
+        total = jnp.sum(b.w > 0)
+        eligible = eligible & (total < npart_max)
+    jit_u = jax.random.uniform(key, (nd,) + b.w.shape, dtype)
+    jitter = (2.0 * jit_u - 1.0) * 0.25
+    w_half = jnp.where(eligible, 0.5 * b.w, b.w)
+    xi_orig = jnp.where(eligible[None], b.xi - jitter, b.xi)
+    cand_xi = xi_orig + 2.0 * jitter
+    cand_w = jnp.where(eligible, w_half, 0.0)
+    b = b._replace(xi=xi_orig, w=w_half)
+    # clones inherit momentum; aux rows (optical depths) reset to zero
+    # for lazy resampling, as for created particles
+    return binmod.merge_candidates(b, cand_xi, b.p, cand_w, bplan)
+
+
 def split_particles(state, cfg, plan: SplitPlan, key):
     drops = jnp.zeros((), jnp.int32)
     """split_particles (split_particle.F90:121-199), vectorised: all
@@ -151,6 +179,10 @@ def split_particles(state, cfg, plan: SplitPlan, key):
     species = list(state.species)
     for si, npart_max in plan.species:
         slab = species[si]
+        if hasattr(slab, "xi"):
+            key, sub = jax.random.split(key)
+            species[si] = _split_binned(slab, npart_max, plan, cfg, sub)
+            continue
         if slab.cap == 0:
             continue
         key, sub = jax.random.split(key)

@@ -286,10 +286,9 @@ def build_config(deck: DeckConfig) -> SimConfig:
         plan = MigrationPlan(cfg, deck)
         if plan.any_active:
             cfg = dataclasses.replace(cfg, migration_plan=plan)
-    if (cfg.split_plan is not None or cfg.migration_plan is not None) \
-            and cfg.engine == "binned":
+    if cfg.migration_plan is not None and cfg.engine == "binned":
         raise NotImplementedError(
-            "particle splitting/migration require the scatter engine "
+            "species migration requires the scatter engine "
             "(set pusher = scatter)")
     if any("ejected_particles" in o.variables for o in deck.outputs) \
             and cfg.engine != "binned":
@@ -318,7 +317,7 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
     and the particle-creating physics packages (field/collisional
     ionisation, QED, bremsstrahlung — cell-local candidate merges,
     binned.merge_candidates).  Thermal BCs, injectors, probes,
-    splitting/migration and delta-f stay on scatter."""
+    migration and delta-f stay on scatter."""
     choice = deck.control.pusher
     if choice == "scatter":
         return "scatter"
@@ -331,7 +330,6 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
                 for bc in cfg.bc_particle[:2 * cfg.ndims])
         and cfg.grid.shape_fn == const.Shape.TRIANGLE
         and len(cfg.species) > 0
-        and not any(sb.split for sb in deck.species)
         and not any(getattr(sb, "density_back", 0.0)
                     for sb in deck.species)   # delta-f
         and not deck.control.use_migration
@@ -351,7 +349,7 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
             raise ValueError(
                 "pusher=binned requires periodic/open/reflect/thermal "
                 "particle boundaries, triangle shape and no "
-                "splitting/migration/delta-f")
+                "migration/delta-f")
         return "binned"
     # 3D auto-selects too since the mid-push-rebin window narrowing
     # (125-term deposit): ~8 s compile on TPU.  The moving window stays

@@ -68,6 +68,39 @@ def test_split_underpopulated(tmp_path):
     assert n <= 2 * 200   # one final doubling may overshoot the check
 
 
+def test_split_underpopulated_binned(tmp_path):
+    """Same splitting semantics on the binned engine: the clone set is a
+    cell-local slot merge (housekeeping._split_binned)."""
+    p = tmp_path / "input.deck"
+    # drop the forced scatter pusher + raise slot headroom for the clones
+    deck = SPLIT_DECK.replace("pusher = scatter",
+                              "bin_headroom = 4.0")
+    p.write_text(deck)
+    sim = Simulation(str(p), seed=11)
+    assert sim.cfg.engine == "binned"
+    st = sim.state
+    b0 = st.species[0]
+    n0 = int((b0.w > 0).sum())
+    w_tot0 = float(jnp.where(b0.w > 0, b0.w, 0).sum())
+    assert n0 == 64
+
+    run = make_full_step(sim.cfg)
+    st = run(st, 1)
+    b = st.species[0]
+    n1 = int((b.w > 0).sum())
+    w_tot1 = float(jnp.where(b.w > 0, b.w, 0).sum())
+    assert int(b.n_dropped) == 0
+    assert n1 == 2 * n0
+    assert abs(w_tot1 - w_tot0) < 1e-6 * w_tot0
+    w0 = w_tot0 / n0
+    assert np.allclose(np.asarray(b.w)[np.asarray(b.w > 0)],
+                       0.5 * w0, rtol=1e-10)
+
+    st = run(st, 4)
+    n = int((st.species[0].w > 0).sum())
+    assert n <= 2 * 200
+
+
 MIGRATE_DECK = """
 begin:control
   pusher = scatter
