@@ -483,22 +483,13 @@ def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
               for d in range(nd)]
         ek = u2 / (gamma + 1.0) * mass * const.c ** 2
         probe_recs = []
-        kk = min(1024, w.size)
         for pi, pb in enumerate(probes):
             dfin = jnp.zeros_like(w)
             for d in range(nd):
                 dfin = dfin + pb.normal[d] * (pb.point[d] - xf[d])
             fire = alive & (ek > pb.ek_min) & (ek < pb.ek_max) \
                 & (dfin < 0.0) & (dinit_rows[pi] >= 0.0)
-            score = fire.astype(dtype).reshape(-1)
-            vals, idx = jax.lax.top_k(score, kk)
-            ok = vals > 0
-            xs = jnp.stack([xf[d].reshape(-1)[idx] for d in range(nd)],
-                           axis=1)
-            ps = jnp.stack([new_p[c].reshape(-1)[idx] for c in range(3)],
-                           axis=1)
-            ws = w.reshape(-1)[idx]
-            probe_recs.append((xs, ps, ws, ok, jnp.sum(fire)))
+            probe_recs.append(probe_topk(fire, xf, new_p, w, nd, dtype))
 
     # ---- deposition at t+1.5dt (particles.F90:397-514) ----
     currents = None
@@ -695,13 +686,6 @@ def make_pallas_engines(cfg, plan, interpret=None):
         interpret = (mode == "interpret")
     if mode == "0":
         return [None] * len(cfg.species)
-    if plan.n_aux:
-        # per-particle aux rows (QED/brems optical depths): the Pallas
-        # rebin network does not carry aux payloads yet — XLA path only
-        return [None] * len(cfg.species)
-    if getattr(cfg, "probe_plans", ()):
-        # probe plane distances ride the XLA rebin as extra payloads
-        return [None] * len(cfg.species)
     if plan.nd != 2 or jnp.dtype(cfg.dtype) != jnp.float32:
         return [None] * len(cfg.species)
     if not interpret:
@@ -719,7 +703,7 @@ def make_pallas_engines(cfg, plan, interpret=None):
     with_window = window_pending_capable(cfg)
     kernel_bcs = (const.BC.PERIODIC, const.BC.OPEN, const.BC.REFLECT)
     out = []
-    for sp in cfg.species:
+    for si, sp in enumerate(cfg.species):
         if sp.immobile or sp.species_type == const.SpeciesType.PHOTON:
             # photons take the ballistic push (push_photons_binned)
             out.append(None)
@@ -728,15 +712,106 @@ def make_pallas_engines(cfg, plan, interpret=None):
             # thermal/heat-bath re-emission needs RNG — XLA path only
             out.append(None)
         else:
+            # aux rows (QED/brems/trident optical depths) and probe
+            # entry distances ride the kernel's extra-payload routing
+            probe_specs = tuple(
+                (tuple(float(v) for v in pp.normal),
+                 tuple(float(v) for v in pp.point))
+                for pp in getattr(cfg, "probe_plans", ())
+                if si in pp.species)
             out.append(PallasBinned(plan, sp, cfg, interpret=interpret,
-                                    with_window=with_window))
+                                    with_window=with_window,
+                                    n_extra=plan.n_aux + len(probe_specs),
+                                    probe_specs=probe_specs))
     return out
 
 
-def push_deposit_pallas(engine, fwin, binned, plan, shift=None):
+def probe_entry_distances(binned: BinnedSpecies, plan, probes):
+    """Signed plane distances at the step-entry positions, one row per
+    probe (the quantity the reference snapshots before the move,
+    particles.F90:518-530)."""
+    nd = plan.nd
+    w = binned.w
+    dtype = w.dtype
+    cells = [jax.lax.broadcasted_iota(jnp.int32, w.shape, 1 + d)
+             .astype(dtype) for d in range(nd)]
+    x0 = [plan.grid_min[d] + (cells[d] + binned.xi[d]) * plan.delta[d]
+          for d in range(nd)]
+    rows = []
+    for pb in probes:
+        acc = jnp.zeros_like(w)
+        for d in range(nd):
+            acc = acc + pb.normal[d] * (pb.point[d] - x0[d])
+        rows.append(acc)
+    return jnp.stack(rows)
+
+
+def probe_topk(fire, xf, p, w, nd, dtype):
+    """Dense-to-record extraction of probe crossings: top_k on the fire
+    mask (slot-grid analogue of the reference's per-crossing list append,
+    probes.F90:95-130).  Returns (xs, ps, ws, ok, n_fired); records
+    beyond the per-step cap are dropped — callers count them via
+    n_fired - ok.sum()."""
+    kk = min(1024, fire.size)
+    score = fire.astype(dtype).reshape(-1)
+    vals, idx = jax.lax.top_k(score, kk)
+    ok = vals > 0
+    xs = jnp.stack([xf[d].reshape(-1)[idx] for d in range(nd)], axis=1)
+    ps = jnp.stack([p[c].reshape(-1)[idx] for c in range(3)], axis=1)
+    ws = w.reshape(-1)[idx]
+    return xs, ps, ws, ok, jnp.sum(fire)
+
+
+def push_deposit_pallas(engine, fwin, binned, plan, sp=None, shift=None,
+                        probes=None):
     """Fused-kernel variant of push_deposit_binned; returns per-stripe
-    partial currents (callers sum over species, then fold once)."""
-    return engine(fwin, binned, shift=shift)
+    partial currents (callers sum over species, then fold once).
+
+    Aux rows (optical depths) and probe plane distances ride the
+    kernel's extra-payload rebin routing (make_fused_push n_extra);
+    crossing detection runs XLA-side on the kernel's output rows.  With
+    ``probes`` the return is (binned, jpart, probe_recs) as for
+    push_deposit_binned."""
+    n_aux = 0 if binned.aux is None else binned.aux.shape[0]
+    extra = binned.aux
+    if probes:
+        dinit = probe_entry_distances(binned, plan, probes)
+        extra = dinit if extra is None \
+            else jnp.concatenate([extra, dinit], axis=0)
+    out, jpart, extra_out = engine(fwin, binned, shift=shift, extra=extra)
+    probe_recs = None
+    if extra_out is not None:
+        if n_aux:
+            out = out._replace(aux=extra_out[:n_aux])
+        if probes:
+            npb = len(probes)
+            dinit_r = extra_out[n_aux:n_aux + npb]
+            dfin = extra_out[n_aux + npb:n_aux + 2 * npb]
+            prew = extra_out[-1]          # pre-BC weight (aliveness)
+            nd = plan.nd
+            dtype = out.w.dtype
+            mass = sp.mass
+            u = [out.p[c] * (1.0 / (const.c * mass)) for c in range(3)]
+            u2 = u[0] ** 2 + u[1] ** 2 + u[2] ** 2
+            gamma = jnp.sqrt(u2 + 1.0)
+            ek = u2 / (gamma + 1.0) * mass * const.c ** 2
+            cells = [jax.lax.broadcasted_iota(jnp.int32, out.w.shape,
+                                              1 + d).astype(dtype)
+                     for d in range(nd)]
+            # post-BC position: identical to pre-BC for open-killed
+            # particles (only w is zeroed); reflected wall-crossers
+            # record the reflected position — a one-cell-edge deviation
+            xf = [plan.grid_min[d] + (cells[d] + out.xi[d]) * plan.delta[d]
+                  for d in range(nd)]
+            probe_recs = []
+            for pi, pb in enumerate(probes):
+                fire = (prew > 0) & (ek > pb.ek_min) & (ek < pb.ek_max) \
+                    & (dfin[pi] < 0.0) & (dinit_r[pi] >= 0.0)
+                probe_recs.append(probe_topk(fire, xf, out.p, prew, nd,
+                                             dtype))
+    if probes is not None:
+        return out, jpart, probe_recs
+    return out, jpart
 
 
 def apply_axis_bcs(xi, p, w, plan, d, bc_lo, bc_hi, key=None, sp=None):

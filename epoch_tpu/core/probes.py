@@ -72,4 +72,7 @@ def capture(probe_buf, plan: ProbePlan, sp_cfg, x_old, slab):
     fire = slab.alive & (slab.weight > 0) \
         & (ek > plan.ek_min) & (ek < plan.ek_max) \
         & (d_final < 0.0) & (d_init >= 0.0)
-    return append_particles(probe_buf, slab.x, slab.p, slab.weight, fire)
+    # (buf, n_dropped): buffer-overflow crossings are counted — the
+    # reference's dynamic list keeps every crossing (probes.F90:107)
+    return append_particles(probe_buf, slab.x, slab.p, slab.weight, fire,
+                            with_count=True)

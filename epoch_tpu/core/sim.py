@@ -522,7 +522,10 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
         from .probes import build_probe_plans, init_probe_buffers
         cfg = dataclasses.replace(
             cfg, probe_plans=build_probe_plans(cfg, deck))
-        state = state._replace(probes=init_probe_buffers(cfg, dtype))
+        state = state._replace(
+            probes=init_probe_buffers(cfg, dtype),
+            probe_dropped=tuple(jnp.zeros((), jnp.int32)
+                                for _ in cfg.probe_plans))
     if cfg.migration_plan is not None:
         from .housekeeping import init_fluid_grids
         state = init_fluid_grids(cfg, state, cfg.migration_plan)

@@ -115,6 +115,10 @@ class SimState(NamedTuple):
     # next push's rebin (binned Pallas engines only — the rebin routing
     # performs the slot-grid roll for free; window._shift_once)
     window_pending: jax.Array | None = None
+    # per-probe dropped-crossing counters (capture-cap top_k truncation +
+    # probe-buffer append overflow); the reference keeps every crossing
+    # (probes.F90:107), so a nonzero count is surfaced at end of run
+    probe_dropped: tuple = ()
 
 
 def zero_fields(padded_shape, dtype) -> Fields:

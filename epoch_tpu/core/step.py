@@ -73,6 +73,20 @@ def _interior_mask(cfg):
     return _interior_mask_cache[key]
 
 
+def _append_probe_recs(probes, probe_dropped, sp_probes, recs):
+    """Append probe crossing records; count capture-cap (top_k) and
+    buffer-append drops (the reference keeps every crossing,
+    probes.F90:107 — a nonzero count is surfaced at end of run)."""
+    from .slab_ops import append_particles
+    for (pi, _), (xs, ps, ws, ok, nf) in zip(sp_probes, recs):
+        probes[pi], nd_ap = append_particles(probes[pi], xs, ps, ws, ok,
+                                             with_count=True)
+        drop = (nf - jnp.sum(ok)).astype(jnp.int32) \
+            + jnp.asarray(nd_ap, jnp.int32)
+        probe_dropped[pi] = probe_dropped[pi] + drop
+    return probes, probe_dropped
+
+
 def make_step_functions(cfg):
     """Build the jitted step halves, closing over the static config."""
     plan = fld.FieldSolverPlan(cfg)
@@ -144,6 +158,7 @@ def make_step_functions(cfg):
             for sp_cfg in cfg.species
             for bc in sp_cfg.bc_particle[:2 * cfg.ndims])
         probes = list(state.probes)
+        probe_dropped = list(state.probe_dropped)
         ejected = list(state.ejected)
         for si, (sp_cfg, slab) in enumerate(zip(cfg.species, state.species)):
             x_old = slab.x
@@ -160,8 +175,10 @@ def make_step_functions(cfg):
             for pi, pplan_ in enumerate(cfg.probe_plans):
                 if si in pplan_.species:
                     from . import probes as prb
-                    probes[pi] = prb.capture(probes[pi], pplan_, sp_cfg,
-                                             x_old, slab)
+                    probes[pi], pdrop = prb.capture(probes[pi], pplan_,
+                                                    sp_cfg, x_old, slab)
+                    probe_dropped[pi] = probe_dropped[pi] \
+                        + jnp.asarray(pdrop, jnp.int32)
             key = None
             if any_thermal:
                 rng, key = jax.random.split(rng)
@@ -177,6 +194,7 @@ def make_step_functions(cfg):
                 # (ejected-buffer overflow is dump-side only, not counted)
             new_slabs.append(slab)
         state = state._replace(rng=rng, probes=tuple(probes),
+                               probe_dropped=tuple(probe_dropped),
                                ejected=tuple(ejected))
         f = psh.deposit_currents(f, contributions, dtype)
         f = bnd.current_bcs(f, cfg)
@@ -199,6 +217,7 @@ def make_step_functions(cfg):
             for bc in sp_cfg.bc_particle[:2 * cfg.ndims])
         rng = state.rng
         probes = list(state.probes)
+        probe_dropped = list(state.probe_dropped)
         jpad_sum = None
         jpart_sum = None
         new_species = []
@@ -217,26 +236,31 @@ def make_step_functions(cfg):
                     key=key, sp=sp_cfg)
                 new_species.append(b)
                 continue
+            sp_probes = [(pi, pp) for pi, pp in
+                         enumerate(cfg.probe_plans) if si in pp.species]
             if pallas_engines[si] is not None:
                 shift = state.window_pending if window_pending_ok else None
-                b, jpart = binmod.push_deposit_pallas(
-                    pallas_engines[si], fwin, b, bplan, shift=shift)
+                if sp_probes:
+                    b, jpart, recs = binmod.push_deposit_pallas(
+                        pallas_engines[si], fwin, b, bplan, sp=sp_cfg,
+                        shift=shift, probes=[pp for _, pp in sp_probes])
+                    probes, probe_dropped = _append_probe_recs(
+                        probes, probe_dropped, sp_probes, recs)
+                else:
+                    b, jpart = binmod.push_deposit_pallas(
+                        pallas_engines[si], fwin, b, bplan, sp=sp_cfg,
+                        shift=shift)
                 if not sp_cfg.zero_current:
                     jpart_sum = jpart if jpart_sum is None \
                         else jpart_sum + jpart
             else:
-                sp_probes = [(pi, pp) for pi, pp in
-                             enumerate(cfg.probe_plans) if si in pp.species]
                 if sp_probes:
                     b, jpad, recs = binmod.push_deposit_binned(
                         fpad, b, sp_cfg, bplan,
                         bc=sp_cfg.bc_particle[:2 * cfg.ndims], key=key,
                         probes=[pp for _, pp in sp_probes])
-                    from .slab_ops import append_particles
-                    for (pi, _), (xs, ps, ws, ok, _nf) in zip(sp_probes,
-                                                              recs):
-                        probes[pi] = append_particles(
-                            probes[pi], xs, ps, ws, ok)
+                    probes, probe_dropped = _append_probe_recs(
+                        probes, probe_dropped, sp_probes, recs)
                 else:
                     b, jpad = binmod.push_deposit_binned(
                         fpad, b, sp_cfg, bplan,
@@ -260,7 +284,8 @@ def make_step_functions(cfg):
             state = state._replace(
                 window_pending=jnp.zeros((), jnp.int32))
         if cfg.probe_plans:
-            state = state._replace(probes=tuple(probes))
+            state = state._replace(probes=tuple(probes),
+                                   probe_dropped=tuple(probe_dropped))
         return state._replace(fields=f, species=tuple(new_species))
 
     def current_finish(state: SimState) -> SimState:

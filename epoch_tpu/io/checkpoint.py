@@ -101,6 +101,9 @@ def write_restart(path, cfg, state: SimState, deck_text: str = "",
     if state.window_pending is not None:
         w.write_constant("restart/window_pending", "Restart/window_pending",
                          int(state.window_pending))
+    for k, pd in enumerate(state.probe_dropped):
+        w.write_constant(f"restart/probe_dropped{k}",
+                         f"Restart/probe_dropped/{k}", int(pd))
     w.write_plain_variable("restart/rng", "Restart/rng",
                            np.asarray(jax.random.key_data(state.rng)
                                       if hasattr(jax.random, "key_data")
@@ -246,9 +249,13 @@ def read_restart(path, cfg, template: SimState) -> SimState:
                    for k, t in enumerate(template.probes))
     ejected = tuple(_read_slab(f"Ejected{k}", t)
                     for k, t in enumerate(template.ejected))
+    probe_dropped = tuple(
+        jnp.asarray(d[f"Restart/probe_dropped/{k}"].data, jnp.int32)
+        if f"Restart/probe_dropped/{k}" in d else template.probe_dropped[k]
+        for k in range(len(template.probe_dropped)))
     return template._replace(
         fluid_grids=fluid_grids, injector_depth=injector_depth,
-        probes=probes, ejected=ejected,
+        probes=probes, ejected=ejected, probe_dropped=probe_dropped,
         fields=fields, cpml=cpml, species=tuple(species), lasers=lasers,
         time=jnp.asarray(d["Restart/time"].data, dtype),
         step=jnp.asarray(d["Restart/step"].data, jnp.int32),

@@ -162,15 +162,15 @@ def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop,
     payload = [xi_a if axis == 0 else xi0, xi_a if axis == 1 else xi1] + p
 
     if axis == 0:
-        # haloL/haloR: (w, xi0, xi1, p0, p1, p2) column tuples (K, 1, NY),
-        # ξ already drift-advanced; adjust their dc the same way
+        # haloL/haloR: (w, xi0, xi1, p0, p1, p2[, extras…]) column tuples
+        # (K, 1, NY), ξ already drift-advanced; adjust their dc the same way
         def col(h):
-            hw, hx0, hx1, hp0, hp1, hp2 = h
+            hw, hx0, hx1, *hrest = h
             hxa = hx0
             hdc = jnp.clip(jnp.floor(hxa + 0.5), -1.0, 1.0)
             hdc = jnp.where(hw > 0, hdc, 0.0)
             hx0a = hx0 - hdc
-            return hw, [hx0a, hx1, hp0, hp1, hp2], hdc
+            return hw, [hx0a, hx1] + list(hrest), hdc
         wL, plL, dcL = col(haloL)
         wR, plR, dcR = col(haloR)
 
@@ -241,7 +241,8 @@ def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop,
 # ---------------------------------------------------------------------------
 
 def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
-                    interpret=False, with_window=False):
+                    interpret=False, with_window=False,
+                    n_extra=0, probe_specs=()):
     """Build the fused per-species pallas_call (2D).
 
     One kernel per stripe does the full reference hot loop
@@ -272,6 +273,23 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
     carry a THIRD column (the second column right of the stripe), and
     boundary-cell indices are shift-adjusted.  This replaces rolling the
     whole slot state in HBM at every window shift.
+
+    ``n_extra``: number of extra per-particle payload rows carried THROUGH
+    the rebin routing unchanged (QED/bremsstrahlung/trident optical
+    depths — the reference's compile-gated particle fields,
+    shared_data.F90:94-136 — and probe plane entry distances).  Adds an
+    input ``extra`` (n_extra, K, nx, NY) + its halo columns; the first
+    ``n_extra`` output rows are the routed payloads.
+
+    ``probe_specs``: static tuple of (normal, point) pairs (floats, nd
+    each) of the probe planes attached to this species
+    (particles.F90:518-557).  The LAST ``len(probe_specs) + 1`` output
+    extra rows are [signed end-of-step plane distances (pre-BC position)
+    per probe…, pre-BC weight]: the XLA caller combines them with the
+    routed entry distances for the crossing test, so open-boundary kills
+    in the same step still capture (the pre-BC weight row is the
+    aliveness witness).  Output extra rows total
+    ``n_extra + len(probe_specs) + (1 if probe_specs else 0)``.
     """
     nd = 2
     mass = float(sp.mass)
@@ -308,7 +326,10 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
     ROW_BLOCK = max(int(_os.environ.get("EPOCH_TPU_ROW_BLOCK",
                                         (K + 1) // 2)), 1)
 
-    def drift(w, xi0, xi1, p0, p1, p2):
+    n_probes = len(probe_specs)
+    n_extra_out = n_extra + (n_probes + 1 if n_probes else 0)
+
+    def drift(w, xi0, xi1, p0, p1, p2, *_extras):
         alive = w > 0
         u0 = p0 * ipart_mc
         u1 = p1 * ipart_mc
@@ -322,8 +343,17 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         if with_window:
             shift_ref = rest[0]
             rest = rest[1:]
-        (w_ref, xi_ref, p_ref, we_ref, xie_ref, pe_ref,
-         f_ref, wo_ref, xio_ref, po_ref, j_ref, nd_ref) = rest
+        rest = list(rest)
+        w_ref, xi_ref, p_ref = rest[:3]
+        del rest[:3]
+        exi_ref = rest.pop(0) if n_extra else None
+        we_ref, xie_ref, pe_ref = rest[:3]
+        del rest[:3]
+        exe_ref = rest.pop(0) if n_extra else None
+        f_ref, wo_ref, xio_ref, po_ref = rest[:4]
+        del rest[:4]
+        exo_ref = rest.pop(0) if n_extra_out else None
+        j_ref, nd_ref = rest
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -343,21 +373,33 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
             wo_ref[:] = w_ref[:]
             xio_ref[...] = xi_ref[...]
             po_ref[...] = p_ref[...]
+            if exo_ref is not None:
+                zrow = jnp.zeros((1,) + w_ref.shape, w_ref.dtype)
+                for c in range(n_extra):
+                    exo_ref[c] = exi_ref[c]
+                for c in range(n_extra, n_extra_out - 1):
+                    exo_ref[c] = zrow[0]
+                if n_probes:
+                    exo_ref[n_extra_out - 1] = w_ref[:]
 
         @pl.when(flag > 0)
         def _():
-            _live_body(i, sh, w_ref, xi_ref, p_ref, we_ref, xie_ref,
-                       pe_ref, f_ref, wo_ref, xio_ref, po_ref, j_ref,
-                       nd_ref)
+            _live_body(i, sh, w_ref, xi_ref, p_ref, exi_ref, we_ref,
+                       xie_ref, pe_ref, exe_ref, f_ref, wo_ref, xio_ref,
+                       po_ref, exo_ref, j_ref, nd_ref)
 
-    def _live_body(i, sh, w_ref, xi_ref, p_ref, we_ref, xie_ref, pe_ref,
-                   f_ref, wo_ref, xio_ref, po_ref, j_ref, nd_ref):
+    def _live_body(i, sh, w_ref, xi_ref, p_ref, exi_ref, we_ref, xie_ref,
+                   pe_ref, exe_ref, f_ref, wo_ref, xio_ref, po_ref,
+                   exo_ref, j_ref, nd_ref):
         # ---- phase 1: half-drift + rebin (particles.F90:234-257 + the
         # reference's implicit cell binning) ----
         w = w_ref[:]
         xi0 = xi_ref[0]
         xi1 = xi_ref[1]
-        p = [p_ref[0], p_ref[1], p_ref[2]]
+        # extras ride the momentum payload list through BCs + rebin
+        # (_bc_axis only touches indices < nd; the butterfly routes all)
+        p = [p_ref[0], p_ref[1], p_ref[2]] \
+            + [exi_ref[c] for c in range(n_extra)]
         xi0, xi1 = drift(w, xi0, xi1, *p)
         if bounded_x:
             gx0 = i * BX + jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
@@ -374,7 +416,9 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
             hw = we_ref[:, 0, side, :][:, None, :]
             hx0 = xie_ref[0, :, 0, side, :][:, None, :]
             hx1 = xie_ref[1, :, 0, side, :][:, None, :]
-            hp = [pe_ref[c, :, 0, side, :][:, None, :] for c in range(3)]
+            hp = [pe_ref[c, :, 0, side, :][:, None, :] for c in range(3)] \
+                + [exe_ref[c, :, 0, side, :][:, None, :]
+                   for c in range(n_extra)]
             hx0, hx1 = drift(hw, hx0, hx1, *hp)
             if bounded_x:
                 # signed global column index: wrap columns fall outside
@@ -407,6 +451,17 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         w, xi0, xi1, p, ndrop = _axis_rebin(
             w, xi0, xi1, p, None, None, K, 1, ndrop)
         nd_ref[0, 0] = nd_ref[0, 0] + ndrop
+        extras = p[3:]
+        p = p[:3]
+        if exo_ref is not None:
+            for c in range(n_extra):
+                exo_ref[c] = extras[c]
+            for c in range(n_extra, n_extra_out - 1):
+                # probe end-of-step distances default to 0 for dead /
+                # skipped row blocks (the pre-BC weight row gates firing)
+                exo_ref[c] = jnp.zeros(w.shape, w.dtype)
+            if n_probes:
+                exo_ref[n_extra_out - 1] = w      # pre-BC aliveness
 
         # ---- phase 2: gather/Boris/move/deposit on the rebinned slots
         # (ξ ∈ [-0.5, 0.5): c1 ≡ 0) ----
@@ -434,10 +489,10 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
             @pl.when(jnp.any(wb > 0))
             def _(i=i, r0=r0, r1=r1, wb=wb, x0b=x0b, x1b=x1b, pb=pb):
                 _push_block(i, r0, r1, wb, x0b, x1b, pb, f_ref,
-                            wo_ref, xio_ref, po_ref, j_ref)
+                            wo_ref, xio_ref, po_ref, exo_ref, j_ref)
 
     def _push_block(i, r0, r1, w, xi0, xi1, p, f_ref,
-                    wo_ref, xio_ref, po_ref, j_ref):
+                    wo_ref, xio_ref, po_ref, exo_ref, j_ref):
         alive = w > 0
         xi = [xi0, xi1]
         u = [p[c] * ipart_mc for c in range(3)]
@@ -520,6 +575,24 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         xi_new = [xi[d] + delta[d] for d in range(nd)]
         p_new = [ux * part_mc, uy * part_mc, uz * part_mc]
 
+        if n_probes:
+            # signed end-of-step plane distances at the PRE-BC position
+            # (particles.F90:518-557 captures before particle_bcs)
+            gxc = (i * BX + jax.lax.broadcasted_iota(
+                jnp.int32, w.shape, 1)).astype(w.dtype)
+            gyc = jax.lax.broadcasted_iota(
+                jnp.int32, w.shape, 2).astype(w.dtype)
+            xf = [float(plan.grid_min[0]) + (gxc + xi_new[0])
+                  * float(plan.delta[0]),
+                  float(plan.grid_min[1]) + (gyc + xi_new[1])
+                  * float(plan.delta[1])]
+            for pi, (normal, point) in enumerate(probe_specs):
+                dfin = jnp.zeros(w.shape, w.dtype)
+                for d in range(nd):
+                    dfin = dfin + float(normal[d]) * (float(point[d])
+                                                      - xf[d])
+                exo_ref[n_extra + pi, r0:r1] = dfin
+
         def write_back(xi_out, p_out, w_out):
             xio_ref[0, r0:r1] = jnp.where(alive, xi_out[0], xi[0])
             xio_ref[1, r0:r1] = jnp.where(alive, xi_out[1], xi[1])
@@ -578,6 +651,18 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         yfac1 = [gx5[1][k] + 0.5 * dxw[1][k] for k in range(W)]
         yfac2 = [third * dxw[1][k] + 0.5 * gx5[1][k] for k in range(W)]
         fz = fjz * vz
+        # hoist the per-offset one-sided products (each reused W times
+        # across the transverse loop) and split jz into its two separable
+        # rank-1 terms: fz·gx5x⊗yfac1 (gx5[0][k] ≡ 0 at k ∈ {0, W−1}:
+        # only W−2 x-offsets contribute) + fz·dxwx⊗yfac2.  Versus the
+        # fused 2-term product this trades (W²)·2 extra multiplies and an
+        # add per pair for one multiply each — ~35% less deposit
+        # arithmetic for jz at the cost of (W−2)·W extra (BX, NY)
+        # accumulator adds (1/ROW_BLOCK the cost of a slot-deep op).
+        xjx = [-fjx * dcum[0][k] for k in range(W - 1)]
+        yjy = [-fjy * dcum[1][k] for k in range(W - 1)]
+        fzg = {k: fz * gx5[0][k] for k in range(1, W - 1)}
+        fzd = [fz * dxw[0][k] for k in range(W)]
         for ki in range(W):
             for kj in range(W):
                 ox = offsets[ki]
@@ -588,14 +673,16 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                 # is identically zero (both normalise to 1): the last
                 # x-offset contributes no jx, the last y-offset no jy
                 if ki < W - 1:
-                    vx = jnp.sum(-fjx * dcum[0][ki] * yfac1[kj], axis=0)
+                    vx = jnp.sum(xjx[ki] * yfac1[kj], axis=0)
                     j_ref[0, 0, xs, ys] += vx
                 if kj < W - 1:
-                    vy_ = jnp.sum(-fjy * xfac1[ki] * dcum[1][kj], axis=0)
+                    vy_ = jnp.sum(xfac1[ki] * yjy[kj], axis=0)
                     j_ref[0, 1, xs, ys] += vy_
-                vz_ = jnp.sum(fz * (gx5[0][ki] * yfac1[kj]
-                                    + dxw[0][ki] * yfac2[kj]), axis=0)
-                j_ref[0, 2, xs, ys] += vz_
+                if ki in fzg:
+                    j_ref[0, 2, xs, ys] += jnp.sum(fzg[ki] * yfac1[kj],
+                                                   axis=0)
+                j_ref[0, 2, xs, ys] += jnp.sum(fzd[ki] * yfac2[kj],
+                                               axis=0)
 
         xi_b, p_b, w_b = apply_bcs(list(xi_new), list(p_new), w)
         write_back(xi_b, p_b, w_b)
@@ -609,12 +696,17 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3, K, BX, NY), lambda i, *_: (0, 0, i, 0),
                      memory_space=pltpu.VMEM),
+    ] + ([pl.BlockSpec((n_extra, K, BX, NY), lambda i, *_: (0, 0, i, 0),
+                       memory_space=pltpu.VMEM)] if n_extra else []) + [
         pl.BlockSpec((K, 1, H, NY), lambda i, *_: (0, i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((2, K, 1, H, NY), lambda i, *_: (0, 0, i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3, K, 1, H, NY), lambda i, *_: (0, 0, i, 0, 0),
                      memory_space=pltpu.VMEM),
+    ] + ([pl.BlockSpec((n_extra, K, 1, H, NY),
+                       lambda i, *_: (0, 0, i, 0, 0),
+                       memory_space=pltpu.VMEM)] if n_extra else []) + [
         pl.BlockSpec((1, 6, BX + 2 * M, NY + 2 * M), lambda i, *_: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -625,6 +717,9 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3, K, BX, NY), lambda i, *_: (0, 0, i, 0),
                      memory_space=pltpu.VMEM),
+    ) + ((pl.BlockSpec((n_extra_out, K, BX, NY),
+                       lambda i, *_: (0, 0, i, 0),
+                       memory_space=pltpu.VMEM),) if n_extra_out else ()) + (
         pl.BlockSpec((1, 3, BX + 2 * M, NY + 2 * M), lambda i, *_: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -633,6 +728,8 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         jax.ShapeDtypeStruct((K, nx, NY), dtype),
         jax.ShapeDtypeStruct((2, K, nx, NY), dtype),
         jax.ShapeDtypeStruct((3, K, nx, NY), dtype),
+    ) + ((jax.ShapeDtypeStruct((n_extra_out, K, nx, NY), dtype),)
+         if n_extra_out else ()) + (
         jax.ShapeDtypeStruct((nxb, 3, BX + 2 * M, NY + 2 * M), dtype),
         jax.ShapeDtypeStruct((1, 1), jnp.int32),
     )
@@ -670,7 +767,8 @@ def pick_bx(nx):
 class PallasBinned:
     """Per-(species, config) fused kernel + the XLA glue."""
 
-    def __init__(self, plan, sp, cfg, interpret=False, with_window=False):
+    def __init__(self, plan, sp, cfg, interpret=False, with_window=False,
+                 n_extra=0, probe_specs=()):
         self.plan = plan
         self.sp = sp
         self.K = cfg.bin_k
@@ -681,10 +779,15 @@ class PallasBinned:
         self.dtype = dtype
         self.interpret = interpret
         self.with_window = with_window
+        self.n_extra = n_extra
+        self.n_probes = len(probe_specs)
+        self.n_extra_out = n_extra + (self.n_probes + 1
+                                      if self.n_probes else 0)
         bc = tuple(sp.bc_particle[:4])
         self.fused = make_fused_push(
             self.K, self.BX, self.ny, self.nxb, plan, sp, dtype, bc=bc,
-            interpret=interpret, with_window=with_window)
+            interpret=interpret, with_window=with_window,
+            n_extra=n_extra, probe_specs=probe_specs)
         self.n_halo = 3 if with_window else 2
 
     def halo_cols(self, a, axis):
@@ -755,11 +858,15 @@ class PallasBinned:
             ext = ext.at[:, g * BX:g * BX + self.nx].add(block)
         return ext[:, :self.nx + 2 * M]
 
-    def __call__(self, fwin, binned, shift=None):
-        """fwin from make_fwin.  Returns (new binned, jpart).
+    def __call__(self, fwin, binned, shift=None, extra=None):
+        """fwin from make_fwin.  Returns (new binned, jpart, extra_out).
 
         ``shift`` (with_window only): traced int32 scalar, 1 when a
-        window shift is pending (consumed by the rebin's routing)."""
+        window shift is pending (consumed by the rebin's routing).
+        ``extra``: (n_extra, K, nx, ny) payload rows (aux optical depths
+        + probe entry distances); ``extra_out`` is None when the kernel
+        carries none, else (n_extra_out, K, nx, ny) — see
+        make_fused_push."""
         w, xi, p = binned.w, binned.xi, binned.p
         we = self.halo_cols(w, 1)
         xie = self.halo_cols(xi, 2)
@@ -771,16 +878,25 @@ class PallasBinned:
                        axis=(0, 2, 3))
         hmax = jnp.max(we, axis=(0, 2, 3))
         flags = ((jnp.maximum(smax, hmax) > 0)).astype(jnp.int32)
+        ins = [w, xi, p]
+        if self.n_extra:
+            ins += [extra, we, xie, pe, self.halo_cols(extra, 2)]
+        else:
+            ins += [we, xie, pe]
+        ins.append(fwin)
         if self.with_window:
             if shift is None:
                 shift = jnp.zeros((), jnp.int32)
             sh1 = jnp.reshape(shift.astype(jnp.int32), (1,))
-            new_w, new_xi, new_p, jpart, ndrop = self.fused(
-                flags, sh1, w, xi, p, we, xie, pe, fwin)
+            outs = self.fused(flags, sh1, *ins)
         else:
-            new_w, new_xi, new_p, jpart, ndrop = self.fused(
-                flags, w, xi, p, we, xie, pe, fwin)
+            outs = self.fused(flags, *ins)
+        if self.n_extra_out:
+            new_w, new_xi, new_p, extra_out, jpart, ndrop = outs
+        else:
+            new_w, new_xi, new_p, jpart, ndrop = outs
+            extra_out = None
         out = binned._replace(
             xi=new_xi, p=new_p, w=new_w,
             n_dropped=binned.n_dropped + ndrop[0, 0])
-        return out, jpart
+        return out, jpart, extra_out

@@ -149,6 +149,12 @@ class Runner:
                 print(f" WARNING: species {sp_cfg.name}: {nd} particles "
                       f"dropped by slot-grid overflow — raise "
                       f"bin_headroom", file=self.stdout)
+        for pp, pd in zip(self.sim.cfg.probe_plans, st.probe_dropped):
+            npd = int(pd)
+            if npd > 0:
+                print(f" WARNING: probe {pp.name}: {npd} crossings "
+                      f"dropped (capture cap / full probe buffer) — the "
+                      f"reference keeps every crossing", file=self.stdout)
 
     def _nan_check(self, st):
         """Debug sanitizer (use_nan_check deck key): the runtime analogue

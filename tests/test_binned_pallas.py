@@ -16,7 +16,7 @@ from epoch_tpu.core.config import SimConfig, SpeciesConfig
 from epoch_tpu.core import binned as binmod
 
 
-def _setup(n=(16, 8), K=8, bc_x=const.BC.PERIODIC):
+def _setup(n=(16, 8), K=8, bc_x=const.BC.PERIODIC, n_aux=0):
     nd = 2
     dxv = 1e-6
     grid = Grid(ndims=nd, shape_fn=const.Shape.TRIANGLE, n=n,
@@ -29,7 +29,8 @@ def _setup(n=(16, 8), K=8, bc_x=const.BC.PERIODIC):
                     bc_field=(const.BC.PERIODIC,) * 6,
                     bc_particle=(const.BC.PERIODIC,) * 6,
                     species=(sp,), lasers=(), dtype=np.float32)
-    cfg = dataclasses.replace(cfg, bin_k=K)
+    aux_names = ("opdepth", "opdepth_brem")[:n_aux]
+    cfg = dataclasses.replace(cfg, bin_k=K, binned_aux=aux_names)
     plan = binmod.BinnedPlan(cfg)
     rng = np.random.default_rng(3)
     NP = int(np.prod(n))            # ~1 ppc: no slot overflow
@@ -38,7 +39,15 @@ def _setup(n=(16, 8), K=8, bc_x=const.BC.PERIODIC):
     w0 = rng.uniform(1, 2, NP)
     bm = binmod.bin_from_arrays(x0.astype(np.float32),
                                 p0.astype(np.float32),
-                                w0.astype(np.float32), grid, K=K)
+                                w0.astype(np.float32), grid, K=K,
+                                n_aux=n_aux)
+    if n_aux:
+        # aux values tied to the particle weight: routing must keep the
+        # (w, aux) pairing intact through every rebin
+        fns = (lambda w: 10.0 * w, lambda w: -3.0 * w)
+        aux = jnp.stack([jnp.where(bm.w > 0, f(bm.w), 0.0)
+                         for f in fns[:n_aux]])
+        bm = bm._replace(aux=aux)
     vals = {nm: jnp.asarray(rng.normal(size=n) * 1e3, jnp.float32)
             for nm in ("ex", "ey", "ez", "bx", "by", "bz")}
     return cfg, plan, sp, grid, bm, vals
@@ -81,6 +90,100 @@ def test_pallas_matches_xla_engine(bc_name):
             np.testing.assert_allclose(sx, sp_, rtol=0, atol=1e-11)
         assert int(b_x.n_dropped) == 0
         assert int(b_p.n_dropped) == 0
+
+
+def test_pallas_aux_payload_routing():
+    """Aux rows (optical depths) ride the fused kernel's extra-payload
+    rebin routing: after several pushes the (w, aux) pairing must be
+    intact on every live slot, and match the XLA engine's routing."""
+    cfg, plan, sp, grid, bm, interior = _setup(n_aux=2)
+    assert plan.n_aux == 2
+    engines = binmod.make_pallas_engines(cfg, plan, interpret=True)
+    eng = engines[0]
+    assert eng is not None and eng.n_extra == 2
+    names = ("ex", "ey", "ez", "bx", "by", "bz")
+    fstack = jnp.stack([interior[nm] for nm in names], axis=0)
+    fpad = jnp.pad(fstack, ((0, 0), (2, 2), (2, 2)), mode="wrap")
+    fwin = eng.make_fwin(fpad)
+    b_x, b_p = bm, bm
+    for step in range(4):
+        b_x, _ = binmod.push_deposit_binned(fpad, b_x, sp, plan)
+        b_p, _ = binmod.push_deposit_pallas(eng, fwin, b_p, plan)
+        for b in (b_x, b_p):
+            live = b.w > 0
+            np.testing.assert_allclose(
+                np.asarray(jnp.where(live, b.aux[0], 0.0)),
+                np.asarray(jnp.where(live, 10.0 * b.w, 0.0)), rtol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(jnp.where(live, b.aux[1], 0.0)),
+                np.asarray(jnp.where(live, -3.0 * b.w, 0.0)), rtol=1e-6)
+        assert int(jnp.sum(b_x.w > 0)) == int(jnp.sum(b_p.w > 0))
+
+
+PROBE_DECK_2D = """
+begin:control
+  nx = 32
+  ny = 8
+  t_end = 1.0
+  nsteps = {nsteps}
+  x_min = 0
+  x_max = 32e-6
+  y_min = 0
+  y_max = 8e-6
+end:control
+begin:boundaries
+  bc_x_min = simple_outflow
+  bc_x_max = simple_outflow
+  bc_y_min = periodic
+  bc_y_max = periodic
+end:boundaries
+begin:species
+  name = beam
+  charge = -1
+  mass = 1.0
+  number_density = if(x lt 8e-6, 1e18, 0)
+  nparticles_per_cell = 4
+  drift_px = 5e-23
+end:species
+begin:probe
+  name = midplane
+  point = (16e-6, 0)
+  normal = (1, 0)
+  include_species:beam
+end:probe
+begin:output
+  dt_snapshot = 1
+end:output
+"""
+
+
+def test_pallas_probe_capture_matches_xla(tmp_path, monkeypatch):
+    """Probe plane distances ride the fused kernel's extra rows; the
+    crossing records must match the XLA binned engine's capture."""
+    from epoch_tpu.core import Simulation
+
+    def run(mode):
+        monkeypatch.setenv("EPOCH_TPU_PALLAS", mode)
+        d = tmp_path / f"m{mode}"
+        d.mkdir(exist_ok=True)
+        (d / "input.deck").write_text(PROBE_DECK_2D.format(nsteps=220))
+        sim = Simulation(str(d / "input.deck"), seed=11)
+        assert sim.cfg.engine == "binned"
+        st = sim.run(max_steps=220)
+        return sim, st
+
+    sim_p, st_p = run("interpret")
+    sim_x, st_x = run("0")
+    from epoch_tpu.core.binned import make_pallas_engines as mpe
+    buf_p, buf_x = st_p.probes[0], st_x.probes[0]
+    n_p = int(jnp.sum(buf_p.alive))
+    n_x = int(jnp.sum(buf_x.alive))
+    assert n_x > 0 and n_p == n_x
+    xs_p = np.sort(np.asarray(buf_p.x)[np.asarray(buf_p.alive)][:, 0])
+    xs_x = np.sort(np.asarray(buf_x.x)[np.asarray(buf_x.alive)][:, 0])
+    np.testing.assert_allclose(xs_p, xs_x, atol=1e-9)
+    assert int(st_p.probe_dropped[0]) == 0
+    assert int(st_x.probe_dropped[0]) == 0
 
 
 WINDOW_DECK = """
