@@ -1,0 +1,116 @@
+"""Fused 3D Pallas kernel (ops/binned_kernels3d.py) vs the XLA slot-grid
+engine — identical discretisation, so they must agree to round-off.
+
+Runs in Pallas interpret mode on the CPU test mesh; the same kernel is
+exercised on real TPU hardware by the 3D benchmark (BENCH_MODE=3d).
+"""
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import epoch_tpu.constants as const
+from epoch_tpu.core.grid import Grid
+from epoch_tpu.core.config import SimConfig, SpeciesConfig
+from epoch_tpu.core import binned as binmod
+
+
+def _setup(n=(8, 8, 8), K=8, bc_x=const.BC.PERIODIC, n_aux=0):
+    nd = 3
+    dxv = 1e-6
+    grid = Grid(ndims=nd, shape_fn=const.Shape.TRIANGLE, n=n,
+                cpml_thickness=0, cpml_active=(False,) * (2 * nd),
+                lo=(0.0,) * nd, hi=tuple(ni * dxv for ni in n))
+    dt = 0.9 * dxv / (const.c * np.sqrt(nd))
+    sp = SpeciesConfig(name="e", charge=-const.q0, mass=const.m0, cap=2048,
+                       bc_particle=(bc_x, bc_x) + (const.BC.PERIODIC,) * 4)
+    cfg = SimConfig(grid=grid, dt=dt, t_end=1.0, nsteps=-1,
+                    bc_field=(const.BC.PERIODIC,) * 6,
+                    bc_particle=(const.BC.PERIODIC,) * 6,
+                    species=(sp,), lasers=(), dtype=np.float32)
+    aux_names = ("opdepth", "opdepth_brem")[:n_aux]
+    cfg = dataclasses.replace(cfg, bin_k=K, binned_aux=aux_names)
+    plan = binmod.BinnedPlan(cfg)
+    rng = np.random.default_rng(3)
+    # ~1 ppc: random placement must stay below K per cell — the engines'
+    # rebin candidate ORDERINGS differ, so overflow drops would select
+    # different particles and the sets would legitimately diverge
+    NP = int(np.prod(n))
+    x0 = np.stack([rng.uniform(0, grid.hi[d], NP) for d in range(nd)], 1)
+    p0 = rng.normal(scale=3e-22, size=(NP, 3))
+    w0 = rng.uniform(1, 2, NP)
+    bm = binmod.bin_from_arrays(x0.astype(np.float32),
+                                p0.astype(np.float32),
+                                w0.astype(np.float32), grid, K=K,
+                                n_aux=n_aux)
+    if n_aux:
+        fns = (lambda w: 10.0 * w, lambda w: -3.0 * w)
+        aux = jnp.stack([jnp.where(bm.w > 0, f(bm.w), 0.0)
+                         for f in fns[:n_aux]])
+        bm = bm._replace(aux=aux)
+    vals = {nm: jnp.asarray(rng.normal(size=n) * 1e3, jnp.float32)
+            for nm in ("ex", "ey", "ez", "bx", "by", "bz")}
+    return cfg, plan, sp, grid, bm, vals
+
+
+def _engine(cfg, plan):
+    engines = binmod.make_pallas_engines(cfg, plan, interpret=True)
+    assert engines[0] is not None
+    return engines[0]
+
+
+@pytest.mark.parametrize("bc_name", ["periodic", "open", "reflect"])
+def test_pallas3d_matches_xla_engine(bc_name):
+    bc_x = {"periodic": const.BC.PERIODIC, "open": const.BC.OPEN,
+            "reflect": const.BC.REFLECT}[bc_name]
+    cfg, plan, sp, grid, bm, interior = _setup(bc_x=bc_x)
+    eng = _engine(cfg, plan)
+    names = ("ex", "ey", "ez", "bx", "by", "bz")
+    fstack = jnp.stack([interior[nm] for nm in names], axis=0)
+    fpad = jnp.pad(fstack, ((0, 0), (2, 2), (2, 2), (2, 2)), mode="wrap")
+    fwin = eng.make_fwin(fpad)
+    bc = sp.bc_particle[:6]
+
+    b_x = bm
+    b_p = bm
+    for step in range(4):
+        b_x, jpad_x = binmod.push_deposit_binned(fpad, b_x, sp, plan,
+                                                 bc=bc)
+        b_p, jpart, _ = eng(fwin, b_p)
+        jpad_p = eng.fold_jpart(jpart)
+        for c in range(3):
+            scale = max(float(jnp.abs(jpad_x[c]).max()), 1e-30)
+            err = float(jnp.abs(jpad_x[c] - jpad_p[c]).max()) / scale
+            assert err < 1e-5, (step, c, err)
+        periodic = (bc_x == const.BC.PERIODIC, True, True)
+        xx, px, wx, ax = binmod.to_flat(b_x, grid, periodic=periodic)
+        xp, pp, wp, ap = binmod.to_flat(b_p, grid, periodic=periodic)
+        assert ax.sum() == ap.sum(), step
+        for d in range(3):
+            np.testing.assert_allclose(np.sort(xx[ax][:, d]),
+                                       np.sort(xp[ap][:, d]),
+                                       rtol=0, atol=1e-11)
+        assert int(b_x.n_dropped) == int(b_p.n_dropped)
+
+
+def test_pallas3d_aux_payload_routing():
+    cfg, plan, sp, grid, bm, interior = _setup(n_aux=2)
+    assert plan.n_aux == 2
+    eng = _engine(cfg, plan)
+    assert eng.n_extra == 2
+    names = ("ex", "ey", "ez", "bx", "by", "bz")
+    fstack = jnp.stack([interior[nm] for nm in names], axis=0)
+    fpad = jnp.pad(fstack, ((0, 0), (2, 2), (2, 2), (2, 2)), mode="wrap")
+    fwin = eng.make_fwin(fpad)
+    b_p = bm
+    for step in range(3):
+        b_p, _, extra_out = eng(fwin, b_p, extra=b_p.aux)
+        b_p = b_p._replace(aux=extra_out)
+        live = b_p.w > 0
+        np.testing.assert_allclose(
+            np.asarray(jnp.where(live, b_p.aux[0], 0.0)),
+            np.asarray(jnp.where(live, 10.0 * b_p.w, 0.0)), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(jnp.where(live, b_p.aux[1], 0.0)),
+            np.asarray(jnp.where(live, -3.0 * b_p.w, 0.0)), rtol=1e-6)
