@@ -148,13 +148,27 @@ class BinnedPlan:
         self.g_offsets = (-1, 0, 1)
         self.h_offsets = (-2, -1, 0, 1)
         self.offsets = tuple(range(-2, 3))
-        # kill/reflect boundary cell per axis side: the CPML layer is part
-        # of the grid but outside the particle domain (grid.local_lo/hi)
-        th = grid.cpml_thickness
-        self.kb = tuple(
-            (th if grid.cpml_active[2 * d] else 0,
-             grid.n[d] - 1 - (th if grid.cpml_active[2 * d + 1] else 0))
-            for d in range(self.nd))
+        # kill/reflect boundary cell per axis side.  Particles live on the
+        # FULL grid including any CPML layer: the reference removes them
+        # only beyond the outer ghost edge (boundary.F90:1076-1090 —
+        # x_min/max_local merely routes MPI exchange), and the moving
+        # window refills the last grid cell, which sits inside the CPML
+        # layer under cpml_outflow (window.F90:227 pack_ix = nx).
+        self.kb = tuple((0, grid.n[d] - 1) for d in range(self.nd))
+        # slot-grid extents: the fused kernel's stripe (sublane) blocks
+        # must be 8-aligned on TPU, so bounded-x 2D decks pad the slot
+        # grid's x axis with dead columns to a multiple of 8 (CPML makes
+        # nx = nx_user + 2*thickness, rarely aligned).  Pad columns sit
+        # beyond the hi-side kill boundary, so no particle ever lives
+        # there; periodic-x decks cannot pad (the rebin roll would route
+        # through the dead columns) and keep ns = n.
+        pad_x = 0
+        if self.nd == 2 and self.n[0] % 8 != 0 and cfg.species:
+            per = const.BC.PERIODIC
+            if all(sp.bc_particle[0] != per and sp.bc_particle[1] != per
+                   for sp in cfg.species):
+                pad_x = -self.n[0] % 8
+        self.ns = (self.n[0] + pad_x,) + tuple(self.n[1:])
 
     def grid_axis(self, d):
         """Array axis of grid dimension d in (K, *grid) arrays."""
@@ -165,10 +179,14 @@ class BinnedPlan:
 # conversion to/from flat slabs (host-side setup & diagnostics)
 # ---------------------------------------------------------------------------
 
-def bin_from_arrays(x, p, w, grid, K, n_aux: int = 0) -> BinnedSpecies:
-    """Host-side: place flat particle arrays into the slot grid."""
+def bin_from_arrays(x, p, w, grid, K, n_aux: int = 0,
+                    ns=None) -> BinnedSpecies:
+    """Host-side: place flat particle arrays into the slot grid.
+
+    ``ns``: slot-grid extents (BinnedPlan.ns) — ≥ grid.n, with dead
+    pad columns beyond the real cells (see BinnedPlan)."""
     nd = grid.ndims
-    n = grid.n
+    n = ns if ns is not None else grid.n
     x = np.asarray(x)
     r = np.stack([(x[:, d] - grid.grid_min(d)) / grid.delta[d]
                   for d in range(nd)], axis=1)
@@ -216,10 +234,12 @@ def as_slab(binned: BinnedSpecies, grid, periodic=None,
     od = {nm: jnp.zeros(n, x.dtype)
           for nm in ("opdepth", "opdepth_brem", "opdepth_tri")}
     if binned.aux is not None:
+        crop = tuple(slice(0, gn) for gn in grid.n)
         for i, nm in enumerate(aux_names):
             if nm in od:
                 od[nm] = jnp.asarray(
-                    np.asarray(binned.aux[i]).reshape(-1))
+                    np.asarray(binned.aux[i])[(slice(None),) + crop]
+                    .reshape(-1))
     return ParticleSlab(
         x=jnp.asarray(x), p=jnp.asarray(p), weight=jnp.asarray(w),
         alive=jnp.asarray(alive),
@@ -241,10 +261,14 @@ def to_flat(binned: BinnedSpecies, grid, periodic=None):
     nd = grid.ndims
     n = grid.n
     K = binned.K
+    # strip slot-grid pad columns (BinnedPlan.ns) down to the real cells
+    crop = tuple(slice(0, n[d]) for d in range(nd))
     C = int(np.prod(n))
-    xi = np.asarray(binned.xi).reshape(nd, K, C)
-    w = np.asarray(binned.w).reshape(K, C)
-    p = np.asarray(binned.p).reshape(3, K, C)
+    xi = np.asarray(binned.xi)[(slice(None), slice(None)) + crop] \
+        .reshape(nd, K, C)
+    w = np.asarray(binned.w)[(slice(None),) + crop].reshape(K, C)
+    p = np.asarray(binned.p)[(slice(None), slice(None)) + crop] \
+        .reshape(3, K, C)
     cells = np.indices(n).reshape(nd, C)       # (nd, C)
     x = np.zeros((nd, K, C))
     for d in range(nd):
@@ -278,6 +302,17 @@ def _roll_back(acc, off, first_grid_axis=0):
     return acc
 
 
+def _pad_to_ns(arr, plan, lead: int):
+    """Zero-extend a grid-windowed array's x rows to the padded slot-grid
+    extents (BinnedPlan.ns); no-op when the plan has no pad columns.
+    ``lead``: number of leading non-grid axes."""
+    pad = plan.ns[0] - plan.n[0]
+    if pad == 0:
+        return arr
+    widths = ((0, 0),) * lead + ((0, pad),) + ((0, 0),) * (plan.nd - 1)
+    return jnp.pad(arr, widths)
+
+
 def make_fpad(fields, grid):
     """(6, *(n+4)) field stack with 2 ghost rows per side, sliced from the
     padded field arrays (ghost content already maintained by the field
@@ -297,6 +332,10 @@ def jpad_to_padded(jpad, plan, grid):
     ng = grid.ng
     M = -plan.offsets[0]
     out = jnp.zeros((3,) + grid.padded_shape(), jpad.dtype)
+    # drop deposits into the dead pad columns (always zero: no particle
+    # ever lives there, but the jpad array extends over plan.ns)
+    jpad = jpad[(slice(None),) + tuple(
+        slice(0, plan.n[d] + 2 * M) for d in range(plan.nd))]
     region = (slice(None),) + tuple(
         slice(ng - M, ng + plan.n[d] + M) for d in range(plan.nd))
     return out.at[region].set(jpad)
@@ -328,6 +367,7 @@ def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
     cm = q * 0.5 * plan.dt * ipart_mc
     ccm = cm * const.c
     n_aux = 0 if binned.aux is None else binned.aux.shape[0]
+    fpad = _pad_to_ns(fpad, plan, 1)
 
     # half drift in grid units (particles.F90:234-257); entry ξ ∈ [-1.5,1.5)
     # (previous step's full move, unrebinned)
@@ -412,7 +452,7 @@ def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
     for k, nm in enumerate(names):
         acc = jnp.zeros(w.shape, dtype)
         for otup, ww in wprods(stag_bits[nm]).items():
-            sl = tuple(slice(gpad + otup[d], gpad + otup[d] + plan.n[d])
+            sl = tuple(slice(gpad + otup[d], gpad + otup[d] + plan.ns[d])
                        for d in range(nd))
             acc = acc + ww * fpad[(k,) + sl][None]
         accs[nm] = acc
@@ -528,11 +568,12 @@ def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
         # accumulate into a margin-padded J and fold the periodic margins
         # once at the end: every window offset is a static-slice add
         M = -plan.offsets[0]
-        jpad = jnp.zeros((3,) + tuple(n + 2 * M for n in plan.n), dtype)
+        jpad = jnp.zeros((3,) + tuple(n + 2 * M for n in plan.ns), dtype)
 
         def pad_add(jp, off, v3):
             sl = (slice(None),) + tuple(
-                slice(M + off[d], M + off[d] + plan.n[d]) for d in range(nd))
+                slice(M + off[d], M + off[d] + plan.ns[d])
+                for d in range(nd))
             return jp.at[sl].add(v3)
 
         zcell = jnp.zeros(w.shape[1:], dtype)
@@ -672,7 +713,8 @@ def window_pending_capable(cfg):
     return bool(cfg.species)
 
 
-def make_pallas_engines(cfg, plan, interpret=None):
+def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
+                        mesh_n=1):
     """Per-species fused Pallas kernel drivers, or None where ineligible.
 
     The Pallas path covers the 2D all-periodic triangle configuration in
@@ -686,22 +728,42 @@ def make_pallas_engines(cfg, plan, interpret=None):
         interpret = (mode == "interpret")
     if mode == "0":
         return [None] * len(cfg.species)
-    if plan.nd != 2 or jnp.dtype(cfg.dtype) != jnp.float32:
+    if plan.nd not in (2, 3):
         return [None] * len(cfg.species)
-    if not interpret:
-        if jax.default_backend() != "tpu" and mode != "1":
-            return [None] * len(cfg.species)
-        if plan.n[1] % 128 != 0:
-            return [None] * len(cfg.species)
+    if jnp.dtype(cfg.dtype) != jnp.float32 and not interpret:
+        # Mosaic path is single-precision; interpret mode (CPU tests)
+        # runs the kernel at the config dtype, so f64 decks exercise it
+        return [None] * len(cfg.species)
+    if plan.nd == 3:
+        return _make_pallas_engines_3d(cfg, plan, interpret, mode)
+    if not interpret and jax.default_backend() != "tpu" and mode != "1":
+        return [None] * len(cfg.species)
     from ..ops.binned_kernels import pick_bx, PallasBinned
-    if pick_bx(plan.n[0]) is None:
+
+    def bail(why):
+        import logging
+        logging.getLogger("epoch_tpu").warning(
+            "fused Pallas path ineligible (%s): falling back to the "
+            "XLA slot engine", why)
         return [None] * len(cfg.species)
-    # VMEM budget: full field stack + J accumulator must fit comfortably
-    fbytes = 6 * (plan.n[0] + 4) * (plan.n[1] + 4) * 4
-    if fbytes > 6 * 1024 * 1024:
-        return [None] * len(cfg.species)
+    nx_loc = plan.ns[0] // mesh_n
+    if plan.ns[0] % mesh_n != 0:
+        return bail(f"slot grid nx={plan.ns[0]} not divisible by the "
+                    f"{mesh_n}-shard mesh")
+    if pick_bx(nx_loc, mosaic=not interpret) is None:
+        return bail(f"no 8-aligned stripe width divides nx={nx_loc} "
+                    "(periodic-x grids need nx % 8 == 0)")
+    # scoped-VMEM model: the rebin's 3K candidate payloads + the double-
+    # buffered slot blocks all scale with K·BX·NY (measured 18.9 MiB at
+    # K=18, BX=8, NY=384); stay under the kernel's vmem_limit_bytes
+    BX_est = pick_bx(nx_loc, mosaic=not interpret)
+    est = 85 * cfg.bin_k * BX_est * (plan.n[1] + 4) * 4
+    if est > 96 * 1024 * 1024:
+        return bail(f"estimated kernel VMEM {est/2**20:.0f} MiB exceeds "
+                    "the 96 MiB budget (grid too tall in y)")
     with_window = window_pending_capable(cfg)
-    kernel_bcs = (const.BC.PERIODIC, const.BC.OPEN, const.BC.REFLECT)
+    kernel_bcs = (const.BC.PERIODIC, const.BC.OPEN, const.BC.REFLECT,
+                  const.BC.THERMAL, const.BC.HEAT_BATH)
     out = []
     for si, sp in enumerate(cfg.species):
         if sp.immobile or sp.species_type == const.SpeciesType.PHOTON:
@@ -709,7 +771,6 @@ def make_pallas_engines(cfg, plan, interpret=None):
             out.append(None)
         elif any(bc not in kernel_bcs
                  for bc in sp.bc_particle[:2 * plan.nd]):
-            # thermal/heat-bath re-emission needs RNG — XLA path only
             out.append(None)
         else:
             # aux rows (QED/brems/trident optical depths) and probe
@@ -719,10 +780,15 @@ def make_pallas_engines(cfg, plan, interpret=None):
                  tuple(float(v) for v in pp.point))
                 for pp in getattr(cfg, "probe_plans", ())
                 if si in pp.species)
+            if spmd_axis is not None and probe_specs:
+                # probe capture not composed with the shard_map push yet
+                out.append(None)
+                continue
             out.append(PallasBinned(plan, sp, cfg, interpret=interpret,
                                     with_window=with_window,
                                     n_extra=plan.n_aux + len(probe_specs),
-                                    probe_specs=probe_specs))
+                                    probe_specs=probe_specs,
+                                    spmd_axis=spmd_axis, mesh_n=mesh_n))
     return out
 
 
@@ -762,8 +828,41 @@ def probe_topk(fire, xf, p, w, nd, dtype):
     return xs, ps, ws, ok, jnp.sum(fire)
 
 
+def _make_pallas_engines_3d(cfg, plan, interpret, mode):
+    """3D fused-kernel drivers (ops/binned_kernels3d.py), or None where
+    ineligible.  Window/probes/thermal stay on the XLA slot path in 3D;
+    aux rows ride the kernel as in 2D."""
+    import os
+    n_sp = len(cfg.species)
+    if cfg.move_window or getattr(cfg, "probe_plans", ()):
+        return [None] * n_sp
+    if not interpret and jax.default_backend() != "tpu" and mode != "1":
+        return [None] * n_sp
+    from ..ops.binned_kernels3d import pick_b, PallasBinned3D
+    BX = pick_b(plan.n[0], (4, 8, 2))
+    BY = pick_b(plan.n[1], (8, 16, 4))
+    if BX is None or BY is None:
+        return [None] * n_sp
+    # VMEM bound: the 3K rebin candidate set is the high-water mark
+    K = cfg.bin_k
+    cand_bytes = 3 * K * BX * BY * plan.n[2] * 4 * (10 + plan.n_aux)
+    if cand_bytes > 10 * 1024 * 1024:
+        return [None] * n_sp
+    kernel_bcs = (const.BC.PERIODIC, const.BC.OPEN, const.BC.REFLECT)
+    out = []
+    for sp in cfg.species:
+        if sp.immobile or sp.species_type == const.SpeciesType.PHOTON:
+            out.append(None)
+        elif any(bc not in kernel_bcs for bc in sp.bc_particle[:6]):
+            out.append(None)
+        else:
+            out.append(PallasBinned3D(plan, sp, cfg, interpret=interpret,
+                                      n_extra=plan.n_aux))
+    return out
+
+
 def push_deposit_pallas(engine, fwin, binned, plan, sp=None, shift=None,
-                        probes=None):
+                        probes=None, seed=None):
     """Fused-kernel variant of push_deposit_binned; returns per-stripe
     partial currents (callers sum over species, then fold once).
 
@@ -778,7 +877,8 @@ def push_deposit_pallas(engine, fwin, binned, plan, sp=None, shift=None,
         dinit = probe_entry_distances(binned, plan, probes)
         extra = dinit if extra is None \
             else jnp.concatenate([extra, dinit], axis=0)
-    out, jpart, extra_out = engine(fwin, binned, shift=shift, extra=extra)
+    out, jpart, extra_out = engine(fwin, binned, shift=shift, extra=extra,
+                                   seed=seed)
     probe_recs = None
     if extra_out is not None:
         if n_aux:
@@ -933,7 +1033,7 @@ def gather_fields_binned(fpad, xi_stack, plan,
         bits = tuple(int(STAGGER[nm][d]) for d in range(nd))
         acc = None
         for otup, ww in wprods(bits).items():
-            sl = tuple(slice(gpad + otup[d], gpad + otup[d] + plan.n[d])
+            sl = tuple(slice(gpad + otup[d], gpad + otup[d] + plan.ns[d])
                        for d in range(nd))
             term = ww * fpad[(k,) + sl][None]
             acc = term if acc is None else acc + term
@@ -950,13 +1050,13 @@ def deposit_scalar_binned(vals, xi_stack, plan):
     nd = plan.nd
     cf1 = [-xi_stack[d] for d in range(nd)]
     M = 1
-    spad = jnp.zeros(tuple(n + 2 for n in plan.n), vals.dtype)
+    spad = jnp.zeros(tuple(n + 2 for n in plan.ns), vals.dtype)
     for otup in itertools.product((-1, 0, 1), repeat=nd):
         ww = vals
         for d in range(nd):
             ww = ww * _tri_const(cf1[d], otup[d])
         v = jnp.sum(ww, axis=0)
-        sl = tuple(slice(M + otup[d], M + otup[d] + plan.n[d])
+        sl = tuple(slice(M + otup[d], M + otup[d] + plan.ns[d])
                    for d in range(nd))
         spad = spad.at[sl].add(v)
     return spad * plan.fac
@@ -968,6 +1068,7 @@ def scalar_pad_to_padded(spad, plan, grid):
     boundaries.current_summation_bcs exactly as the scatter path."""
     ng = grid.ng
     out = jnp.zeros(grid.padded_shape(), spad.dtype)
+    spad = spad[tuple(slice(0, plan.n[d] + 2) for d in range(plan.nd))]
     region = tuple(slice(ng - 1, ng + plan.n[d] + 1)
                    for d in range(plan.nd))
     return out.at[region].set(spad)
@@ -979,6 +1080,7 @@ def gather_centred_binned(pad2, xi_stack, plan):
     has 2 ghost cells per side (padded[ng-2 : ng+n+2]); requires
     post-rebin ξ."""
     nd = plan.nd
+    pad2 = _pad_to_ns(pad2, plan, 0)
     cf1 = [-xi_stack[d] for d in range(nd)]
     gpad = 2
     acc = None
@@ -987,7 +1089,7 @@ def gather_centred_binned(pad2, xi_stack, plan):
         for d in range(nd):
             wd = _tri_const(cf1[d], otup[d])
             ww = wd if ww is None else ww * wd
-        sl = tuple(slice(gpad + otup[d], gpad + otup[d] + plan.n[d])
+        sl = tuple(slice(gpad + otup[d], gpad + otup[d] + plan.ns[d])
                    for d in range(nd))
         term = ww * pad2[sl][None]
         acc = term if acc is None else acc + term

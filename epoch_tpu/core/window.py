@@ -137,28 +137,40 @@ def _shift_masked(state: SimState, cfg, shifted) -> SimState:
     new_species = []
     for i, (sp_cfg, slab) in enumerate(zip(cfg.species, state.species)):
         plan = cfg.window_plans[i]
-        # clear the wrapped column (departed cell 0 — remove_particles,
-        # window.F90:324) and refill it as incoming cell nx−1
+        # pending-shift columns: array col c = (new) cell c−1 until the
+        # next push's rebin consumes the relabel.  The departed cell 0
+        # is col 0; the incoming cell nx−1 is col 0 via the rebin's
+        # wrap on aligned grids, or the first dead pad column (a real
+        # array column, BinnedPlan.ns) on padded ones.  remove_particles
+        # culls everything left of the user domain — the whole x_min
+        # CPML layer — at each shift (window.F90:76,322-342): cells
+        # [0, th) = cols [1, th+1).
+        pad = slab.w.shape[1] - cfg.grid.n[0]
+        rcol = cfg.grid.n[0] if pad > 0 else 0
+        thL = cfg.grid.cpml_thickness
+        cull = jnp.arange(slab.w.shape[1]) < (thL + 1)
         cleared = slab._replace(
-            w=slab.w.at[:, 0].set(
-                jnp.where(shifted, 0.0, slab.w[:, 0])))
+            w=jnp.where(shifted & cull[None, :] if slab.w.ndim == 2
+                        else shifted & cull[None, :, None],
+                        0.0, slab.w))
         if plan["max_new"] > 0 and plan["density"] is not None:
             key = jax.random.fold_in(
                 jax.random.fold_in(state.rng, new_offset), i)
             refilled = _insert_column_binned(
                 cleared, plan, cfg, new_offset, state.time, key,
-                cfg.window_plans, col=0)
-            slab = slab._replace(
-                w=slab.w.at[:, 0].set(
-                    jnp.where(shifted, refilled.w[:, 0], slab.w[:, 0])),
-                xi=slab.xi.at[:, :, 0].set(
-                    jnp.where(shifted, refilled.xi[:, :, 0],
-                              slab.xi[:, :, 0])),
-                p=slab.p.at[:, :, 0].set(
-                    jnp.where(shifted, refilled.p[:, :, 0],
-                              slab.p[:, :, 0])),
-                n_dropped=slab.n_dropped + jnp.where(
-                    shifted, refilled.n_dropped - slab.n_dropped, 0),
+                cfg.window_plans, col=rcol)
+            slab = cleared._replace(
+                w=cleared.w.at[:, rcol].set(
+                    jnp.where(shifted, refilled.w[:, rcol],
+                              cleared.w[:, rcol])),
+                xi=cleared.xi.at[:, :, rcol].set(
+                    jnp.where(shifted, refilled.xi[:, :, rcol],
+                              cleared.xi[:, :, rcol])),
+                p=cleared.p.at[:, :, rcol].set(
+                    jnp.where(shifted, refilled.p[:, :, rcol],
+                              cleared.p[:, :, rcol])),
+                n_dropped=cleared.n_dropped + jnp.where(
+                    shifted, refilled.n_dropped - cleared.n_dropped, 0),
             )
         else:
             slab = cleared
@@ -235,19 +247,26 @@ def _shift_once(state: SimState, cfg, pending_ok: bool = False) -> SimState:
         for i, (sp_cfg, slab) in enumerate(zip(cfg.species, state.species)):
             plan = cfg.window_plans[i]
             if hasattr(slab, "xi"):      # binned engine
+                pad = slab.w.shape[1] - grid.n[0]
+                thL = grid.cpml_thickness
                 if roll_binned:
-                    # roll the slot grid; refill the (new) last column
+                    # roll the slot grid; refill the (new) last real
+                    # column (inside the CPML layer under cpml_outflow,
+                    # window.F90:227,243)
                     slab = _shift_binned(slab, plan, cfg, new_offset,
                                          state.time)
-                    col = -1
+                    col = grid.n[0] - 1
                 else:
                     # pending-shift: the next push's rebin routing does
-                    # the relabel — only clear + refill the wrapped
-                    # column (array col 0 = incoming cell nx−1; its old
-                    # content is the departed cell 0, removed here
-                    # exactly as remove_particles, window.F90:324)
-                    slab = slab._replace(w=slab.w.at[:, 0].set(0.0))
-                    col = 0
+                    # the relabel — clear the departed cell 0 (col 0)
+                    # plus the x_min CPML layer (remove_particles culls
+                    # below the user domain each shift, window.F90:76,
+                    # 322-342), and refill the incoming cell nx−1 at
+                    # the wrap column (aligned grids) or the staging
+                    # pad column (padded grids)
+                    slab = slab._replace(
+                        w=slab.w.at[:, :thL + 1].set(0.0))
+                    col = grid.n[0] if pad > 0 else 0
                 if plan["max_new"] > 0 and plan["density"] is not None:
                     # key derived from (rng, offset, species) WITHOUT
                     # advancing the stream: identical refills whether the
@@ -301,6 +320,11 @@ def _shift_binned(b, plan, cfg, new_offset, time):
     aux = jnp.roll(b.aux, -1, axis=2) if b.aux is not None else b.aux
     # clear the wrapped-in column (old column 0 = departed particles)
     w = w.at[:, -1].set(0.0)
+    # remove_particles culls everything left of the user domain — the
+    # whole x_min CPML layer — at each shift (window.F90:76,322-342)
+    thL = cfg.grid.cpml_thickness
+    if thL:
+        w = w.at[:, :thL].set(0.0)
     return b._replace(w=w, xi=xi, p=p, aux=aux)
 
 

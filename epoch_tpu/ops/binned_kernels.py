@@ -68,11 +68,48 @@ def _w_sel(cf, o: int, base, base_vals):
 # for semantics; here with a global-cell-index array so stripe halos work)
 # ---------------------------------------------------------------------------
 
-def _bc_axis(xi_list, p_list, w, d, bc_lo, bc_hi, kb_lo, kb_hi, gidx):
-    """Apply open/reflect BCs along axis d.  ``gidx``: global cell index,
-    broadcastable against w (signed: halo columns outside [0, n) kill
-    automatically under a bounded BC).  bc values are BC enums."""
+_I32 = lambda v: jnp.int32(np.uint32(v).view(np.int32) if v > 0x7fffffff
+                           else v)
+
+
+def _hash_u01(seed, pid, salt: int, shape, dtype):
+    """Counter-based uniform (0,1) field: murmur3-finalizer hash of
+    (element index, stripe id, per-site salt, per-step seed).
+
+    Pure integer jnp ops — identical streams under Mosaic and interpret
+    mode (the pltpu hardware PRNG has no interpret lowering), so thermal
+    resampling is testable on CPU and reproducible.  24 mantissa bits;
+    the +2⁻²⁵ offset keeps log() finite."""
+    lin = jnp.zeros((), jnp.int32)
+    for d, s in enumerate(shape):
+        lin = lin * jnp.int32(s) \
+            + jax.lax.broadcasted_iota(jnp.int32, shape, d)
+    x = lin + _I32(0x9E3779B9) * jnp.int32(salt)
+    x = x + jnp.asarray(seed, jnp.int32) * _I32(2654435761)
+    x = x + jnp.asarray(pid, jnp.int32) * jnp.int32(97787)
+    s16 = jnp.int32(16)
+    for m in (0x7feb352d, 0x846ca68b):
+        x = x ^ jax.lax.shift_right_logical(x, s16)
+        x = x * _I32(m)
+    x = x ^ jax.lax.shift_right_logical(x, s16)
+    u24 = jax.lax.shift_right_logical(x, jnp.int32(8))
+    return u24.astype(dtype) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+
+
+def _bc_axis(xi_list, p_list, w, d, bc_lo, bc_hi, kb_lo, kb_hi, gidx,
+             thermal=None):
+    """Apply open/reflect/thermal BCs along axis d.  ``gidx``: global cell
+    index, broadcastable against w (signed: halo columns outside [0, n)
+    kill automatically under a bounded BC).  bc values are BC enums.
+
+    ``thermal``: (sigmas_lo, sigmas_hi, rand) — per-component momentum
+    sigmas √(kB·T·m) (static floats) for THERMAL/HEAT_BATH sides plus a
+    ``rand(salt, shape) -> uniform(0,1)`` callback (see _hash_u01), or
+    None.  The crossing particle reflects and its momentum is resampled
+    from the boundary heat bath (boundary.F90:664-694): flux-Maxwellian
+    (Rayleigh) inward along the axis, Maxwellian transverse."""
     from .. import constants as const
+    TH = (const.BC.THERMAL, const.BC.HEAT_BATH)
     alive = w > 0
     for hi_side, bc in ((False, bc_lo), (True, bc_hi)):
         if bc == const.BC.PERIODIC:
@@ -91,6 +128,31 @@ def _bc_axis(xi_list, p_list, w, d, bc_lo, bc_hi, kb_lo, kb_hi, gidx):
         if bc == const.BC.REFLECT:
             xi_list[d] = jnp.where(crossing, refl, xa)
             p_list[d] = jnp.where(crossing, -p_list[d], p_list[d])
+            w = jnp.where(inside_kill & alive, 0.0, w)
+        elif bc in TH and thermal is not None:
+            sig = thermal[1 if hi_side else 0]
+            rand = thermal[2]
+            sgn = 1.0 if hi_side else -1.0
+            dt_ = w.dtype
+            s0 = 3 * (1 if hi_side else 0)
+            u1 = rand(s0 + 0, w.shape)
+            u2 = rand(s0 + 1, w.shape)
+            u3 = rand(s0 + 2, w.shape)
+            # Box–Muller pair for the two transverse Maxwellians,
+            # Rayleigh inversion for the inward flux component
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            ang = (2.0 * np.pi) * u2
+            normals = (r * jnp.cos(ang), r * jnp.sin(ang))
+            ray = jnp.sqrt(-2.0 * jnp.log(u3))
+            xi_list[d] = jnp.where(crossing, refl, xa)
+            ti = 0
+            for comp in range(3):
+                if comp == d:
+                    newp = (-sgn * float(sig[comp])) * ray
+                else:
+                    newp = float(sig[comp]) * normals[ti]
+                    ti += 1
+                p_list[comp] = jnp.where(crossing, newp, p_list[comp])
             w = jnp.where(inside_kill & alive, 0.0, w)
         else:   # OPEN
             w = jnp.where(crossing | (inside_kill & alive), 0.0, w)
@@ -242,7 +304,8 @@ def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop,
 
 def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                     interpret=False, with_window=False,
-                    n_extra=0, probe_specs=()):
+                    n_extra=0, probe_specs=(), with_xoff=False,
+                    nx_global=None, pad_x=0):
     """Build the fused per-species pallas_call (2D).
 
     One kernel per stripe does the full reference hot loop
@@ -304,6 +367,7 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
     W = len(offsets)
     M = -offsets[0]
     nx = nxb * BX
+    nxg = nx_global if nx_global is not None else nx
     from ..core.boundaries import STAGGER
     names = ("ex", "ey", "ez", "bx", "by", "bz")
     stag_bits = {nm: tuple(int(STAGGER[nm][d]) for d in range(nd))
@@ -313,6 +377,31 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
     bounded = any(b != PER for b in bc)
     bounded_x = bc[0] != PER or bc[1] != PER
     bounded_y = bc[2] != PER or bc[3] != PER
+    TH = (const.BC.THERMAL, const.BC.HEAT_BATH)
+    any_thermal = any(b in TH for b in bc)
+    if any_thermal:
+        from ..core.boundaries import _ext_temp
+
+        def _sig(bd):
+            temps = _ext_temp(sp, bd)
+            return tuple(float(np.sqrt(max(float(t), 0.0)
+                                       * const.kb * mass)) for t in temps)
+        th_sig = tuple(_sig(bd) for bd in range(4))
+    # unique static salt base per thermal _bc_axis call site (the hash
+    # streams must differ between the rebin-time, halo-view and
+    # end-of-push applications)
+    _salt_ctr = [0]
+
+    def _mk_thermal(axis, sd, i):
+        if not any_thermal \
+                or (bc[2 * axis] not in TH and bc[2 * axis + 1] not in TH):
+            return None
+        base = _salt_ctr[0]
+        _salt_ctr[0] += 8
+
+        def rand(salt, shape, base=base, sd=sd, i=i):
+            return _hash_u01(sd, i, base + salt, shape, dtype)
+        return (th_sig[2 * axis], th_sig[2 * axis + 1], rand)
     if with_window and not bounded_x:
         # the relabelling BC arithmetic relies on the signed-kill trick
         raise ValueError("window pending-shift needs non-periodic x BCs")
@@ -325,6 +414,10 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
     # > 3 at bench shapes, K=18)
     ROW_BLOCK = max(int(_os.environ.get("EPOCH_TPU_ROW_BLOCK",
                                         (K + 1) // 2)), 1)
+    # profiling-only phase ablation (results are WRONG under ablation):
+    # "nopush" times drift+rebin alone, "norebin" times push+deposit
+    # alone, "nodeposit" skips just the 25-offset deposition
+    ABLATE = _os.environ.get("EPOCH_TPU_KERNEL_ABLATE", "")
 
     n_probes = len(probe_specs)
     n_extra_out = n_extra + (n_probes + 1 if n_probes else 0)
@@ -340,8 +433,17 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         return xi0, xi1
 
     def kernel(flag_ref, *rest):
+        # deterministic thermal-RNG salt layout per trace (re-tracing
+        # must reproduce identical hash streams)
+        _salt_ctr[0] = 0
         if with_window:
             shift_ref = rest[0]
+            rest = rest[1:]
+        if any_thermal:
+            seed_ref = rest[0]
+            rest = rest[1:]
+        if with_xoff:
+            xoff_ref = rest[0]
             rest = rest[1:]
         rest = list(rest)
         w_ref, xi_ref, p_ref = rest[:3]
@@ -362,6 +464,8 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
 
         flag = flag_ref[i]
         sh = shift_ref[0] if with_window else None
+        sd = seed_ref[0] if any_thermal else None
+        xo = xoff_ref[0] if with_xoff else 0
 
         @pl.when(flag == 0)
         def _():
@@ -384,13 +488,13 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
 
         @pl.when(flag > 0)
         def _():
-            _live_body(i, sh, w_ref, xi_ref, p_ref, exi_ref, we_ref,
-                       xie_ref, pe_ref, exe_ref, f_ref, wo_ref, xio_ref,
-                       po_ref, exo_ref, j_ref, nd_ref)
+            _live_body(i, xo, sh, sd, w_ref, xi_ref, p_ref, exi_ref,
+                       we_ref, xie_ref, pe_ref, exe_ref, f_ref, wo_ref,
+                       xio_ref, po_ref, exo_ref, j_ref, nd_ref)
 
-    def _live_body(i, sh, w_ref, xi_ref, p_ref, exi_ref, we_ref, xie_ref,
-                   pe_ref, exe_ref, f_ref, wo_ref, xio_ref, po_ref,
-                   exo_ref, j_ref, nd_ref):
+    def _live_body(i, xo, sh, sd, w_ref, xi_ref, p_ref, exi_ref, we_ref,
+                   xie_ref, pe_ref, exe_ref, f_ref, wo_ref, xio_ref,
+                   po_ref, exo_ref, j_ref, nd_ref):
         # ---- phase 1: half-drift + rebin (particles.F90:234-257 + the
         # reference's implicit cell binning) ----
         w = w_ref[:]
@@ -400,16 +504,27 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         # (_bc_axis only touches indices < nd; the butterfly routes all)
         p = [p_ref[0], p_ref[1], p_ref[2]] \
             + [exi_ref[c] for c in range(n_extra)]
+        if ABLATE == "norebin":
+            _phase2(i, xo, sd, w, xi0, xi1, p[:3], p[3:], f_ref, wo_ref,
+                    xio_ref, po_ref, exo_ref, j_ref)
+            return
         xi0, xi1 = drift(w, xi0, xi1, *p)
         if bounded_x:
-            gx0 = i * BX + jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+            gx0 = xo + i * BX \
+                + jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
             if with_window:
-                # pending shift: array column c is grid cell c−sh; the
-                # wrapped column 0 is the freshly refilled cell nx−1
+                # pending shift: array column c is grid cell c−sh.  On an
+                # unpadded grid the wrapped column 0 is the freshly
+                # refilled cell nx−1; with pad columns the refill stages
+                # in column nx_real instead (window._insert_column_binned)
+                # — already labelled nx_real−1 by the plain c−sh rule —
+                # and column 0 (the departed cell) must NOT wrap alive.
                 gx0 = gx0 - sh
-                gx0 = jnp.where(gx0 < 0, gx0 + nx, gx0)
+                if pad_x == 0:
+                    gx0 = jnp.where(gx0 < 0, gx0 + nxg, gx0)
             xis, p, w = _bc_axis([xi0, xi1], p, w, 0, bc[0], bc[1],
-                                 kb[0][0], kb[0][1], gx0)
+                                 kb[0][0], kb[0][1], gx0,
+                                 thermal=_mk_thermal(0, sd, i))
             xi0, xi1 = xis
 
         def halo(side):
@@ -427,11 +542,12 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                 # refilled column (array col 0 → cell nx−1): nx−sh keeps
                 # it alive exactly when sh = 1.
                 off = (-1, BX, BX + 1)[side]
-                hg = jnp.asarray(i * BX + off, jnp.int32)
+                hg = jnp.asarray(xo + i * BX + off, jnp.int32)
                 if with_window:
                     hg = hg - sh
                 hxis, hp, hw = _bc_axis([hx0, hx1], hp, hw, 0, bc[0],
-                                        bc[1], kb[0][0], kb[0][1], hg)
+                                        bc[1], kb[0][0], kb[0][1], hg,
+                                        thermal=_mk_thermal(0, sd, i))
                 hx0, hx1 = hxis
             return (hw, hx0, hx1, *hp)
 
@@ -446,13 +562,32 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         if bounded_y:
             gy = jax.lax.broadcasted_iota(jnp.int32, w.shape, 2)
             xis, p, w = _bc_axis([xi0, xi1], p, w, 1, bc[2], bc[3],
-                                 kb[1][0], kb[1][1], gy)
+                                 kb[1][0], kb[1][1], gy,
+                                 thermal=_mk_thermal(1, sd, i))
             xi0, xi1 = xis
         w, xi0, xi1, p, ndrop = _axis_rebin(
             w, xi0, xi1, p, None, None, K, 1, ndrop)
         nd_ref[0, 0] = nd_ref[0, 0] + ndrop
         extras = p[3:]
         p = p[:3]
+        if ABLATE == "nopush":
+            j_ref[...] = jnp.zeros(j_ref.shape, j_ref.dtype)
+            wo_ref[:] = w
+            xio_ref[0] = xi0
+            xio_ref[1] = xi1
+            for c in range(3):
+                po_ref[c] = p[c]
+            if exo_ref is not None:
+                for c in range(n_extra):
+                    exo_ref[c] = extras[c]
+                for c in range(n_extra, n_extra_out):
+                    exo_ref[c] = jnp.zeros(w.shape, w.dtype)
+            return
+        _phase2(i, xo, sd, w, xi0, xi1, p, extras, f_ref, wo_ref,
+                xio_ref, po_ref, exo_ref, j_ref)
+
+    def _phase2(i, xo, sd, w, xi0, xi1, p, extras, f_ref, wo_ref,
+                xio_ref, po_ref, exo_ref, j_ref):
         if exo_ref is not None:
             for c in range(n_extra):
                 exo_ref[c] = extras[c]
@@ -488,10 +623,10 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
 
             @pl.when(jnp.any(wb > 0))
             def _(i=i, r0=r0, r1=r1, wb=wb, x0b=x0b, x1b=x1b, pb=pb):
-                _push_block(i, r0, r1, wb, x0b, x1b, pb, f_ref,
+                _push_block(i, xo, sd, r0, r1, wb, x0b, x1b, pb, f_ref,
                             wo_ref, xio_ref, po_ref, exo_ref, j_ref)
 
-    def _push_block(i, r0, r1, w, xi0, xi1, p, f_ref,
+    def _push_block(i, xo, sd, r0, r1, w, xi0, xi1, p, f_ref,
                     wo_ref, xio_ref, po_ref, exo_ref, j_ref):
         alive = w > 0
         xi = [xi0, xi1]
@@ -578,7 +713,7 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         if n_probes:
             # signed end-of-step plane distances at the PRE-BC position
             # (particles.F90:518-557 captures before particle_bcs)
-            gxc = (i * BX + jax.lax.broadcasted_iota(
+            gxc = (xo + i * BX + jax.lax.broadcasted_iota(
                 jnp.int32, w.shape, 1)).astype(w.dtype)
             gyc = jax.lax.broadcasted_iota(
                 jnp.int32, w.shape, 2).astype(w.dtype)
@@ -607,16 +742,18 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
             if not bounded:
                 return xi_out, p_out, w_out
             if bc[0] != PER or bc[1] != PER:
-                gx = i * BX + jax.lax.broadcasted_iota(
+                gx = xo + i * BX + jax.lax.broadcasted_iota(
                     jnp.int32, w.shape, 1)
                 xi_out, p_out, w_out = _bc_axis(
                     xi_out, p_out, w_out, 0, bc[0], bc[1],
-                    kb[0][0], kb[0][1], gx)
+                    kb[0][0], kb[0][1], gx,
+                    thermal=_mk_thermal(0, sd, i))
             if bc[2] != PER or bc[3] != PER:
                 gy = jax.lax.broadcasted_iota(jnp.int32, w.shape, 2)
                 xi_out, p_out, w_out = _bc_axis(
                     xi_out, p_out, w_out, 1, bc[2], bc[3],
-                    kb[1][0], kb[1][1], gy)
+                    kb[1][0], kb[1][1], gy,
+                    thermal=_mk_thermal(1, sd, i))
             return xi_out, p_out, w_out
 
         if sp.zero_current or sp.immobile:
@@ -733,17 +870,30 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         jax.ShapeDtypeStruct((nxb, 3, BX + 2 * M, NY + 2 * M), dtype),
         jax.ShapeDtypeStruct((1, 1), jnp.int32),
     )
+    n_scal = 1 + (1 if with_window else 0) + (1 if any_thermal else 0) \
+        + (1 if with_xoff else 0)
+    # donate the slot state into its outputs: without this XLA
+    # double-buffers w/xi/p around the custom call inside the scan carry
+    # (~90 µs/step of pure HBM copies at bench shapes)
+    io_aliases = {n_scal + 0: 0, n_scal + 1: 1, n_scal + 2: 2}
+    if n_extra and not n_probes:
+        io_aliases[n_scal + 3] = 3
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2 if with_window else 1,
+            num_scalar_prefetch=n_scal,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
         ),
         out_shape=out_shape,
+        input_output_aliases=io_aliases,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # the default 16 MiB scoped-vmem cap trips at NY ≳ 300 (the
+            # 3K-slot rebin candidates + double-buffered payload blocks
+            # scale with NY); real VMEM is far larger on current chips
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -752,13 +902,17 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
 # XLA-side driver
 # ---------------------------------------------------------------------------
 
-def pick_bx(nx):
+def pick_bx(nx, mosaic=True):
+    """Stripe width: Mosaic requires the sublane block dim be a multiple
+    of 8 (BinnedPlan.ns pads bounded-x grids to guarantee one exists);
+    interpret mode (CPU tests, tiny grids) may use narrower stripes."""
     import os
     env = os.environ.get("EPOCH_TPU_BX")
     if env:
         bx = int(env)
         return bx if nx % bx == 0 and nx // bx >= 2 else None
-    for bx in (8, 16, 4, 2):
+    cands = (8, 16) if mosaic else (8, 16, 4, 2)
+    for bx in cands:
         if nx % bx == 0 and nx // bx >= 2:
             return bx
     return None
@@ -768,12 +922,21 @@ class PallasBinned:
     """Per-(species, config) fused kernel + the XLA glue."""
 
     def __init__(self, plan, sp, cfg, interpret=False, with_window=False,
-                 n_extra=0, probe_specs=()):
+                 n_extra=0, probe_specs=(), spmd_axis=None, mesh_n=1):
+        """``spmd_axis``: mesh axis name when running per-shard inside a
+        shard_map over grid-x (parallel/spmd_push.py) — halo columns at
+        shard edges then come from lax.ppermute ring exchanges, and the
+        kernel receives the shard's global x offset as a scalar so
+        boundary / window cell arithmetic stays global."""
         self.plan = plan
         self.sp = sp
         self.K = cfg.bin_k
-        self.nx, self.ny = plan.n
-        self.BX = pick_bx(self.nx)
+        self.spmd_axis = spmd_axis
+        self.mesh_n = mesh_n
+        self.nx_global, self.ny = plan.ns     # slot-grid (padded) extents
+        self.nx_real = plan.n[0]              # physical cells
+        self.nx = self.nx_global // mesh_n
+        self.BX = pick_bx(self.nx, mosaic=not interpret)
         self.nxb = self.nx // self.BX
         dtype = jnp.dtype(cfg.dtype)
         self.dtype = dtype
@@ -784,37 +947,83 @@ class PallasBinned:
         self.n_extra_out = n_extra + (self.n_probes + 1
                                       if self.n_probes else 0)
         bc = tuple(sp.bc_particle[:4])
+        self.any_thermal = any(
+            b in (const.BC.THERMAL, const.BC.HEAT_BATH) for b in bc)
         self.fused = make_fused_push(
             self.K, self.BX, self.ny, self.nxb, plan, sp, dtype, bc=bc,
             interpret=interpret, with_window=with_window,
-            n_extra=n_extra, probe_specs=probe_specs)
+            n_extra=n_extra, probe_specs=probe_specs,
+            with_xoff=spmd_axis is not None, nx_global=self.nx_global,
+            pad_x=self.nx_global - self.nx_real)
         self.n_halo = 3 if with_window else 2
 
     def halo_cols(self, a, axis):
         """Halo columns per stripe along grid-x ``axis`` →
         shape [..., nxb, n_halo, NY].
 
-        Reshape + unit slice + a one-stripe roll, NOT a gather (neither a
-        take() nor a BX-strided slice — both lower to HLO gathers whose
-        layout preference makes XLA carry the whole slot state x-minor,
-        inserting ~14 MB layout-conversion copies around the kernel every
-        step).  The columns are {i·BX−1}, {(i+1)·BX}, {(i+1)·BX+1} mod
-        nx: column c of every stripe is the row-major reshape
-        (..., nxb, BX, ny)[..., c, :], rolled by one stripe."""
+        Strided lax.slice + a one-stripe roll, NOT a reshape and NOT a
+        gather: the round-2 reshape formulation made XLA materialise the
+        whole slot state in a column-major layout (a ~24 MB transpose
+        copy per species per step, HLO copy.97-101) just to read 3
+        columns; a strided static slice reads only what it writes.  The
+        columns are {i·BX−1}, {(i+1)·BX}, {(i+1)·BX+1} mod nx."""
+        import os
         BX = self.BX
-        pre = a.shape[:axis]
-        post = a.shape[axis + 1:]
-        ar = a.reshape(pre + (self.nxb, BX) + post)
+        nd_ = a.ndim
+        impl = os.environ.get("EPOCH_TPU_HALO", "reshape")
 
         def stripecol(col0):
-            idx = (slice(None),) * (axis + 1) + (col0,)
-            return ar[idx]
+            if impl == "slice":
+                starts = [0] * nd_
+                limits = list(a.shape)
+                strides = [1] * nd_
+                starts[axis] = col0
+                strides[axis] = BX
+                return jax.lax.slice(a, starts, limits, strides)
+            pre = a.shape[:axis]
+            post = a.shape[axis + 1:]
+            ar = a.reshape(pre + (self.nxb, BX) + post)
+            return ar[(slice(None),) * (axis + 1) + (col0,)]
 
-        left = jnp.roll(stripecol(BX - 1), 1, axis=axis)
-        right = jnp.roll(stripecol(0), -1, axis=axis)
-        cols = [left, right]
-        if self.with_window:
-            cols.append(jnp.roll(stripecol(1), -1, axis=axis))
+        def tk(lo, hi):
+            sl = [slice(None)] * nd_
+            sl[axis] = slice(lo, hi)
+            return tuple(sl)
+
+        if self.spmd_axis is None:
+            left = jnp.roll(stripecol(BX - 1), 1, axis=axis)
+            right = jnp.roll(stripecol(0), -1, axis=axis)
+            cols = [left, right]
+            if self.with_window:
+                cols.append(jnp.roll(stripecol(1), -1, axis=axis))
+        else:
+            # per-shard: the edge stripes' halo columns come from the
+            # neighbouring shard over ICI (the analogue of the reference
+            # particle exchange, boundary.F90:948-1354).  Ring permutes
+            # implement global periodic wrap; bounded domains kill the
+            # wrapped columns via the signed global cell index (xoff).
+            n = self.mesh_n
+            ax = self.spmd_axis
+            to_right = [(i, (i + 1) % n) for i in range(n)]
+            to_left = [(i, (i - 1) % n) for i in range(n)]
+
+            def from_left_nb(col):
+                return jax.lax.ppermute(col[tk(-1, None)], ax, to_right)
+
+            def from_right_nb(col):
+                return jax.lax.ppermute(col[tk(0, 1)], ax, to_left)
+
+            cL = stripecol(BX - 1)
+            left = jnp.concatenate([from_left_nb(cL), cL[tk(None, -1)]],
+                                   axis=axis)
+            c0 = stripecol(0)
+            right = jnp.concatenate([c0[tk(1, None)], from_right_nb(c0)],
+                                    axis=axis)
+            cols = [left, right]
+            if self.with_window:
+                c1 = stripecol(1)
+                cols.append(jnp.concatenate(
+                    [c1[tk(1, None)], from_right_nb(c1)], axis=axis))
         return jnp.stack(cols, axis=axis + 1)
 
     def make_fwin(self, fpad):
@@ -828,6 +1037,11 @@ class PallasBinned:
         BX = self.BX
         nxb = self.nxb
         ny4 = fpad.shape[2]
+        # zero-extend the gather rows over the slot grid's dead pad
+        # columns (BinnedPlan.ns > grid.n on bounded-x unaligned grids)
+        missing = self.nx + 4 - fpad.shape[1]
+        if missing > 0:
+            fpad = jnp.pad(fpad, ((0, 0), (0, missing), (0, 0)))
         M2 = fpad.shape[1] - self.nx          # 2·margin (= 4)
         core = jnp.moveaxis(
             fpad[:, :self.nx].reshape(6, nxb, BX, ny4), 0, 1)
@@ -858,7 +1072,7 @@ class PallasBinned:
             ext = ext.at[:, g * BX:g * BX + self.nx].add(block)
         return ext[:, :self.nx + 2 * M]
 
-    def __call__(self, fwin, binned, shift=None, extra=None):
+    def __call__(self, fwin, binned, shift=None, extra=None, seed=None):
         """fwin from make_fwin.  Returns (new binned, jpart, extra_out).
 
         ``shift`` (with_window only): traced int32 scalar, 1 when a
@@ -884,13 +1098,20 @@ class PallasBinned:
         else:
             ins += [we, xie, pe]
         ins.append(fwin)
+        scal = [flags]
         if self.with_window:
             if shift is None:
                 shift = jnp.zeros((), jnp.int32)
-            sh1 = jnp.reshape(shift.astype(jnp.int32), (1,))
-            outs = self.fused(flags, sh1, *ins)
-        else:
-            outs = self.fused(flags, *ins)
+            scal.append(jnp.reshape(shift.astype(jnp.int32), (1,)))
+        if self.any_thermal:
+            if seed is None:
+                seed = jnp.zeros((), jnp.int32)
+            scal.append(jnp.reshape(seed.astype(jnp.int32), (1,)))
+        if self.spmd_axis is not None:
+            xoff = jax.lax.axis_index(self.spmd_axis).astype(jnp.int32) \
+                * self.nx
+            scal.append(jnp.reshape(xoff, (1,)))
+        outs = self.fused(*scal, *ins)
         if self.n_extra_out:
             new_w, new_xi, new_p, extra_out, jpart, ndrop = outs
         else:

@@ -88,7 +88,7 @@ def test_bounded_engines_agree(nd, bc_name):
         x=slab.x.at[:NP].set(x0), p=slab.p.at[:NP].set(p0),
         weight=slab.weight.at[:NP].set(w0),
         alive=slab.alive.at[:NP].set(True))
-    bm = binmod.bin_from_arrays(x0, p0, w0, grid, K=32)
+    bm = binmod.bin_from_arrays(x0, p0, w0, grid, K=32, ns=bplan.ns)
     fpad = binmod.make_fpad(fj, grid)
     periodic = tuple(d != 0 for d in range(nd))
 

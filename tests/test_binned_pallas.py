@@ -186,6 +186,83 @@ def test_pallas_probe_capture_matches_xla(tmp_path, monkeypatch):
     assert int(st_x.probe_dropped[0]) == 0
 
 
+THERMAL_DECK_2D = """
+begin:control
+  bin_headroom = 6.0
+  nx = 48
+  ny = 8
+  t_end = 1.0
+  nsteps = 80
+  x_min = 0
+  x_max = 48e-6
+  y_min = 0
+  y_max = 8e-6
+end:control
+begin:boundaries
+  bc_x_min = thermal
+  bc_x_max = thermal
+  bc_y_min = periodic
+  bc_y_max = periodic
+end:boundaries
+begin:species
+  name = electron
+  charge = -1
+  mass = 1.0
+  number_density = 1e20
+  nparticles_per_cell = 4
+  drift_px = 3e-23
+  temperature_ev = if(abs(x - 24e-6) gt 20e-6, 4000, 1)
+end:species
+begin:output
+  dt_snapshot = 1
+end:output
+"""
+
+
+def test_pallas_thermal_bc_matches_xla(tmp_path, monkeypatch):
+    """Thermal walls on the fused kernel: the in-kernel counter-hash RNG
+    resamples wall crossings (boundary.F90:664-694).  RNG streams differ
+    from the XLA engine's jax.random draws, so the comparison is
+    statistical: particle count exactly conserved, wall heating
+    comparable."""
+    from epoch_tpu.core import Simulation
+
+    def run(mode):
+        monkeypatch.setenv("EPOCH_TPU_PALLAS", mode)
+        d = tmp_path / f"th{mode}"
+        d.mkdir(exist_ok=True)
+        (d / "input.deck").write_text(THERMAL_DECK_2D)
+        sim = Simulation(str(d / "input.deck"), seed=5)
+        assert sim.cfg.engine == "binned"
+        if mode == "interpret":
+            from epoch_tpu.core.step import make_step_functions
+            eng = binmod.make_pallas_engines(
+                sim.cfg, binmod.BinnedPlan(sim.cfg), interpret=True)
+            assert eng[0] is not None and eng[0].any_thermal
+        st = sim.run(max_steps=80)
+        return sim, st
+
+    sim_p, st_p = run("interpret")
+    sim_x, st_x = run("0")
+
+    def stats(st):
+        s = st.species[0]
+        live = s.w > 0
+        n = int(jnp.sum(live))
+        p2 = jnp.where(live[None], s.p, 0.0) ** 2
+        return n, float(jnp.sum(p2)) / max(n, 1)
+
+    n_p, e_p = stats(st_p)
+    n_x, e_x = stats(st_x)
+    n0 = 48 * 8 * 4
+    assert int(st_p.species[0].n_dropped) == 0
+    assert n_p == n0, "pallas thermal wall lost particles"
+    assert n_x == n0
+    p_1ev2 = const.m0 * const.kb * 11604.5
+    assert e_p > 20.0 * p_1ev2, (e_p, p_1ev2)
+    assert abs(e_p - e_x) / e_x < 0.5, (e_p, e_x)
+
+
 WINDOW_DECK = """
 begin:control
   nx = 64
