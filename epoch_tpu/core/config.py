@@ -124,7 +124,16 @@ class SimConfig:
     dump_absorption: bool = False  # 'absorption' output requested
     probe_plans: tuple = ()        # per-probe static descriptors
     particle_push_start_time: float = 0.0
+    # delayed-window-start BC swap (window.F90:358-368): the full
+    # post-move bc_field tuple, or None when no swap is pending; the
+    # host loop re-builds the step set from it when the window starts
+    bc_field_after_move: Any = None
     deck: Any = None         # original DeckConfig (host-side only)
+    # device mesh for multi-chip runs (jax.sharding.Mesh) — the analogue
+    # of the reference's MPI communicator (mpi_routines.F90:44-172); set
+    # by make_sharded_step / the runner's decomposition.  The fused
+    # Pallas push shard_maps over the "x" axis when present.
+    mesh: Any = None
 
     @property
     def ndims(self) -> int:

@@ -148,7 +148,12 @@ def make_sharded_step(cfg, mesh: Mesh, axis: str = "x", state=None,
     """Jit the full step with state shardings pinned in AND out — without
     out_shardings GSPMD may leave outputs partially replicated (the 4×
     redundancy seen in round 1's dryrun)."""
+    import dataclasses
     from ..core import step as step_mod
+    # expose the mesh to the step builder: the fused Pallas push
+    # shard_maps over it (parallel/spmd_push.py) since GSPMD cannot
+    # partition a Pallas custom call
+    cfg = dataclasses.replace(cfg, mesh=mesh)
     fns = step_mod.make_step_functions(cfg)
 
     def full(state):

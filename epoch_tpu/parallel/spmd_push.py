@@ -1,0 +1,206 @@
+"""shard_map composition of the fused Pallas push with a device mesh.
+
+The GSPMD partitioner cannot split a Pallas custom call, so on a mesh the
+binned hot path runs under an explicit ``shard_map`` over the grid-x
+axis: each device pushes its slab of the slot grid with the fused kernel
+(ops/binned_kernels.py), halo columns at shard edges ride
+``lax.ppermute`` ring exchanges (the analogue of the reference particle
+exchange, ``boundary.F90:948-1354``), and the deposition margins are
+exchanged and summed the way ``processor_summation_bcs`` does
+(``boundary.F90:783-806``).  Everything outside the push (field solve,
+window, physics packages, IO reductions) stays under GSPMD with the
+pinned shardings of parallel/sharding.py.
+
+Scope: 1-D mesh over grid-x (mesh y-extent must be 1 for the fused
+kernel — grid-y is the kernel's lane axis).  Probe-instrumented species
+fall back to the XLA slot path (step.py selects per species).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+try:
+    from jax import shard_map                         # jax >= 0.8
+except ImportError:
+    from jax.experimental.shard_map import shard_map
+
+from .. import constants as const
+
+
+def spmd_pallas_eligible(cfg, plan, mesh, axis="x"):
+    """The fused kernel can shard over ``mesh``: x-only decomposition,
+    local nx still stripeable, grid-y untouched by the mesh."""
+    if mesh is None or "x" not in mesh.axis_names:
+        return False
+    for nm in mesh.axis_names:
+        if nm != "x" and mesh.shape[nm] != 1:
+            return False
+    n = mesh.shape["x"]
+    if n <= 1:
+        return False
+    from ..ops.binned_kernels import pick_bx
+    if plan.n[0] % n != 0:
+        return False
+    return pick_bx(plan.n[0] // n) is not None
+
+
+def make_spmd_push(cfg, plan, engines, mesh, with_window, axis="x"):
+    """Build the shard_map'd multi-species push.
+
+    ``engines``: per-species PallasBinned built with spmd_axis=axis and
+    mesh_n = mesh.shape[axis] (None for species that take the XLA path —
+    those must be handled by the caller; this block only pushes the
+    engine-backed species).
+
+    Returns ``push(fpad, species_binned, shift, seeds) ->
+    (new_binned_list, jpad_global, ndrop_list)`` where ``jpad_global`` is
+    the margin-padded (3, nx+2M, ny+2M) global deposition, ready for
+    jpad_to_padded + current_bcs exactly as the single-device path.
+    """
+    n = mesh.shape[axis]
+    M = 2
+    nx = plan.n[0]
+    ny = plan.n[1]
+    nxl = nx // n
+    periodic_x = all(
+        sp.bc_particle[d] == const.BC.PERIODIC
+        for sp in cfg.species for d in (0, 1)) and \
+        cfg.bc_field[0] == const.BC.PERIODIC
+    idx_engines = [(si, e) for si, e in enumerate(engines) if e is not None]
+    to_right = [(i, (i + 1) % n) for i in range(n)]
+    to_left = [(i, (i - 1) % n) for i in range(n)]
+
+    def local_fpad(f6, lghost, rghost):
+        """(6, nxl, ny+4) shard + global ghost strips → (6, nxl+4, ny+4).
+
+        Interior shard edges read the neighbour's first/last two columns
+        (ppermute); the outermost shards use the globally BC-filled ghost
+        strips."""
+        left_nb = jax.lax.ppermute(f6[:, -2:], axis, to_right)
+        right_nb = jax.lax.ppermute(f6[:, :2], axis, to_left)
+        ii = jax.lax.axis_index(axis)
+        left = jnp.where(ii == 0, lghost, left_nb)
+        right = jnp.where(ii == n - 1, rghost, right_nb)
+        return jnp.concatenate([left, f6, right], axis=1)
+
+    def exchange_j(jl):
+        """Per-shard margin exchange of the local fold result
+        (3, nxl+2M, ny+2M) → (core (3, nxl, ny+2M), outer margins)."""
+        ii = jax.lax.axis_index(axis)
+        lm = jl[:, :M]
+        rm = jl[:, M + nxl:]
+        recv_right = jax.lax.ppermute(lm, axis, to_left)
+        recv_left = jax.lax.ppermute(rm, axis, to_right)
+        core = jl[:, M:M + nxl]
+        add_l = recv_left if periodic_x else \
+            jnp.where(ii > 0, recv_left, 0.0)
+        add_r = recv_right if periodic_x else \
+            jnp.where(ii < n - 1, recv_right, 0.0)
+        core = core.at[:, :M].add(add_l)
+        core = core.at[:, -M:].add(add_r)
+        if periodic_x:
+            outer_l = jnp.zeros_like(lm)
+            outer_r = jnp.zeros_like(rm)
+        else:
+            outer_l = jax.lax.psum(jnp.where(ii == 0, lm, 0.0), axis)
+            outer_r = jax.lax.psum(jnp.where(ii == n - 1, rm, 0.0), axis)
+        return core, outer_l, outer_r
+
+    def shard_body(f6, lghost, rghost, shift, seeds, *binned_flat):
+        fpad_loc = local_fpad(f6, lghost, rghost)
+        fwin = idx_engines[0][1].make_fwin(fpad_loc)
+        outs = []
+        jpart_sum = None
+        ndrops = []
+        bi = 0
+        for (si, eng) in idx_engines:
+            w, xi, p, aux = binned_flat[4 * bi:4 * bi + 4]
+            bi += 1
+            from ..core.binned import BinnedSpecies
+            b = BinnedSpecies(xi=xi, p=p, w=w,
+                              n_dropped=jnp.zeros((), jnp.int32),
+                              aux=aux if plan.n_aux else None)
+            seed = seeds[si] if eng.any_thermal else None
+            sh = shift if eng.with_window else None
+            b2, jpart, extra_out = eng(fwin, b, shift=sh,
+                                       extra=b.aux, seed=seed)
+            aux_out = extra_out[:plan.n_aux] if plan.n_aux \
+                else jnp.zeros((0,) + w.shape, w.dtype)
+            outs.append((b2.w, b2.xi, b2.p, aux_out))
+            ndrops.append(jax.lax.psum(b2.n_dropped, axis))
+            if not eng.sp.zero_current:
+                jpart_sum = jpart if jpart_sum is None \
+                    else jpart_sum + jpart
+        if jpart_sum is not None:
+            jl = idx_engines[0][1].fold_jpart(jpart_sum)
+            core, outer_l, outer_r = exchange_j(jl)
+        else:
+            z = jnp.zeros((3, nxl, ny + 2 * M), f6.dtype)
+            core = z
+            outer_l = jnp.zeros((3, M, ny + 2 * M), f6.dtype)
+            outer_r = jnp.zeros((3, M, ny + 2 * M), f6.dtype)
+        flat = []
+        for t in outs:
+            flat.extend(t)
+        return (*flat, core, outer_l, outer_r, *ndrops)
+
+    # ---- shard_map specs ----
+    xs = P(None, "x", None)                 # (K|6|3, nx, ny)-like
+    xs2 = P(None, None, "x", None)          # (c, K, nx, ny)
+    repl = P()
+    in_specs = [xs, repl, repl, repl, repl]
+    out_specs = []
+    for (si, e) in idx_engines:
+        in_specs += [xs, xs2, xs2, xs2]
+        out_specs += [xs, xs2, xs2, xs2]
+    out_specs += [xs, repl, repl] + [repl] * len(idx_engines)
+    try:                                             # jax >= 0.8
+        sm = shard_map(shard_body, mesh=mesh,
+                       in_specs=tuple(in_specs),
+                       out_specs=tuple(out_specs), check_vma=False)
+    except TypeError:
+        sm = shard_map(shard_body, mesh=mesh,
+                       in_specs=tuple(in_specs),
+                       out_specs=tuple(out_specs), check_rep=False)
+
+    def push(fpad, species_binned, shift, seeds):
+        """``fpad``: global (6, nx+4, ny+4) ghost-sliced field stack;
+        ``species_binned``: full per-species list (engine-None entries
+        ignored); ``seeds``: per-species int32 seeds (or zeros).
+        Returns (updated engine-species dict si→BinnedSpecies,
+        jpad_global, ndrop per engine-species)."""
+        f6 = fpad[:, 2:-2]
+        lghost = fpad[:, :2]
+        rghost = fpad[:, -2:]
+        args = [f6, lghost, rghost,
+                jnp.asarray(shift if shift is not None else 0, jnp.int32),
+                jnp.stack([jnp.asarray(s, jnp.int32) for s in seeds])]
+        dtype = fpad.dtype
+        for (si, e) in idx_engines:
+            b = species_binned[si]
+            aux = b.aux if b.aux is not None else \
+                jnp.zeros((0,) + b.w.shape, dtype)
+            args += [b.w, b.xi, b.p, aux]
+        res = sm(*args)
+        k = 0
+        new = {}
+        for (si, e) in idx_engines:
+            w, xi, p, aux = res[k:k + 4]
+            k += 4
+            b = species_binned[si]
+            new[si] = b._replace(w=w, xi=xi, p=p,
+                                 aux=aux if plan.n_aux else None)
+        core, outer_l, outer_r = res[k:k + 3]
+        k += 3
+        ndrops = res[k:]
+        jpad = jnp.concatenate([outer_l, core, outer_r], axis=1)
+        for j, (si, e) in enumerate(idx_engines):
+            new[si] = new[si]._replace(
+                n_dropped=species_binned[si].n_dropped
+                + ndrops[j].astype(jnp.int32))
+        return new, jpad, ndrops
+
+    return push
