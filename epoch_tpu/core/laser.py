@@ -39,6 +39,13 @@ def laser_sources(cfg, bd, time, phases, dtype, ctx_coords):
     source1 = 0.0
     source2 = 0.0
     from . import loader
+    # add_laser gating (boundary.F90:41-49): sources inject only through
+    # a laser-type BC.  When the moving window replaces the boundary
+    # with an outflow BC (window.F90:358-368, applied at build time in
+    # sim.build_config) the attached lasers stop firing.
+    if cfg.bc_field[bd] not in (const.BC.SIMPLE_LASER,
+                                const.BC.CPML_LASER):
+        return source1, source2
     for i, las in enumerate(cfg.lasers):
         if las.boundary != bd:
             continue

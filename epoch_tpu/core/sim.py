@@ -124,15 +124,43 @@ def _expr_fn(expr):
 
 def build_config(deck: DeckConfig) -> SimConfig:
     # bc_*_after_move: the reference switches field BCs when the window
-    # starts (window.F90:358-368); with start_time = 0 that is build time.
-    # (Delayed starts with *different* after-move BCs would need a step
-    # re-build and are not yet supported.)
+    # starts (window.F90:358-368); with start_time <= 0 that is build
+    # time.  A delayed start records the post-move BC tuple in the
+    # config; the host loop swaps in a re-built step set when the window
+    # starts (Simulation.fns_for / Runner.run) — the jit-era analogue of
+    # the reference's mid-run setup_boundaries call.
     win0 = deck.window
-    if win0.move_window and win0.window_start_time <= 0.0:
-        if win0.bc_x_min_after_move is not None:
-            deck.boundaries.bc_field[0] = win0.bc_x_min_after_move
-        if win0.bc_x_max_after_move is not None:
-            deck.boundaries.bc_field[1] = win0.bc_x_max_after_move
+    bc_after_move = None
+    if win0.move_window:
+        after = [win0.bc_x_min_after_move, win0.bc_x_max_after_move]
+        if win0.window_start_time <= 0.0:
+            for i in (0, 1):
+                if after[i] is not None:
+                    deck.boundaries.bc_field[i] = after[i]
+        elif any(a is not None for a in after):
+            post = list(deck.boundaries.bc_field)
+            for i in (0, 1):
+                if after[i] is not None:
+                    post[i] = after[i]
+            # normalise like _normalise_bcs does for the pre-move set
+            for i in range(len(post)):
+                if post[i] in (const.BC.OTHER, const.BC.REFLECT):
+                    post[i] = const.BC.CLAMP
+                elif post[i] == const.BC.OPEN:
+                    post[i] = const.BC.SIMPLE_OUTFLOW
+            # the CPML layer is laid out at grid build: switching a
+            # boundary's cpml-ness mid-run would need a regrid, which
+            # the reference cannot do either (allocate_cpml_fields runs
+            # at setup) — reject it loudly rather than mis-absorb
+            for i in (0, 1):
+                pre_cpml = deck.boundaries.bc_field[i] in const.CPML_BCS
+                post_cpml = post[i] in const.CPML_BCS
+                if pre_cpml != post_cpml:
+                    raise ValueError(
+                        f"bc_{'x_min' if i == 0 else 'x_max'}_after_move "
+                        f"changes the boundary's CPML-ness; use a "
+                        f"matching cpml_*/simple_* pair")
+            bc_after_move = tuple(post)
     _normalise_bcs(deck)
     grid = make_grid(deck.control, deck.boundaries)
     solver = deck.control.maxwell_solver
@@ -245,6 +273,7 @@ def build_config(deck: DeckConfig) -> SimConfig:
         window_start_time=win.window_start_time,
         window_stop_time=win.window_stop_time,
         particle_push_start_time=deck.control.particle_tstart,
+        bc_field_after_move=bc_after_move,
         deck=deck,
     )
     if cfg.move_window:
@@ -442,13 +471,15 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
         # kmax directly (rounding up to 8 cost 25% at bench shapes)
         K = kmax
         cfg = dataclasses.replace(cfg, bin_k=K)
+        from .binned import BinnedPlan
+        ns = BinnedPlan(cfg).ns      # slot extents incl. pad columns
         for arrs in loaded:
             if arrs is None:
                 arrs = dict(x=np.zeros((0, grid.ndims)), p=np.zeros((0, 3)),
                             weight=np.zeros((0,)))
             slabs.append(bin_from_arrays(
                 arrs["x"], arrs["p"], arrs["weight"], grid, K,
-                n_aux=len(cfg.binned_aux)))
+                n_aux=len(cfg.binned_aux), ns=ns))
     else:
         # ionisation products need capacity headroom scaled by their sources
         ion_levels = []
@@ -618,6 +649,23 @@ class Simulation:
     def dt(self):
         return self.cfg.dt
 
+    def fns_for(self, state):
+        """Step set for the current time: once a delayed moving window
+        starts, the after-move BCs replace the boundary (the reference
+        re-runs setup_boundaries mid-run, window.F90:358-368); here that
+        is a second jitted step set built lazily at the crossing."""
+        cfg = self.cfg
+        if cfg.bc_field_after_move is None \
+                or float(state.time) < cfg.window_start_time:
+            return self.fns
+        if getattr(self, "_fns_post", None) is None:
+            cfg_post = dataclasses.replace(
+                cfg, bc_field=tuple(cfg.bc_field_after_move),
+                bc_field_after_move=None)
+            self._cfg_post = cfg_post
+            self._fns_post = step_mod.make_step_functions(cfg_post)
+        return self._fns_post
+
     def run(self, dump_callback=None, max_steps=None):
         """Main loop (epoch1d.F90:184-249).  ``dump_callback(sim, state)``
         is invoked at every mid-step output point and once at t=0."""
@@ -633,10 +681,11 @@ class Simulation:
             s = int(st.step)
             if (nsteps is not None and s >= nsteps) or t >= cfg.t_end:
                 break
-            st = self.fns["step_a"](st)
+            fns = self.fns_for(st)
+            st = fns["step_a"](st)
             if dump_callback is not None:
                 dump_callback(self, st)
-            st = self.fns["step_b"](st)
+            st = fns["step_b"](st)
         self.state = st
         if dump_callback is not None:
             dump_callback(self, st, last=True)

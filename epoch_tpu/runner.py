@@ -68,7 +68,7 @@ class Runner:
             # reference completes the step on restart (time += dt/2,
             # update_eb_fields_final, moving_window — epoch1d.F90:144-152),
             # so run the step_b half before entering the main loop
-            self.sim.state = self.sim.fns["step_b"](st)
+            self.sim.state = self.sim.fns_for(st)["step_b"](st)
         self.out = OutputManager(self.sim.cfg, self.sim.deck, data_dir,
                                  n_zeros=self.sim.deck.control.n_zeros)
         if rs:
@@ -115,7 +115,8 @@ class Runner:
             s = int(st.step)
             if (nsteps is not None and s >= nsteps) or t >= cfg.t_end:
                 break
-            st = sim.fns["step_a"](st)
+            fns = sim.fns_for(st)
+            st = fns["step_a"](st)
             s = int(st.step)
             if deck.control.use_nan_check:
                 self._nan_check(st)
@@ -127,7 +128,7 @@ class Runner:
                 # contain the current step, not the stale initial state
                 self.sim.state = st
                 halt = self._check_stop()
-            st = sim.fns["step_b"](st)
+            st = fns["step_b"](st)
         sim.state = st
         st = self.out.maybe_dump(sim, st, last=True)
         sim.state = st
