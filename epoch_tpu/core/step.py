@@ -73,6 +73,15 @@ def _interior_mask(cfg):
     return _interior_mask_cache[key]
 
 
+def _seed_from_key(key):
+    """Fold a PRNG key into the int32 seed of the fused kernel's
+    counter-based hash streams."""
+    kd = jax.random.key_data(key) if hasattr(jax.random, "key_data") \
+        else key
+    return jax.lax.bitcast_convert_type(
+        (kd[0] ^ kd[1]).astype(jnp.uint32), jnp.int32)
+
+
 def _append_probe_recs(probes, probe_dropped, sp_probes, recs):
     """Append probe crossing records; count capture-cap (top_k) and
     buffer-append drops (the reference keeps every crossing,
@@ -89,15 +98,28 @@ def _append_probe_recs(probes, probe_dropped, sp_probes, recs):
 
 def make_step_functions(cfg):
     """Build the jitted step halves, closing over the static config."""
+    import os
     plan = fld.FieldSolverPlan(cfg)
     pplan = psh.PushPlan(cfg)
     dt = cfg.dt
     dtype = cfg.dtype
 
+    # fused Maxwell half-updates (ops/field_kernels.py): one Pallas call
+    # per half instead of dozens of small XLA fusions; bit-identical math
+    from ..ops.field_kernels import (fused_fields_eligible,
+                                     make_field_half_kernel)
+    ff_interp = os.environ.get("EPOCH_TPU_FUSED_FIELDS") == "interpret"
+    if fused_fields_eligible(cfg, interpret=ff_interp):
+        upd_e = make_field_half_kernel(cfg, plan, "e", interpret=ff_interp)
+        upd_b = make_field_half_kernel(cfg, plan, "b", interpret=ff_interp)
+    else:
+        upd_e = lambda f, c: fld.update_e_field(f, cfg, plan, c)
+        upd_b = lambda f, c: fld.update_b_field(f, cfg, plan, c)
+
     def fields_half(state: SimState) -> SimState:
-        f, cpml = fld.update_e_field(state.fields, cfg, plan, state.cpml)
+        f, cpml = upd_e(state.fields, state.cpml)
         f = bnd.efield_bcs(f, cfg)
-        f, cpml = fld.update_b_field(f, cfg, plan, cpml)
+        f, cpml = upd_b(f, cpml)
         f = bnd.bfield_bcs(f, cfg, mpi_only=True)
         return state._replace(fields=f, cpml=cpml)
 
@@ -124,18 +146,32 @@ def make_step_functions(cfg):
         return state._replace(fields=f, lasers=lasers)
 
     def fields_final(state: SimState) -> SimState:
-        f, cpml = fld.update_b_field(state.fields, cfg, plan, state.cpml)
+        f, cpml = upd_b(state.fields, state.cpml)
         state = state._replace(fields=f, cpml=cpml)
         state = bfield_final_bcs(state, dt, state.time)
-        f, cpml = fld.update_e_field(state.fields, cfg, plan, state.cpml)
+        f, cpml = upd_e(state.fields, state.cpml)
         f = bnd.efield_bcs(f, cfg)
         return state._replace(fields=f, cpml=cpml)
 
     window_pending_ok = False
+    spmd_push = None
     if cfg.engine == "binned":
         from . import binned as binmod
         bplan = binmod.BinnedPlan(cfg)
-        pallas_engines = binmod.make_pallas_engines(cfg, bplan)
+        if cfg.mesh is not None:
+            # explicit shard_map composition of the fused kernel with
+            # the mesh (parallel/spmd_push.py); GSPMD cannot partition a
+            # Pallas custom call
+            from ..parallel.spmd_push import (spmd_pallas_eligible,
+                                              make_spmd_push)
+            if spmd_pallas_eligible(cfg, bplan, cfg.mesh):
+                pallas_engines = binmod.make_pallas_engines(
+                    cfg, bplan, spmd_axis="x",
+                    mesh_n=cfg.mesh.shape["x"])
+            else:
+                pallas_engines = [None] * len(cfg.species)
+        else:
+            pallas_engines = binmod.make_pallas_engines(cfg, bplan)
         # pending-shift moving window: every species must go through the
         # fused kernel so the rebin routing consumes the relabel
         window_pending_ok = (
@@ -143,6 +179,11 @@ def make_step_functions(cfg):
             and cfg.particle_push_start_time <= 0
             and len(pallas_engines) > 0
             and all(e is not None for e in pallas_engines))
+        if cfg.mesh is not None and any(e is not None
+                                        for e in pallas_engines):
+            from ..parallel.spmd_push import make_spmd_push
+            spmd_push = make_spmd_push(cfg, bplan, pallas_engines,
+                                       cfg.mesh, window_pending_ok)
 
     def push_all(state: SimState) -> SimState:
         f = state.fields
@@ -206,25 +247,53 @@ def make_step_functions(cfg):
         # and bounded BCs alike: ghost content comes from the field BCs,
         # exactly what the scatter engine's gather sees)
         fpad = binmod.make_fpad(state.fields, grid)
+        if cfg.mesh is not None:
+            # GSPMD back-propagates shardings from the slot arrays into
+            # this padded (nx+2M)-wide stack, whose x extent rarely
+            # divides the mesh; XLA:CPU mis-offsets per-shard slices of
+            # such unevenly-sharded intermediates (ghost-derivative
+            # junk at each shard's first column).  Pin the stack
+            # replicated: resharding then happens only at the slot
+            # arrays / shard_map boundary, whose x extent does divide.
+            from jax.sharding import NamedSharding, PartitionSpec
+            fpad = jax.lax.with_sharding_constraint(
+                fpad, NamedSharding(cfg.mesh, PartitionSpec()))
         fwin = None
         first_engine = next((e for e in pallas_engines if e is not None),
                             None)
-        if first_engine is not None:
+        if first_engine is not None and spmd_push is None:
             fwin = first_engine.make_fwin(fpad)
         any_thermal = any(
             bc in (const.BC.THERMAL, const.BC.HEAT_BATH)
             for sp_cfg in cfg.species
             for bc in sp_cfg.bc_particle[:2 * cfg.ndims])
         rng = state.rng
+        keys = [None] * len(cfg.species)
+        if any_thermal:
+            for si in range(len(cfg.species)):
+                rng, keys[si] = jax.random.split(rng)
         probes = list(state.probes)
         probe_dropped = list(state.probe_dropped)
         jpad_sum = None
         jpart_sum = None
         new_species = []
+        spmd_new = None
+        if spmd_push is not None:
+            shift = state.window_pending if window_pending_ok else None
+            seeds = [_seed_from_key(keys[si])
+                     if keys[si] is not None
+                     and pallas_engines[si] is not None
+                     and pallas_engines[si].any_thermal
+                     else jnp.zeros((), jnp.int32)
+                     for si in range(len(cfg.species))]
+            spmd_new, spmd_jpad, _ = spmd_push(fpad, list(state.species),
+                                               shift, seeds)
+            jpad_sum = spmd_jpad
         for si, (sp_cfg, b) in enumerate(zip(cfg.species, state.species)):
-            key = None
-            if any_thermal:
-                rng, key = jax.random.split(rng)
+            key = keys[si]
+            if spmd_new is not None and si in spmd_new:
+                new_species.append(spmd_new[si])
+                continue
             if sp_cfg.immobile:
                 new_species.append(b)
                 continue
@@ -240,16 +309,20 @@ def make_step_functions(cfg):
                          enumerate(cfg.probe_plans) if si in pp.species]
             if pallas_engines[si] is not None:
                 shift = state.window_pending if window_pending_ok else None
+                seed = None
+                if pallas_engines[si].any_thermal and key is not None:
+                    seed = _seed_from_key(key)
                 if sp_probes:
                     b, jpart, recs = binmod.push_deposit_pallas(
                         pallas_engines[si], fwin, b, bplan, sp=sp_cfg,
-                        shift=shift, probes=[pp for _, pp in sp_probes])
+                        shift=shift, probes=[pp for _, pp in sp_probes],
+                        seed=seed)
                     probes, probe_dropped = _append_probe_recs(
                         probes, probe_dropped, sp_probes, recs)
                 else:
                     b, jpart = binmod.push_deposit_pallas(
                         pallas_engines[si], fwin, b, bplan, sp=sp_cfg,
-                        shift=shift)
+                        shift=shift, seed=seed)
                 if not sp_cfg.zero_current:
                     jpart_sum = jpart if jpart_sum is None \
                         else jpart_sum + jpart
@@ -395,6 +468,7 @@ def make_step_functions(cfg):
         "step_b_raw": step_b,
         "fields_half": fields_half,
         "push_all": push_all,
+        "uses_spmd_pallas": spmd_push is not None,
     }
 
 
