@@ -628,11 +628,24 @@ def _field_boundary_saves(fields: Fields, cfg) -> dict:
 class Simulation:
     """Host-side driver (the PROGRAM pic analogue)."""
 
-    def __init__(self, deck_path: str, seed: int = 0):
+    def __init__(self, deck_path: str, seed: int = 0, mesh=None):
+        """``mesh``: None (single-program), a jax.sharding.Mesh, or
+        "auto" — deck nprocx/y keys or an automatic grid-x split over
+        the available devices (parallel.sharding.auto_mesh), the
+        analogue of the reference decomposing every run
+        (mpi_routines.F90:44-172)."""
         self.deck = load_deck(deck_path)
         cfg = build_config(self.deck)
+        if mesh == "auto":
+            from ..parallel.sharding import auto_mesh
+            mesh = auto_mesh(cfg, self.deck.control)
+        if mesh is not None:
+            cfg = dataclasses.replace(cfg, mesh=mesh)
         self.cfg, self.state = build_state(cfg, seed=seed)
-        self.fns = step_mod.make_step_functions(self.cfg)
+        if mesh is not None:
+            from ..parallel.sharding import shard_state
+            self.state = shard_state(self.state, mesh)
+        self.fns = self._finalise_fns(step_mod.make_step_functions(self.cfg))
         # init: particle bcs + efield bcs + half-dt laser trick
         # (epoch1d.F90:141-159)
         st = self.state
@@ -649,6 +662,20 @@ class Simulation:
     def dt(self):
         return self.cfg.dt
 
+    def _finalise_fns(self, fns):
+        """On a mesh, pin state shardings in AND out of the jitted step
+        halves (without out_shardings GSPMD may leave outputs partially
+        replicated — the 4x redundancy seen in round 1)."""
+        if self.cfg.mesh is None:
+            return fns
+        import jax
+        from ..parallel.sharding import state_shardings
+        sh = state_shardings(self.state, self.cfg.mesh)
+        for nm in ("step_a", "step_b", "init_b_boundaries"):
+            fns[nm] = jax.jit(fns[nm + "_raw"],
+                              in_shardings=(sh,), out_shardings=sh)
+        return fns
+
     def fns_for(self, state):
         """Step set for the current time: once a delayed moving window
         starts, the after-move BCs replace the boundary (the reference
@@ -663,7 +690,8 @@ class Simulation:
                 cfg, bc_field=tuple(cfg.bc_field_after_move),
                 bc_field_after_move=None)
             self._cfg_post = cfg_post
-            self._fns_post = step_mod.make_step_functions(cfg_post)
+            self._fns_post = self._finalise_fns(
+                step_mod.make_step_functions(cfg_post))
         return self._fns_post
 
     def run(self, dump_callback=None, max_steps=None):

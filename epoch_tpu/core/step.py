@@ -466,6 +466,7 @@ def make_step_functions(cfg):
         "init_b_boundaries": jax.jit(init_b_boundaries),
         "step_a_raw": step_a,
         "step_b_raw": step_b,
+        "init_b_boundaries_raw": init_b_boundaries,
         "fields_half": fields_half,
         "push_all": push_all,
         "uses_spmd_pallas": spmd_push is not None,

@@ -318,13 +318,17 @@ def _shift_binned(b, plan, cfg, new_offset, time):
     xi = jnp.roll(b.xi, -1, axis=2)
     p = jnp.roll(b.p, -1, axis=2)
     aux = jnp.roll(b.aux, -1, axis=2) if b.aux is not None else b.aux
-    # clear the wrapped-in column (old column 0 = departed particles)
-    w = w.at[:, -1].set(0.0)
-    # remove_particles culls everything left of the user domain — the
-    # whole x_min CPML layer — at each shift (window.F90:76,322-342)
+    # Clear the wrapped-in column (old column 0 = departed particles) and
+    # — remove_particles culls everything left of the user domain, the
+    # whole x_min CPML layer, at each shift (window.F90:76,322-342) —
+    # the CPML columns.  Iota masks, NOT chained .at[slice].set updates:
+    # the XLA:CPU SPMD partitioner mis-applies a multi-column
+    # dynamic-update-slice chained with a later single-column update on
+    # an x-sharded array (each non-final shard's last column gets the
+    # wrong data — see tests/test_runner_mesh.py regression).
     thL = cfg.grid.cpml_thickness
-    if thL:
-        w = w.at[:, :thL].set(0.0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+    w = jnp.where((ix == w.shape[1] - 1) | (ix < thL), 0.0, w)
     return b._replace(w=w, xi=xi, p=p, aux=aux)
 
 

@@ -43,6 +43,62 @@ def make_mesh(n_devices: int | None = None, axis: str = "x",
     return Mesh(np.array(devs), (axis,))
 
 
+def auto_mesh(cfg, control=None):
+    """Deck-driven or automatic device decomposition for a run — the
+    analogue of ``split_domain`` (mpi_routines.F90:44-172), which the
+    reference applies to every run.
+
+    Deck ``nprocx/y/z`` keys (deck_control_block.F90) request an explicit
+    split; more processors than devices is a hard error, exactly as the
+    reference aborts on an impossible decomposition.  With no keys set,
+    the run auto-splits along grid-x over the largest device count whose
+    shards divide both the ghost-padded field arrays and (binned engine)
+    the slot grid; a single device — or no divisible count — yields None
+    (unsharded run)."""
+    devs = jax.devices()
+    grid = cfg.grid
+    req = [0, 0, 0]
+    if control is not None:
+        req = [int(getattr(control, "nprocx", 0) or 0),
+               int(getattr(control, "nprocy", 0) or 0),
+               int(getattr(control, "nprocz", 0) or 0)]
+
+    def slot_nx():
+        if cfg.engine != "binned":
+            return grid.n[0]
+        from ..core.binned import BinnedPlan
+        return BinnedPlan(cfg).ns[0]
+
+    def x_ok(n):
+        # particle storage must shard (it dominates memory and compute);
+        # ghost-padded field arrays shard only when (nx + 2*ng) also
+        # divides — state_shardings falls back to replicating the ones
+        # that don't, which is correct and cheap at field sizes
+        return grid.n[0] % n == 0 and slot_nx() % n == 0
+
+    if any(r > 0 for r in req[:grid.ndims]):
+        shape = tuple(max(r, 1) for r in req[:min(grid.ndims, 2)])
+        tot = int(np.prod(shape))
+        if tot > len(devs):
+            raise ValueError(
+                f"deck requests nproc={tot} but only {len(devs)} "
+                f"devices are available")
+        if any(r > 0 for r in req[2:]) and grid.ndims >= 3:
+            raise ValueError("nprocz decomposition is not supported — "
+                             "use nprocx/nprocy (z stays on-device)")
+        if tot == 1:
+            return None
+        if shape[1:] == (1,) or len(shape) == 1:
+            return make_mesh(n_devices=shape[0])
+        return make_mesh(shape=shape)
+    if len(devs) <= 1:
+        return None
+    for n in range(len(devs), 1, -1):
+        if x_ok(n):
+            return make_mesh(n_devices=n)
+    return None
+
+
 def _grid_axes(mesh: Mesh):
     """Mesh axis name per grid dimension (x always; y if present)."""
     names = list(mesh.axis_names)

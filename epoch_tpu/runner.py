@@ -39,8 +39,20 @@ class Runner:
     def __init__(self, data_dir: str, deck_name: str = "input.deck",
                  seed: int = 0, stdout=sys.stdout):
         self.data_dir = data_dir
-        self.sim = Simulation(os.path.join(data_dir, deck_name), seed=seed)
+        # every run decomposes over the available devices (the reference
+        # splits every run, mpi_routines.F90:44-172): deck nprocx/y keys
+        # or an automatic grid-x split.  EPOCH_TPU_MESH=0 forces a
+        # single-program run.
+        mesh = "auto" if os.environ.get("EPOCH_TPU_MESH", "auto") \
+            not in ("0", "none", "") else None
+        self.sim = Simulation(os.path.join(data_dir, deck_name), seed=seed,
+                              mesh=mesh)
         welcome_message(stdout)
+        if self.sim.cfg.mesh is not None:
+            m = self.sim.cfg.mesh
+            print(" decomposition: "
+                  + " x ".join(f"{m.shape[a]} ({a})" for a in m.axis_names),
+                  file=stdout)
         # deck.status + stat file (setup.F90:455-553)
         try:
             with open(os.path.join(data_dir, "deck.status"), "w") as f:

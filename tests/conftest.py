@@ -2,6 +2,9 @@ import os
 
 # CPU with 8 virtual devices for sharding tests; double precision everywhere.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the runner auto-decomposes every run over the visible devices; keep the
+# general suite single-program (the dedicated mesh tests opt back in)
+os.environ.setdefault("EPOCH_TPU_MESH", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
