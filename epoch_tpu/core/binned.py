@@ -226,6 +226,28 @@ def bin_from_arrays(x, p, w, grid, K, n_aux: int = 0,
     )
 
 
+# particle ids ride the slot grid as two float-encoded aux rows of
+# ID_BITS each (exact: 2^20 < 2^24, the f32 integer range) — the slot
+# analogue of the reference's 64-bit particle%id (partlist.F90:883)
+ID_BITS = 20
+
+
+def decode_ids(aux, aux_names):
+    """(n_aux, ...) aux stack -> int64 id array, or None without rows."""
+    if aux is None or "id_lo" not in aux_names:
+        return None
+    lo = np.asarray(aux[aux_names.index("id_lo")], np.int64)
+    hi = np.asarray(aux[aux_names.index("id_hi")], np.int64)
+    return lo + (hi << ID_BITS)
+
+
+def encode_ids(ids, dtype):
+    """int64 id array -> (lo, hi) float rows."""
+    ids = np.asarray(ids, np.int64)
+    mask = (1 << ID_BITS) - 1
+    return ((ids & mask).astype(dtype), (ids >> ID_BITS).astype(dtype))
+
+
 def as_slab(binned: BinnedSpecies, grid, periodic=None,
             aux_names=()) -> ParticleSlab:
     """Flat ParticleSlab view for diagnostics / IO (host-side)."""
@@ -233,6 +255,7 @@ def as_slab(binned: BinnedSpecies, grid, periodic=None,
     n = x.shape[0]
     od = {nm: jnp.zeros(n, x.dtype)
           for nm in ("opdepth", "opdepth_brem", "opdepth_tri")}
+    ids = None
     if binned.aux is not None:
         crop = tuple(slice(0, gn) for gn in grid.n)
         for i, nm in enumerate(aux_names):
@@ -240,10 +263,13 @@ def as_slab(binned: BinnedSpecies, grid, periodic=None,
                 od[nm] = jnp.asarray(
                     np.asarray(binned.aux[i])[(slice(None),) + crop]
                     .reshape(-1))
+        cropped = np.asarray(binned.aux)[(slice(None), slice(None)) + crop]
+        cropped = cropped.reshape(cropped.shape[0], -1)
+        ids = decode_ids(cropped, aux_names)
     return ParticleSlab(
         x=jnp.asarray(x), p=jnp.asarray(p), weight=jnp.asarray(w),
         alive=jnp.asarray(alive),
-        id=jnp.zeros(n, jnp.int32),
+        id=jnp.zeros(n, jnp.int32) if ids is None else jnp.asarray(ids),
         opdepth=od["opdepth"],
         opdepth_brem=od["opdepth_brem"],
         opdepth_tri=od["opdepth_tri"],

@@ -333,6 +333,15 @@ def build_config(deck: DeckConfig) -> SimConfig:
                 aux_rows.append("opdepth_tri")
         if deck.bremsstrahlung.use_bremsstrahlung:
             aux_rows.append("opdepth_brem")
+        # particle IDs ride the slot grid as a pair of float-encoded aux
+        # rows (20 bits each, exact in f32) when the deck needs them: id
+        # output or persistent-subset membership (generate_particle_ids,
+        # partlist.F90:883; id_registry, particle_id_hash.F90:88-692)
+        need_ids = any("id" in o.variables for o in deck.outputs) or any(
+            s.persist_start_time is not None
+            or s.persist_start_step is not None for s in deck.subsets)
+        if need_ids:
+            aux_rows += ["id_lo", "id_hi"]
         if aux_rows:
             cfg = dataclasses.replace(cfg, binned_aux=tuple(aux_rows))
     return cfg

@@ -528,9 +528,29 @@ class OutputManager:
         os.makedirs(data_dir, exist_ok=True)
 
     def _assign_ids(self, sim, state):
+        aux_names = tuple(getattr(self.cfg, "binned_aux", ()))
         new_species = []
         for s in state.species:
-            if hasattr(s, "xi"):         # binned storage carries no ids
+            if hasattr(s, "xi"):
+                # binned storage: ids live in the id_lo/id_hi aux rows
+                # (binned.decode_ids); assign fresh ids to live slots
+                # still at 0, exactly like the scatter branch below
+                from ..core.binned import decode_ids, encode_ids
+                ids = decode_ids(s.aux, aux_names)
+                if ids is None:
+                    new_species.append(s)
+                    continue
+                need = np.asarray(s.w > 0) & (ids == 0)
+                n = int(need.sum())
+                if n:
+                    ids[need] = np.arange(self.id_counter,
+                                          self.id_counter + n)
+                    self.id_counter += n
+                    aux = np.array(s.aux)
+                    lo, hi = encode_ids(ids, aux.dtype)
+                    aux[aux_names.index("id_lo")] = lo
+                    aux[aux_names.index("id_hi")] = hi
+                    s = s._replace(aux=jnp.asarray(aux))
                 new_species.append(s)
                 continue
             ids = np.array(s.id)

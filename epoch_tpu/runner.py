@@ -94,9 +94,15 @@ class Runner:
                 pass
             # resume the lazy particle-ID counter past any assigned ids
             import numpy as _np
+            from .core.binned import decode_ids
+            aux_names = tuple(getattr(self.sim.cfg, "binned_aux", ()))
             top = 0
             for s in self.sim.state.species:
-                if hasattr(s, "id"):
+                if hasattr(s, "xi"):
+                    ids = decode_ids(s.aux, aux_names)
+                    if ids is not None:
+                        top = max(top, int(ids.max(initial=0)))
+                elif hasattr(s, "id"):
                     top = max(top, int(_np.asarray(s.id).max(initial=0)))
             self.out.id_counter = top + 1
         self.stdout = stdout
