@@ -170,7 +170,11 @@ end:output
 """
 
 
-def main():
+def setup(mode=None):
+    """Build the bench deck, run the untimed LWFA pre-phase, and return
+    ``(cfg_bench, state)`` ready for the timed steady-state phase.
+    Shared with scripts/profile_bench.py so profiles measure exactly the
+    configuration the bench times."""
     import jax
     from epoch_tpu.core import Simulation
     from epoch_tpu.core.step import make_full_step
@@ -178,8 +182,8 @@ def main():
     nx = int(os.environ.get("BENCH_NX", 256))
     ny = int(os.environ.get("BENCH_NY", 256))
     ppc = int(os.environ.get("BENCH_PPC", 8))
-    steps = int(os.environ.get("BENCH_STEPS", 200))
-    mode = os.environ.get("BENCH_MODE", "lwfa")
+    if mode is None:
+        mode = os.environ.get("BENCH_MODE", "lwfa")
 
     d = tempfile.mkdtemp()
     with open(os.path.join(d, "input.deck"), "w") as f:
@@ -217,15 +221,6 @@ def main():
                                 lx=nx * cell, ly=ny * cell))
     sim = Simulation(os.path.join(d, "input.deck"))
 
-    def count(st):
-        tot = 0
-        for s in st.species:
-            if hasattr(s, "alive"):
-                tot += int(s.alive.sum())
-            else:
-                tot += int((s.w > 0).sum())
-        return tot
-
     st = sim.state
     cfg_bench = sim.cfg
     if cfg_bench.bc_field_after_move is not None:
@@ -242,15 +237,44 @@ def main():
         cfg_bench = dataclasses.replace(
             cfg_bench, bc_field=tuple(cfg_bench.bc_field_after_move),
             bc_field_after_move=None)
+    return cfg_bench, st
 
+
+def count(st):
+    tot = 0
+    for s in st.species:
+        if hasattr(s, "alive"):
+            tot += int(s.alive.sum())
+        else:
+            tot += int((s.w > 0).sum())
+    return tot
+
+
+def sync(st):
+    """Force completion by transferring a field to the host.
+
+    jax.block_until_ready can return early on the tunnelled 'axon'
+    platform when the waited-on output aliases a donated input buffer
+    (measured: a 200-step chain 'completed' in 4 ms); a device→host
+    transfer is an honest fence."""
+    import numpy as np
+    return float(np.asarray(st.fields.ex).ravel()[0])
+
+
+def main():
+    import jax
+    from epoch_tpu.core.step import make_full_step
+
+    steps = int(os.environ.get("BENCH_STEPS", 200))
+    cfg_bench, st = setup()
     run_n = make_full_step(cfg_bench)
     # warmup with the same step count (single compile of the scanned step)
     st = run_n(st, steps)
-    jax.block_until_ready(st.fields.ex)
+    sync(st)
     n0 = count(st)
     t0 = time.perf_counter()
     st = run_n(st, steps)
-    jax.block_until_ready(st.fields.ex)
+    sync(st)
     dt_wall = time.perf_counter() - t0
     # population varies with window refill/outflow: use the mean
     npart = 0.5 * (n0 + count(st))

@@ -216,7 +216,11 @@ def load_species(sp_block, grid, rng, dtype, cap_headroom=1.25,
     density = species_density(sp_block, grid, dens_cache)
     if sp_block.density_max > 0:
         density = np.minimum(density, sp_block.density_max)
-    valid = density >= max(sp_block.density_min, 0.0)
+    # zero-density cells are NOT loaded: the reference's auto_load skips
+    # cells below the rounding threshold (helper.F90:497-530); keeping
+    # them produced alive w=0 placeholders that cost push time and
+    # polluted probe captures (round-2 known gap #5)
+    valid = (density >= max(sp_block.density_min, 0.0)) & (density > 0.0)
     density = np.where(valid, density, 0.0)
     n_valid = int(valid.sum())
 
@@ -232,7 +236,7 @@ def load_species(sp_block, grid, rng, dtype, cap_headroom=1.25,
 
     npc_int = int(math.floor(npc))
     cap = max(256, int(math.ceil(total * cap_headroom / 128.0)) * 128)
-    if total == 0:
+    if total == 0 or n_valid == 0:
         return None, cap
 
     valid_idx = np.argwhere(valid)          # (n_valid, nd)

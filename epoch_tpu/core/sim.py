@@ -349,13 +349,13 @@ def build_config(deck: DeckConfig) -> SimConfig:
 
 def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
     """Pick the particle engine.  'binned' (core/binned.py) is the dense TPU
-    hot path; it supports periodic/open/reflect particle boundaries, any
-    field BCs (incl. lasers/CPML — field-side machinery is engine
-    independent), the moving window, the triangle shape, photon species
-    and the particle-creating physics packages (field/collisional
-    ionisation, QED, bremsstrahlung — cell-local candidate merges,
-    binned.merge_candidates).  Thermal BCs, injectors, probes,
-    migration and delta-f stay on scatter."""
+    hot path; it supports periodic/open/reflect/thermal/heat-bath particle
+    boundaries, any field BCs (incl. lasers/CPML — field-side machinery is
+    engine independent), the moving window, injectors, probes, splitting,
+    the triangle shape, photon species and the particle-creating physics
+    packages (field/collisional ionisation, QED, bremsstrahlung —
+    cell-local candidate merges, binned.merge_candidates).  Migration and
+    delta-f stay on scatter (explicit deck-time errors below)."""
     choice = deck.control.pusher
     if choice == "scatter":
         return "scatter"
@@ -389,9 +389,10 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
                 "particle boundaries, triangle shape and no "
                 "migration/delta-f")
         return "binned"
-    # 3D auto-selects too since the mid-push-rebin window narrowing
-    # (125-term deposit): ~8 s compile on TPU.  The moving window stays
-    # 1d/2d-grid only for now.
+    # 3D auto-selects too: the fused 3D Pallas kernel
+    # (ops/binned_kernels3d.py) measured 128 M pushes/s at 64^3 x 4ppc x
+    # 2 species on the bench chip, ~60 s compile (BENCH_MODE=3d).  The
+    # moving window stays 1d/2d-grid only for now.
     if cfg.move_window and cfg.ndims > 2:
         return "scatter"
     return "binned" if eligible else "scatter"
@@ -463,9 +464,27 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
         kmax = 4
         for arrs in loaded:
             if arrs is not None:
-                ppc = arrs["x"].shape[0] / n_cells
-                kmax = max(kmax, int(math.ceil(
-                    ppc * deck.control.bin_headroom)) + 2)
+                # size K by the PEAK per-cell count of the actual load
+                # (bounded-support densities concentrate npart into few
+                # cells; the old mean-over-all-cells undersized K and
+                # silently dropped particles at bin time)
+                x = np.asarray(arrs["x"])
+                r = np.stack([(x[:, d] - grid.grid_min(d)) / grid.delta[d]
+                              for d in range(grid.ndims)], axis=1)
+                cell = np.floor(r + 0.5).astype(np.int64)
+                flat = np.zeros(x.shape[0], np.int64)
+                for d in range(grid.ndims):
+                    flat = flat * grid.n[d] + np.mod(cell[:, d], grid.n[d])
+                counts = np.bincount(flat, minlength=n_cells) \
+                    if x.shape[0] else np.zeros(1, np.int64)
+                peak = int(counts.max())
+                occ = counts[counts > 0]
+                mean_occ = float(occ.mean()) if occ.size else 0.0
+                # headroom covers dynamic compression of the typical
+                # cell; the load-time peak (Poisson noise of npart-style
+                # loads) must fit outright
+                kmax = max(kmax, max(int(math.ceil(
+                    mean_occ * deck.control.bin_headroom)), peak) + 2)
         for inj in deck.injectors:
             # a steady injected stream fills the boundary cell to ~npc
             # (flux in = flux out); size the slots like a loaded species

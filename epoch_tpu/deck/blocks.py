@@ -125,6 +125,9 @@ class SpeciesBlock:
     charge: float = 0.0                  # units of |q0| in deck; stored SI
     mass: float = 0.0                    # units of m0 in deck; stored SI
     npart: int = -1                      # 'nparticles' / 'npart'
+    # 'frac'/'fraction' of the control-level npart
+    # (deck_species_block.F90:550-558); resolved in _finalise
+    fraction: float = -1.0
     npart_per_cell: float = -1.0
     density: Optional[Expression] = None
     density_layers: list = dfield(default_factory=list)

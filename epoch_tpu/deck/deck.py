@@ -354,14 +354,18 @@ class DeckParser:
                 s.mass = self.num(val) * const.m0
             elif ell in ("npart", "nparticles"):
                 s.npart = self.integer(val)
+            elif ell in ("frac", "fraction"):
+                # fraction of the control-level global particle count
+                # (deck_species_block.F90:550-558)
+                s.fraction = self.num(val)
             elif ell in ("npart_per_cell", "nparticles_per_cell"):
                 s.npart_per_cell = self.num(val)
             elif ell in ("density", "number_density", "rho"):
                 s.density = self.expr(val)
                 s.density_layers.append(s.density)
-            elif ell in ("density_min", "number_density_min"):
+            elif ell in ("density_min", "number_density_min", "minrho"):
                 s.density_min = self.num(val)
-            elif ell in ("density_max", "number_density_max"):
+            elif ell in ("density_max", "number_density_max", "maxrho"):
                 s.density_max = self.num(val)
             elif ell in ("density_back", "number_density_back",
                          "density_background",
@@ -429,7 +433,8 @@ class DeckParser:
                         self.num(v) for v in _split_top_level(_strip_parens(val))]
                 elif ell in ("ionise_to_species", "ionise_species"):
                     s.ionise_to_species = [v.strip() for v in _split_top_level(val)]
-                elif ell == "electron_species" or ell == "electron":
+                elif ell in ("electron_species", "electron",
+                             "ionisation_electron_species"):
                     s.electron_species = [v.strip() for v in _split_top_level(val)]
                 elif ell in ("temp_back", "temp_back_k", "temp_back_ev",
                              "temperature_background",
@@ -861,6 +866,11 @@ class DeckParser:
         for las in cfg.lasers:
             if las.t_end == float("inf"):
                 las.t_end = cfg.control.t_end
+        # frac/fraction → count from the control-level global npart
+        # (deck_species_block.F90:550-558)
+        for s in cfg.species:
+            if s.fraction >= 0.0:
+                s.npart = int(s.fraction * max(cfg.control.npart, 0))
         # per-species particle BCs default to the global ones
         for s in cfg.species:
             for i in range(6):
