@@ -265,9 +265,14 @@ def main():
     import jax
     from epoch_tpu.core.step import make_full_step
 
-    steps = int(os.environ.get("BENCH_STEPS", 200))
+    # default 1000 timed steps: the first dispatches through the tunnel
+    # carry ~100 ms of fixed warm-up that distorts shorter runs (LWFA
+    # production runs are O(10^4..10^5) steps — steady state is the
+    # honest regime to report)
+    steps = int(os.environ.get("BENCH_STEPS", 1000))
+    chunk = int(os.environ.get("BENCH_CHUNK", 10))
     cfg_bench, st = setup()
-    run_n = make_full_step(cfg_bench)
+    run_n = make_full_step(cfg_bench, chunk=chunk)
     # warmup with the same step count (single compile of the scanned step)
     st = run_n(st, steps)
     sync(st)

@@ -810,11 +810,28 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                 # probe capture not composed with the shard_map push yet
                 out.append(None)
                 continue
+            # pending-shift refill/cull ride the kernel on the single-
+            # device path (the sharded path keeps XLA-side staging);
+            # requires the provably-single-shift window (the kernel
+            # consumes exactly one staged column per pending shift)
+            from .window import pending_single_shift
+            in_kernel_stage = (with_window and spmd_axis is None
+                               and pending_single_shift(cfg))
+            wplan = cfg.window_plans[si] if with_window \
+                and si < len(cfg.window_plans) else None
+            with_refill = bool(
+                in_kernel_stage and wplan is not None
+                and wplan["max_new"] > 0
+                and wplan["density"] is not None)
+            cull_lo = cfg.grid.cpml_thickness if in_kernel_stage else 0
             out.append(PallasBinned(plan, sp, cfg, interpret=interpret,
                                     with_window=with_window,
                                     n_extra=plan.n_aux + len(probe_specs),
                                     probe_specs=probe_specs,
-                                    spmd_axis=spmd_axis, mesh_n=mesh_n))
+                                    spmd_axis=spmd_axis, mesh_n=mesh_n,
+                                    with_refill=with_refill,
+                                    cull_lo=cull_lo,
+                                    clear_rcol=in_kernel_stage))
     return out
 
 
@@ -866,13 +883,21 @@ def _make_pallas_engines_3d(cfg, plan, interpret, mode):
         return [None] * n_sp
     from ..ops.binned_kernels3d import pick_b, PallasBinned3D
     BX = pick_b(plan.n[0], (4, 8, 2))
-    BY = pick_b(plan.n[1], (8, 16, 4))
+    # the x-halo block's trailing dims are (BY, NZ): Mosaic needs BY
+    # sublane-aligned (%8) — or full-extent — on real hardware
+    by_cands = (8, 16) if (not interpret and mode != "interpret") \
+        else (8, 16, 4)
+    BY = pick_b(plan.n[1], by_cands)
+    if BY is None and plan.n[1] <= 16:
+        BY = plan.n[1]
     if BX is None or BY is None:
         return [None] * n_sp
     # VMEM bound: the 3K rebin candidate set is the high-water mark
+    # (the kernel requests a 100 MiB scoped-vmem budget; stay below it
+    # with margin for the double-buffered brick blocks)
     K = cfg.bin_k
     cand_bytes = 3 * K * BX * BY * plan.n[2] * 4 * (10 + plan.n_aux)
-    if cand_bytes > 10 * 1024 * 1024:
+    if cand_bytes > 60 * 1024 * 1024:
         return [None] * n_sp
     kernel_bcs = (const.BC.PERIODIC, const.BC.OPEN, const.BC.REFLECT)
     out = []
@@ -888,7 +913,7 @@ def _make_pallas_engines_3d(cfg, plan, interpret, mode):
 
 
 def push_deposit_pallas(engine, fwin, binned, plan, sp=None, shift=None,
-                        probes=None, seed=None):
+                        probes=None, seed=None, refill=None):
     """Fused-kernel variant of push_deposit_binned; returns per-stripe
     partial currents (callers sum over species, then fold once).
 
@@ -904,7 +929,7 @@ def push_deposit_pallas(engine, fwin, binned, plan, sp=None, shift=None,
         extra = dinit if extra is None \
             else jnp.concatenate([extra, dinit], axis=0)
     out, jpart, extra_out = engine(fwin, binned, shift=shift, extra=extra,
-                                   seed=seed)
+                                   seed=seed, refill=refill)
     probe_recs = None
     if extra_out is not None:
         if n_aux:

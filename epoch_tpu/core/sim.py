@@ -577,6 +577,24 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
         window_pending=(jnp.zeros((), jnp.int32) if cfg.move_window
                         else None),
     )
+    if cfg.move_window and cfg.engine == "binned":
+        # staged refill columns for the in-kernel pending-shift path
+        # (window._shift_masked refill_in_kernel); zeros until the first
+        # shift — harmless when the path is inactive (e.g. off-TPU)
+        from .binned import window_pending_capable
+        if window_pending_capable(cfg):
+            K = cfg.bin_k
+            nt = tuple(grid.n[1:])
+            refill = []
+            for i, wp in enumerate(cfg.window_plans):
+                if wp["max_new"] > 0 and wp["density"] is not None:
+                    refill.append((
+                        jnp.zeros((K,) + nt, dtype),
+                        jnp.zeros((grid.ndims, K) + nt, dtype),
+                        jnp.zeros((3, K) + nt, dtype)))
+                else:
+                    refill.append(None)
+            state = state._replace(window_refill=tuple(refill))
     if deck.probes:
         from .probes import build_probe_plans, init_probe_buffers
         cfg = dataclasses.replace(
@@ -742,6 +760,11 @@ class Simulation:
             if dump_callback is not None:
                 dump_callback(self, st)
             st = fns["step_b"](st)
+        if getattr(st, "window_refill", ()):
+            # surface the staged refill column in the returned state
+            # (idempotent: the next push would substitute the same data)
+            from .window import materialize_refill
+            st = materialize_refill(st, cfg)
         self.state = st
         if dump_callback is not None:
             dump_callback(self, st, last=True)

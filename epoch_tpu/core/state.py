@@ -115,6 +115,11 @@ class SimState(NamedTuple):
     # next push's rebin (binned Pallas engines only — the rebin routing
     # performs the slot-grid roll for free; window._shift_once)
     window_pending: jax.Array | None = None
+    # staged moving-window refill columns, one entry per species:
+    # (w (K, n_t), xi (nd, K, n_t), p (3, K, n_t)) or None — consumed
+    # in-kernel by the next push when window_pending is set
+    # (window._shift_masked refill_in_kernel path)
+    window_refill: tuple = ()
     # per-probe dropped-crossing counters (capture-cap top_k truncation +
     # probe-buffer append overflow); the reference keeps every crossing
     # (probes.F90:107), so a nonzero count is surfaced at end of run

@@ -154,6 +154,7 @@ def make_step_functions(cfg):
         return state._replace(fields=f, cpml=cpml)
 
     window_pending_ok = False
+    refill_in_kernel = False
     spmd_push = None
     if cfg.engine == "binned":
         from . import binned as binmod
@@ -179,6 +180,12 @@ def make_step_functions(cfg):
             and cfg.particle_push_start_time <= 0
             and len(pallas_engines) > 0
             and all(e is not None for e in pallas_engines))
+        # single-device fused kernels consume the staged refill column +
+        # CPML cull themselves (state.window_refill); the sharded path
+        # keeps XLA-side staging
+        from .window import pending_single_shift
+        refill_in_kernel = (window_pending_ok and cfg.mesh is None
+                            and pending_single_shift(cfg))
         if cfg.mesh is not None and any(e is not None
                                         for e in pallas_engines):
             from ..parallel.spmd_push import make_spmd_push
@@ -312,17 +319,21 @@ def make_step_functions(cfg):
                 seed = None
                 if pallas_engines[si].any_thermal and key is not None:
                     seed = _seed_from_key(key)
+                refill = None
+                if getattr(pallas_engines[si], "with_refill", False) \
+                        and si < len(state.window_refill):
+                    refill = state.window_refill[si]
                 if sp_probes:
                     b, jpart, recs = binmod.push_deposit_pallas(
                         pallas_engines[si], fwin, b, bplan, sp=sp_cfg,
                         shift=shift, probes=[pp for _, pp in sp_probes],
-                        seed=seed)
+                        seed=seed, refill=refill)
                     probes, probe_dropped = _append_probe_recs(
                         probes, probe_dropped, sp_probes, recs)
                 else:
                     b, jpart = binmod.push_deposit_pallas(
                         pallas_engines[si], fwin, b, bplan, sp=sp_cfg,
-                        shift=shift, seed=seed)
+                        shift=shift, seed=seed, refill=refill)
                 if not sp_cfg.zero_current:
                     jpart_sum = jpart if jpart_sum is None \
                         else jpart_sum + jpart
@@ -449,7 +460,8 @@ def make_step_functions(cfg):
         if cfg.move_window:
             from . import window as win
             state = win.moving_window(state, cfg,
-                                      pending_ok=window_pending_ok)
+                                      pending_ok=window_pending_ok,
+                                      refill_in_kernel=refill_in_kernel)
         return state._replace()
 
     def init_b_boundaries(state: SimState) -> SimState:
@@ -500,5 +512,6 @@ def make_full_step(cfg, chunk: int = 10):
         return state
 
     run_n.single_step = full
+    run_n.chunk_fn = full_chunk
     run_n.chunk = chunk
     return run_n

@@ -61,6 +61,23 @@ def window_plan(cfg, deck):
     return plans
 
 
+def pending_single_shift(cfg) -> bool:
+    """True when the window velocity is provably < 1 cell/step constant,
+    so one masked shift per step suffices — the static precondition for
+    the branch-free pending path AND for in-kernel refill staging (the
+    fused kernels consume exactly one staged column per pending shift;
+    make_pallas_engines gates with_refill on this too)."""
+    if cfg.window_v_x is None:
+        return True
+    dx = cfg.grid.delta[0]
+    try:
+        v0 = float(cfg.window_v_x({"time": 0.0}))
+        v1 = float(cfg.window_v_x({"time": 1.2345e-9}))
+        return v0 == v1 and abs(v0) * cfg.dt / dx < 0.999
+    except Exception:
+        return False
+
+
 def _shift_left(arr, axis=0):
     """One-cell left slide with edge duplication (shift_field,
     window.F90:141-153 — interior shifted; edge fixed afterwards)."""
@@ -71,13 +88,20 @@ def _shift_left(arr, axis=0):
     return jnp.concatenate([arr[tuple(idx)], arr[tuple(last)]], axis=axis)
 
 
-def moving_window(state: SimState, cfg, pending_ok: bool = False) -> SimState:
+def moving_window(state: SimState, cfg, pending_ok: bool = False,
+                  refill_in_kernel: bool = False) -> SimState:
     """window.F90:350-397.
 
     ``pending_ok``: every species runs the fused Pallas kernel each step,
     so a shift can be recorded as ``window_pending`` and consumed by the
     next push's rebin routing (binned_kernels._axis_rebin) instead of
-    rolling the whole slot state in HBM here."""
+    rolling the whole slot state in HBM here.
+
+    ``refill_in_kernel``: the kernels also consume the staged refill
+    column (state.window_refill) and the CPML shift-cull, so this pass
+    only computes the small column arrays — the whole-slot-state
+    dynamic-update-slice staging (which forced ~21 MB/species of copies
+    per step) disappears."""
     if not cfg.move_window:
         return state
     t = state.time
@@ -96,22 +120,13 @@ def moving_window(state: SimState, cfg, pending_ok: bool = False) -> SimState:
     # at most ~1 cell/step by CFL; a provably-constant sub-cell-per-step
     # window velocity needs only ONE conditional shift (each extra
     # lax.cond copies the whole state pytree — measurably expensive)
-    n_conds = 2
-    if cfg.window_v_x is None:
-        n_conds = 1
-    else:
-        try:
-            v0 = float(cfg.window_v_x({"time": 0.0}))
-            v1 = float(cfg.window_v_x({"time": 1.2345e-9}))
-            if v0 == v1 and abs(v0) * cfg.dt / dx < 0.999:
-                n_conds = 1
-        except Exception:
-            pass
+    n_conds = 1 if pending_single_shift(cfg) else 2
     if pending_ok and n_conds == 1 and state.window_pending is not None:
         # branch-free pending shift: the hot path pays only column ops +
         # small-array selects every step (a lax.cond join would copy the
         # whole slot state); the rebin consumes the relabel next push
-        return _shift_masked(state, cfg, nshift > 0)
+        return _shift_masked(state, cfg, nshift > 0,
+                             refill_in_kernel=refill_in_kernel)
     for _ in range(n_conds):
         state = jax.lax.cond(
             nshift > 0,
@@ -121,11 +136,17 @@ def moving_window(state: SimState, cfg, pending_ok: bool = False) -> SimState:
     return state
 
 
-def _shift_masked(state: SimState, cfg, shifted) -> SimState:
+def _shift_masked(state: SimState, cfg, shifted,
+                  refill_in_kernel: bool = False) -> SimState:
     """Unconditional (masked) one-cell shift for the pending-shift path:
     fields roll + select (small arrays), the wrapped slot column is
     cleared/refilled under the ``shifted`` mask, and ``window_pending``
-    records the relabel for the next push's rebin routing."""
+    records the relabel for the next push's rebin routing.
+
+    With ``refill_in_kernel`` the slot state is NOT touched here at all:
+    the refill columns are staged in ``state.window_refill`` and the
+    next push's fused kernels substitute them (and apply the CPML
+    shift-cull) during the rebin."""
     new_offset = state.window_offset + shifted.astype(jnp.int32)
     f, cpml = _shift_fields(state, cfg)
     f = type(f)(*[jnp.where(shifted, b, a)
@@ -134,6 +155,32 @@ def _shift_masked(state: SimState, cfg, shifted) -> SimState:
         cpml = cpml.__class__(psi=tuple(
             jnp.where(shifted, b, a)
             for a, b in zip(state.cpml.psi, cpml.psi)))
+    if refill_in_kernel:
+        new_refill = []
+        for i, (sp_cfg, slab) in enumerate(zip(cfg.species,
+                                               state.species)):
+            plan = cfg.window_plans[i]
+            if plan["max_new"] > 0 and plan["density"] is not None:
+                key = jax.random.fold_in(
+                    jax.random.fold_in(state.rng, new_offset), i)
+                rw, rxi, rp, n_over = _refill_column(
+                    slab, plan, cfg, new_offset, state.time, key,
+                    cfg.window_plans)
+                live = shifted
+                new_refill.append((
+                    jnp.where(live, rw, 0.0), rxi, rp))
+                new_species_nd = slab.n_dropped + jnp.where(
+                    shifted, n_over, 0)
+                state = state._replace(species=state.species[:i] + (
+                    slab._replace(n_dropped=new_species_nd),)
+                    + state.species[i + 1:])
+            else:
+                new_refill.append(None)
+        return state._replace(
+            fields=f, cpml=cpml, window_offset=new_offset,
+            window_refill=tuple(new_refill),
+            window_pending=jnp.maximum(state.window_pending,
+                                       shifted.astype(jnp.int32)))
     new_species = []
     for i, (sp_cfg, slab) in enumerate(zip(cfg.species, state.species)):
         plan = cfg.window_plans[i]
@@ -332,13 +379,57 @@ def _shift_binned(b, plan, cfg, new_offset, time):
     return b._replace(w=w, xi=xi, p=p, aux=aux)
 
 
-def _insert_column_binned(b, plan, cfg, offset, time, key, all_plans=None,
-                          col=-1):
-    """Refill the incoming column of the slot grid (insert_particles,
-    window.F90:182-258); density/temperature/drift are evaluated at the
-    new absolute particle positions.  ``col`` is the array column holding
-    the incoming cell: −1 after a rolled shift, 0 for a pending shift
-    (the wrapped column; the grid cell is nx−1 either way)."""
+def materialize_refill(state: SimState, cfg) -> SimState:
+    """Apply the staged pending-shift slot edits (state.window_refill)
+    to the particle arrays, exactly as the next push's fused kernels
+    would: cull the x_min CPML layer + departed column and write the
+    refill column.  IDEMPOTENT — the kernels re-apply the same values —
+    so the result may replace the live state (used before dumps and at
+    Simulation.run exit, where observers expect insert_particles to
+    have already happened, window.F90:182-258)."""
+    if not state.window_refill or state.window_pending is None:
+        return state
+    shifted = state.window_pending > 0
+    grid = cfg.grid
+    thL = grid.cpml_thickness
+    new_species = []
+    for i, slab in enumerate(state.species):
+        ref = state.window_refill[i] if i < len(state.window_refill) \
+            else None
+        if not hasattr(slab, "xi"):
+            new_species.append(slab)
+            continue
+        pad = slab.w.shape[1] - grid.n[0]
+        rcol = grid.n[0] if pad > 0 else 0
+        cull = jnp.arange(slab.w.shape[1]) < (thL + 1)
+        cmask = cull[None, :] if slab.w.ndim == 2 else cull[None, :, None]
+        w = jnp.where(shifted & cmask, 0.0, slab.w)
+        ix = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+        w = jnp.where(shifted & (ix == rcol), 0.0, w)
+        if ref is not None:
+            rw, rxi, rp = ref
+            w = w.at[:, rcol].set(jnp.where(shifted, rw, w[:, rcol]))
+            xi = slab.xi.at[:, :, rcol].set(
+                jnp.where(shifted, rxi, slab.xi[:, :, rcol]))
+            p = slab.p.at[:, :, rcol].set(
+                jnp.where(shifted, rp, slab.p[:, :, rcol]))
+            aux = slab.aux
+            if aux is not None:
+                # fresh particles: aux rows (ids, optical depths) reset
+                aux = aux.at[:, :, rcol].set(
+                    jnp.where(shifted, 0.0, aux[:, :, rcol]))
+            slab = slab._replace(w=w, xi=xi, p=p, aux=aux)
+        else:
+            slab = slab._replace(w=w)
+        new_species.append(slab)
+    return state._replace(species=tuple(new_species))
+
+
+def _refill_column(b, plan, cfg, offset, time, key, all_plans=None):
+    """Compute the refill column payloads (insert_particles,
+    window.F90:182-258) WITHOUT writing them into the slot grid:
+    (w (K, n_t), xi (nd, K, n_t), p (3, K, n_t), n_over).  Density/
+    temperature/drift are evaluated at the new absolute positions."""
     grid = cfg.grid
     nd = grid.ndims
     dx = grid.delta[0]
@@ -386,11 +477,23 @@ def _insert_column_binned(b, plan, cfg, offset, time, key, all_plans=None,
         p_new.append(norms[i] * std + drift)
     p_new = jnp.stack(p_new)
 
-    w = b.w.at[:, col].set(jnp.where(valid, w_new, 0.0))
-    xi = b.xi.at[:, :, col].set(jnp.where(valid[None], xi_new,
-                                          jnp.zeros_like(xi_new)))
-    p = b.p.at[:, :, col].set(jnp.where(valid[None], p_new,
-                                        jnp.zeros_like(p_new)))
+    w_col = jnp.where(valid, w_new, 0.0)
+    xi_col = jnp.where(valid[None], xi_new, jnp.zeros_like(xi_new))
+    p_col = jnp.where(valid[None], p_new, jnp.zeros_like(p_new))
+    return w_col, xi_col, p_col, n_over
+
+
+def _insert_column_binned(b, plan, cfg, offset, time, key, all_plans=None,
+                          col=-1):
+    """Refill the incoming column of the slot grid (insert_particles,
+    window.F90:182-258).  ``col`` is the array column holding the
+    incoming cell: −1 after a rolled shift, 0/pad-col for a pending
+    shift (the grid cell is nx−1 either way)."""
+    w_col, xi_col, p_col, n_over = _refill_column(
+        b, plan, cfg, offset, time, key, all_plans)
+    w = b.w.at[:, col].set(w_col)
+    xi = b.xi.at[:, :, col].set(xi_col)
+    p = b.p.at[:, :, col].set(p_col)
     return b._replace(w=w, xi=xi, p=p, n_dropped=b.n_dropped + n_over)
 
 

@@ -125,6 +125,15 @@ def write_restart(path, cfg, state: SimState, deck_text: str = "",
         w.write_plain_variable(f"restart/injdepth{k}",
                                f"Restart/InjectorDepth/{k}",
                                np.asarray(dep), "grid")
+    # staged moving-window refill columns (consumed by the push AFTER the
+    # shift that staged them — a mid-pending restart must replay them)
+    for k, ref in enumerate(state.window_refill):
+        if ref is None:
+            continue
+        for nm, arr in zip(("w", "xi", "p"), ref):
+            w.write_plain_variable(f"restart/winref{k}_{nm}",
+                                   f"Restart/WindowRefill/{k}/{nm}",
+                                   np.asarray(arr), "grid")
 
     def _write_slab(prefix, slab):
         w.write_plain_variable(f"restart/{prefix}_x", f"Restart/{prefix}/x",
@@ -253,7 +262,15 @@ def read_restart(path, cfg, template: SimState) -> SimState:
         jnp.asarray(d[f"Restart/probe_dropped/{k}"].data, jnp.int32)
         if f"Restart/probe_dropped/{k}" in d else template.probe_dropped[k]
         for k in range(len(template.probe_dropped)))
+    window_refill = tuple(
+        (tuple(jnp.asarray(d[f"Restart/WindowRefill/{k}/{nm}"].data,
+                           dtype)
+               for nm in ("w", "xi", "p"))
+         if ref is not None and f"Restart/WindowRefill/{k}/w" in d
+         else ref)
+        for k, ref in enumerate(template.window_refill))
     return template._replace(
+        window_refill=window_refill,
         fluid_grids=fluid_grids, injector_depth=injector_depth,
         probes=probes, ejected=ejected, probe_dropped=probe_dropped,
         fields=fields, cpml=cpml, species=tuple(species), lasers=lasers,

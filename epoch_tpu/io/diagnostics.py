@@ -647,6 +647,13 @@ class OutputManager:
                         deck_text=getattr(self.deck, "deck_text", ""),
                         persistent_members=self.persistent_members)
         if any_dump:
+            if getattr(state, "window_refill", ()):
+                # dumps between a window shift and the next push must show
+                # the refilled column the kernels will substitute
+                # (window.materialize_refill is idempotent — the live
+                # state may keep the materialised arrays)
+                from ..core.window import materialize_refill
+                state = materialize_refill(state, self.cfg)
             need_ids = "id" in merged_mask and self._fires(merged_mask["id"])
             # persistent subsets track membership by particle id
             # (build_persistent_subsets, diagnostics.F90:2510)

@@ -291,7 +291,13 @@ def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop,
     cands = [jnp.concatenate([c, l, r], axis=0)
              for c, l, r in zip(payload, pls_l, pls_r)]
     n_live = jnp.sum((cand_w > 0).astype(jnp.int32))
-    cands, cand_w = _compact(cands, cand_w, 3 * K)
+    import os as _os
+    if _os.environ.get("EPOCH_TPU_KERNEL_ABLATE", "") == "nocompact":
+        # profiling only (WRONG results): time the rebin without the
+        # butterfly routing
+        pass
+    else:
+        cands, cand_w = _compact(cands, cand_w, 3 * K)
     w = cand_w[:K]
     cands = [a[:K] for a in cands]
     ndrop = ndrop + n_live - jnp.sum((w > 0).astype(jnp.int32))
@@ -305,7 +311,8 @@ def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop,
 def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                     interpret=False, with_window=False,
                     n_extra=0, probe_specs=(), with_xoff=False,
-                    nx_global=None, pad_x=0):
+                    nx_global=None, pad_x=0, halo_mode="cols",
+                    with_refill=False, cull_lo=0, clear_rcol=False):
     """Build the fused per-species pallas_call (2D).
 
     One kernel per stripe does the full reference hot loop
@@ -344,6 +351,24 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
     input ``extra`` (n_extra, K, nx, NY) + its halo columns; the first
     ``n_extra`` output rows are the routed payloads.
 
+    ``halo_mode``: "cols" (default) — halo columns arrive as separate
+    per-side arrays (K, nxb, NY) whose BlockSpec index_map reads the
+    NEIGHBOUR stripe's entry ((i∓1) mod nxb): the periodic roll costs
+    nothing (no XLA pad+concat staging, measured ~0.35 ms/step at bench
+    shapes).  "stacked" — the shard_map/SPMD layout: one pre-stacked
+    (K, nxb, n_halo, NY) tensor per payload whose edge entries were
+    patched by ppermute exchanges (parallel/spmd_push.py).
+
+    ``with_refill``: the moving-window refill column rides the kernel
+    as three extra inputs (w (1,K,NY), xi (1,2,K,NY), p (1,3,K,NY))
+    substituted into array column ``rcol`` when a shift is pending —
+    the XLA-side staging this replaces copied the WHOLE slot state
+    per step (a dynamic-update-slice on the pallas outputs forced
+    w/xi/p copies, ~21 MB/species, HLO copy.196).  ``cull_lo``: with a
+    pending shift, kill cells with post-shift label < cull_lo (the
+    reference culls everything left of the user domain at each shift,
+    window.F90:76,322-342 — the x_min CPML layer).
+
     ``probe_specs``: static tuple of (normal, point) pairs (floats, nd
     each) of the probe planes attached to this species
     (particles.F90:518-557).  The LAST ``len(probe_specs) + 1`` output
@@ -368,6 +393,11 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
     M = -offsets[0]
     nx = nxb * BX
     nxg = nx_global if nx_global is not None else nx
+    # refill staging column: the first dead pad column on padded grids,
+    # the wrapped column 0 otherwise (window._insert_column_binned)
+    RCOL = (nxg - pad_x) if pad_x > 0 else 0
+    REF_SR = RCOL // BX
+    REF_RC = RCOL % BX
     from ..core.boundaries import STAGGER
     names = ("ex", "ey", "ez", "bx", "by", "bz")
     stag_bits = {nm: tuple(int(STAGGER[nm][d]) for d in range(nd))
@@ -416,7 +446,8 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                                         (K + 1) // 2)), 1)
     # profiling-only phase ablation (results are WRONG under ablation):
     # "nopush" times drift+rebin alone, "norebin" times push+deposit
-    # alone, "nodeposit" skips just the 25-offset deposition
+    # alone, "nodeposit" skips the deposition (prep + offset loop),
+    # "nogather" zeroes the field gather (keeps Boris/move/deposit)
     ABLATE = _os.environ.get("EPOCH_TPU_KERNEL_ABLATE", "")
 
     n_probes = len(probe_specs)
@@ -449,11 +480,25 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         w_ref, xi_ref, p_ref = rest[:3]
         del rest[:3]
         exi_ref = rest.pop(0) if n_extra else None
-        we_ref, xie_ref, pe_ref = rest[:3]
+        if halo_mode == "cols":
+            n_sides = 3 if with_window else 2
+            n_groups = 3 + (1 if n_extra else 0)
+            side_refs = rest[:n_sides * n_groups]
+            del rest[:n_sides * n_groups]
+            we_ref = xie_ref = pe_ref = exe_ref = None
+        else:
+            we_ref, xie_ref, pe_ref = rest[:3]
+            del rest[:3]
+            exe_ref = rest.pop(0) if n_extra else None
+            side_refs = None
+        f_ref = rest.pop(0)
+        if with_refill:
+            refw_ref, refxi_ref, refp_ref = rest[:3]
+            del rest[:3]
+        else:
+            refw_ref = refxi_ref = refp_ref = None
+        wo_ref, xio_ref, po_ref = rest[:3]
         del rest[:3]
-        exe_ref = rest.pop(0) if n_extra else None
-        f_ref, wo_ref, xio_ref, po_ref = rest[:4]
-        del rest[:4]
         exo_ref = rest.pop(0) if n_extra_out else None
         j_ref, nd_ref = rest
         i = pl.program_id(0)
@@ -489,12 +534,17 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         @pl.when(flag > 0)
         def _():
             _live_body(i, xo, sh, sd, w_ref, xi_ref, p_ref, exi_ref,
-                       we_ref, xie_ref, pe_ref, exe_ref, f_ref, wo_ref,
-                       xio_ref, po_ref, exo_ref, j_ref, nd_ref)
+                       (we_ref, xie_ref, pe_ref, exe_ref, side_refs),
+                       (refw_ref, refxi_ref, refp_ref),
+                       f_ref, wo_ref, xio_ref, po_ref, exo_ref, j_ref,
+                       nd_ref)
 
-    def _live_body(i, xo, sh, sd, w_ref, xi_ref, p_ref, exi_ref, we_ref,
-                   xie_ref, pe_ref, exe_ref, f_ref, wo_ref, xio_ref,
-                   po_ref, exo_ref, j_ref, nd_ref):
+    def _live_body(i, xo, sh, sd, w_ref, xi_ref, p_ref, exi_ref, halos,
+                   refills, f_ref, wo_ref, xio_ref, po_ref, exo_ref,
+                   j_ref, nd_ref):
+        we_ref, xie_ref, pe_ref, exe_ref, side_refs = halos
+        refw_ref, refxi_ref, refp_ref = refills
+        n_sides = 3 if with_window else 2
         # ---- phase 1: half-drift + rebin (particles.F90:234-257 + the
         # reference's implicit cell binning) ----
         w = w_ref[:]
@@ -504,6 +554,24 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         # (_bc_axis only touches indices < nd; the butterfly routes all)
         p = [p_ref[0], p_ref[1], p_ref[2]] \
             + [exi_ref[c] for c in range(n_extra)]
+        if clear_rcol or with_refill:
+            # a pending shift REPLACES column RCOL in-kernel: the
+            # departed cell's wrapped content dies and the staged refill
+            # (state.window_refill) takes its place — instead of a
+            # whole-slot-state DUS on the XLA side
+            m = (jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+                 == REF_RC) & (i == REF_SR) & (sh > 0)
+            if with_refill:
+                w = jnp.where(m, refw_ref[0][:, None, :], w)
+                xi0 = jnp.where(m, refxi_ref[0, 0][:, None, :], xi0)
+                xi1 = jnp.where(m, refxi_ref[0, 1][:, None, :], xi1)
+                for c in range(3):
+                    p[c] = jnp.where(m, refp_ref[0, c][:, None, :], p[c])
+                for c in range(3, 3 + n_extra):
+                    # fresh particles: aux rows (ids, depths) reset
+                    p[c] = jnp.where(m, 0.0, p[c])
+            else:
+                w = jnp.where(m, 0.0, w)
         if ABLATE == "norebin":
             _phase2(i, xo, sd, w, xi0, xi1, p[:3], p[3:], f_ref, wo_ref,
                     xio_ref, po_ref, exo_ref, j_ref)
@@ -522,18 +590,52 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                 gx0 = gx0 - sh
                 if pad_x == 0:
                     gx0 = jnp.where(gx0 < 0, gx0 + nxg, gx0)
+                if cull_lo > 0:
+                    # shift-time cull of the x_min CPML layer
+                    # (window.F90:76,322-342): post-shift cells < thL
+                    w = jnp.where((sh > 0) & (gx0 < cull_lo), 0.0, w)
             xis, p, w = _bc_axis([xi0, xi1], p, w, 0, bc[0], bc[1],
                                  kb[0][0], kb[0][1], gx0,
                                  thermal=_mk_thermal(0, sd, i))
             xi0, xi1 = xis
 
         def halo(side):
-            hw = we_ref[:, 0, side, :][:, None, :]
-            hx0 = xie_ref[0, :, 0, side, :][:, None, :]
-            hx1 = xie_ref[1, :, 0, side, :][:, None, :]
-            hp = [pe_ref[c, :, 0, side, :][:, None, :] for c in range(3)] \
-                + [exe_ref[c, :, 0, side, :][:, None, :]
-                   for c in range(n_extra)]
+            if side_refs is not None:
+                wr = side_refs[side]
+                xr = side_refs[n_sides + side]
+                pr = side_refs[2 * n_sides + side]
+                hw = wr[0][:, None, :]
+                hx0 = xr[0, 0][:, None, :]
+                hx1 = xr[0, 1][:, None, :]
+                hp = [pr[0, c][:, None, :] for c in range(3)]
+                if n_extra:
+                    er = side_refs[3 * n_sides + side]
+                    hp += [er[0, c][:, None, :]
+                           for c in range(n_extra)]
+            else:
+                hw = we_ref[:, 0, side, :][:, None, :]
+                hx0 = xie_ref[0, :, 0, side, :][:, None, :]
+                hx1 = xie_ref[1, :, 0, side, :][:, None, :]
+                hp = [pe_ref[c, :, 0, side, :][:, None, :]
+                      for c in range(3)] \
+                    + [exe_ref[c, :, 0, side, :][:, None, :]
+                       for c in range(n_extra)]
+            if clear_rcol or with_refill:
+                # this halo view reads the replaced column when its
+                # global source column is RCOL and a shift is pending
+                colg = (i * BX + (-1, BX, BX + 1)[side]) % nxg
+                hm = (colg == RCOL) & (sh > 0)
+                if with_refill:
+                    hw = jnp.where(hm, refw_ref[0][:, None, :], hw)
+                    hx0 = jnp.where(hm, refxi_ref[0, 0][:, None, :], hx0)
+                    hx1 = jnp.where(hm, refxi_ref[0, 1][:, None, :], hx1)
+                    for c in range(3):
+                        hp[c] = jnp.where(hm, refp_ref[0, c][:, None, :],
+                                          hp[c])
+                    for c in range(3, 3 + n_extra):
+                        hp[c] = jnp.where(hm, 0.0, hp[c])
+                else:
+                    hw = jnp.where(hm, 0.0, hw)
             hx0, hx1 = drift(hw, hx0, hx1, *hp)
             if bounded_x:
                 # signed global column index: wrap columns fall outside
@@ -545,6 +647,8 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                 hg = jnp.asarray(xo + i * BX + off, jnp.int32)
                 if with_window:
                     hg = hg - sh
+                if cull_lo > 0:
+                    hw = jnp.where((sh > 0) & (hg < cull_lo), 0.0, hw)
                 hxis, hp, hw = _bc_axis([hx0, hx1], hp, hw, 0, bc[0],
                                         bc[1], kb[0][0], kb[0][1], hg,
                                         thermal=_mk_thermal(0, sd, i))
@@ -654,6 +758,9 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
 
         accs = {}
         for k, nm in enumerate(names):
+            if ABLATE == "nogather":
+                accs[nm] = jnp.zeros(w.shape, dtype)
+                continue
             acc = jnp.zeros(w.shape, dtype)
             for (ox, oy), ww in wprods(stag_bits[nm]).items():
                 win = f_ref[0, k, ox + 2:ox + 2 + BX, 2 + oy:2 + oy + NY]
@@ -756,7 +863,7 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                     thermal=_mk_thermal(1, sd, i))
             return xi_out, p_out, w_out
 
-        if sp.zero_current or sp.immobile:
+        if sp.zero_current or sp.immobile or ABLATE == "nodeposit":
             xi_b, p_b, w_b = apply_bcs(list(xi_new), list(p_new), w)
             write_back(xi_b, p_b, w_b)
             return
@@ -834,19 +941,58 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         pl.BlockSpec((3, K, BX, NY), lambda i, *_: (0, 0, i, 0),
                      memory_space=pltpu.VMEM),
     ] + ([pl.BlockSpec((n_extra, K, BX, NY), lambda i, *_: (0, 0, i, 0),
-                       memory_space=pltpu.VMEM)] if n_extra else []) + [
-        pl.BlockSpec((K, 1, H, NY), lambda i, *_: (0, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, K, 1, H, NY), lambda i, *_: (0, 0, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, K, 1, H, NY), lambda i, *_: (0, 0, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ] + ([pl.BlockSpec((n_extra, K, 1, H, NY),
-                       lambda i, *_: (0, 0, i, 0, 0),
-                       memory_space=pltpu.VMEM)] if n_extra else []) + [
-        pl.BlockSpec((1, 6, BX + 2 * M, NY + 2 * M), lambda i, *_: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM)] if n_extra else [])
+    if halo_mode == "cols":
+        # per-side column arrays (nxb, …, K, NY): the index_map reads
+        # the NEIGHBOUR stripe's entry — the periodic roll is free.
+        # The blocked stripe axis leads so the trailing block dims
+        # (K, NY) are full-extent (Mosaic's alignment rule).
+        lm = lambda i, *_: ((i - 1) % nxb, 0, 0)
+        rm = lambda i, *_: ((i + 1) % nxb, 0, 0)
+        lm2 = lambda i, *_: ((i - 1) % nxb, 0, 0, 0)
+        rm2 = lambda i, *_: ((i + 1) % nxb, 0, 0, 0)
+        side_maps = [lm, rm] + ([rm] if with_window else [])
+        side_maps2 = [lm2, rm2] + ([rm2] if with_window else [])
+        for mp in side_maps:
+            in_specs.append(pl.BlockSpec((1, K, NY), mp,
+                                         memory_space=pltpu.VMEM))
+        for mp in side_maps2:
+            in_specs.append(pl.BlockSpec((1, 2, K, NY), mp,
+                                         memory_space=pltpu.VMEM))
+        for mp in side_maps2:
+            in_specs.append(pl.BlockSpec((1, 3, K, NY), mp,
+                                         memory_space=pltpu.VMEM))
+        if n_extra:
+            for mp in side_maps2:
+                in_specs.append(pl.BlockSpec((1, n_extra, K, NY), mp,
+                                             memory_space=pltpu.VMEM))
+    else:
+        in_specs += [
+            pl.BlockSpec((K, 1, H, NY), lambda i, *_: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, K, 1, H, NY), lambda i, *_: (0, 0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, K, 1, H, NY), lambda i, *_: (0, 0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + ([pl.BlockSpec((n_extra, K, 1, H, NY),
+                           lambda i, *_: (0, 0, i, 0, 0),
+                           memory_space=pltpu.VMEM)] if n_extra else [])
+    in_specs += [
+        pl.BlockSpec((1, 6, BX + 2 * M, NY + 2 * M),
+                     lambda i, *_: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if with_refill:
+        # staged refill column (broadcast to every stripe; consumed only
+        # where the column test hits)
+        in_specs += [
+            pl.BlockSpec((1, K, NY), lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, K, NY), lambda i, *_: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, K, NY), lambda i, *_: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     out_specs = (
         pl.BlockSpec((K, BX, NY), lambda i, *_: (0, i, 0),
                      memory_space=pltpu.VMEM),
@@ -922,7 +1068,8 @@ class PallasBinned:
     """Per-(species, config) fused kernel + the XLA glue."""
 
     def __init__(self, plan, sp, cfg, interpret=False, with_window=False,
-                 n_extra=0, probe_specs=(), spmd_axis=None, mesh_n=1):
+                 n_extra=0, probe_specs=(), spmd_axis=None, mesh_n=1,
+                 with_refill=False, cull_lo=0, clear_rcol=False):
         """``spmd_axis``: mesh axis name when running per-shard inside a
         shard_map over grid-x (parallel/spmd_push.py) — halo columns at
         shard edges then come from lax.ppermute ring exchanges, and the
@@ -949,41 +1096,68 @@ class PallasBinned:
         bc = tuple(sp.bc_particle[:4])
         self.any_thermal = any(
             b in (const.BC.THERMAL, const.BC.HEAT_BATH) for b in bc)
+        # single-device path: halo columns ride BlockSpec neighbour
+        # index maps; sharded path: pre-stacked tensors with ppermute-
+        # patched shard edges (spmd_push.py)
+        self.halo_mode = "cols" if spmd_axis is None else "stacked"
+        self.with_refill = with_refill
         self.fused = make_fused_push(
             self.K, self.BX, self.ny, self.nxb, plan, sp, dtype, bc=bc,
             interpret=interpret, with_window=with_window,
             n_extra=n_extra, probe_specs=probe_specs,
             with_xoff=spmd_axis is not None, nx_global=self.nx_global,
-            pad_x=self.nx_global - self.nx_real)
+            pad_x=self.nx_global - self.nx_real,
+            halo_mode=self.halo_mode, with_refill=with_refill,
+            cull_lo=cull_lo, clear_rcol=clear_rcol)
+        # refill staging column (must match make_fused_push RCOL)
+        self.rcol = self.nx_real if self.nx_global > self.nx_real else 0
         self.n_halo = 3 if with_window else 2
+
+    def stripecol(self, a, axis, col0):
+        """Column ``col0`` of every BX-stripe along ``axis`` →
+        [..., nxb, ...] (reshape + unit index: gather-free, layout-safe;
+        see ROUND2 notes on jnp.take layout poisoning)."""
+        import os
+        BX = self.BX
+        nd_ = a.ndim
+        if os.environ.get("EPOCH_TPU_HALO") == "slice":
+            starts = [0] * nd_
+            limits = list(a.shape)
+            strides = [1] * nd_
+            starts[axis] = col0
+            strides[axis] = BX
+            return jax.lax.slice(a, starts, limits, strides)
+        pre = a.shape[:axis]
+        post = a.shape[axis + 1:]
+        ar = a.reshape(pre + (self.nxb, BX) + post)
+        return ar[(slice(None),) * (axis + 1) + (col0,)]
+
+    def halo_side_arrays(self, a, axis):
+        """Per-side halo column arrays [..., nxb, ...] for halo_mode
+        "cols": [left-of-stripe source, right source(, 2nd right)] — the
+        neighbour roll happens in the kernel's BlockSpec index_map, so
+        no XLA pad/concat staging is materialised (was ~0.35 ms/step at
+        bench shapes)."""
+        cols = [self.stripecol(a, axis, self.BX - 1),
+                self.stripecol(a, axis, 0)]
+        if self.with_window:
+            cols.append(self.stripecol(a, axis, 1))
+        # stripe axis leading: the kernel blocks it to 1 so the trailing
+        # block dims (K, NY) stay full-extent (Mosaic alignment rule)
+        return [jnp.moveaxis(c, axis, 0) for c in cols]
 
     def halo_cols(self, a, axis):
         """Halo columns per stripe along grid-x ``axis`` →
         shape [..., nxb, n_halo, NY].
 
-        Strided lax.slice + a one-stripe roll, NOT a reshape and NOT a
-        gather: the round-2 reshape formulation made XLA materialise the
-        whole slot state in a column-major layout (a ~24 MB transpose
-        copy per species per step, HLO copy.97-101) just to read 3
-        columns; a strided static slice reads only what it writes.  The
+        SPMD/shard_map layout only (halo_mode "stacked"): shard-edge
+        entries are patched by lax.ppermute ring exchanges below.  The
         columns are {i·BX−1}, {(i+1)·BX}, {(i+1)·BX+1} mod nx."""
-        import os
         BX = self.BX
         nd_ = a.ndim
-        impl = os.environ.get("EPOCH_TPU_HALO", "reshape")
 
         def stripecol(col0):
-            if impl == "slice":
-                starts = [0] * nd_
-                limits = list(a.shape)
-                strides = [1] * nd_
-                starts[axis] = col0
-                strides[axis] = BX
-                return jax.lax.slice(a, starts, limits, strides)
-            pre = a.shape[:axis]
-            post = a.shape[axis + 1:]
-            ar = a.reshape(pre + (self.nxb, BX) + post)
-            return ar[(slice(None),) * (axis + 1) + (col0,)]
+            return self.stripecol(a, axis, col0)
 
         def tk(lo, hi):
             sl = [slice(None)] * nd_
@@ -1072,7 +1246,8 @@ class PallasBinned:
             ext = ext.at[:, g * BX:g * BX + self.nx].add(block)
         return ext[:, :self.nx + 2 * M]
 
-    def __call__(self, fwin, binned, shift=None, extra=None, seed=None):
+    def __call__(self, fwin, binned, shift=None, extra=None, seed=None,
+                 refill=None):
         """fwin from make_fwin.  Returns (new binned, jpart, extra_out).
 
         ``shift`` (with_window only): traced int32 scalar, 1 when a
@@ -1082,22 +1257,50 @@ class PallasBinned:
         carries none, else (n_extra_out, K, nx, ny) — see
         make_fused_push."""
         w, xi, p = binned.w, binned.xi, binned.p
-        we = self.halo_cols(w, 1)
-        xie = self.halo_cols(xi, 2)
-        pe = self.halo_cols(p, 2)
         # per-stripe any-live flag over the stripe + its halo columns
         # (weights are non-negative: max > 0 ⇔ any live); vacuum stripes
         # skip all VPU work inside the kernel
         smax = jnp.max(w.reshape(self.K, self.nxb, self.BX, self.ny),
                        axis=(0, 2, 3))
-        hmax = jnp.max(we, axis=(0, 2, 3))
-        flags = ((jnp.maximum(smax, hmax) > 0)).astype(jnp.int32)
         ins = [w, xi, p]
         if self.n_extra:
-            ins += [extra, we, xie, pe, self.halo_cols(extra, 2)]
+            ins.append(extra)
+        if self.halo_mode == "cols":
+            wcols = self.halo_side_arrays(w, 1)   # (nxb, K, NY) each
+            # arrival flags: stripe i's left halo is wcols[0][i-1],
+            # right halos wcols[1:][i+1] — tiny (nxb,) rolls
+            cmax = [jnp.max(c, axis=(1, 2)) for c in wcols]
+            hmax = jnp.maximum(jnp.roll(cmax[0], 1), jnp.roll(cmax[1], -1))
+            for c in cmax[2:]:
+                hmax = jnp.maximum(hmax, jnp.roll(c, -1))
+            ins += wcols
+            ins += self.halo_side_arrays(xi, 2)
+            ins += self.halo_side_arrays(p, 2)
+            if self.n_extra:
+                ins += self.halo_side_arrays(extra, 2)
         else:
-            ins += [we, xie, pe]
+            we = self.halo_cols(w, 1)
+            hmax = jnp.max(we, axis=(0, 2, 3))
+            ins += [we, self.halo_cols(xi, 2), self.halo_cols(p, 2)]
+            if self.n_extra:
+                ins.append(self.halo_cols(extra, 2))
+        flags = ((jnp.maximum(smax, hmax) > 0)).astype(jnp.int32)
         ins.append(fwin)
+        if self.with_refill:
+            rw, rxi, rp = refill
+            # stripes that see the staged column must be live: its own
+            # stripe plus any neighbour whose halo view reads RCOL
+            sr = self.rcol // self.BX
+            rc = self.rcol % self.BX
+            readers = {sr}
+            if rc == 0 or rc == 1:
+                readers.add((sr - 1) % self.nxb)
+            if rc == self.BX - 1:
+                readers.add((sr + 1) % self.nxb)
+            rlive = (jnp.max(rw) > 0).astype(jnp.int32)
+            for r in readers:
+                flags = flags.at[r].max(rlive)
+            ins += [rw[None], rxi[None], rp[None]]
         scal = [flags]
         if self.with_window:
             if shift is None:

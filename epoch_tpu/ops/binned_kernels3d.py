@@ -247,13 +247,13 @@ def make_fused_push3d(K, BX, BY, NZ, nxb, nyb, plan, sp, dtype, bc=None,
                                        haloL=xhalo(0), haloR=xhalo(1))
 
         def yhalo(side):
-            # (K, BX+2, 2, NZ) rows: drift, x-BC, x-rebin internally
+            # (K, 2, BX+2, NZ) rows: drift, x-BC, x-rebin internally
             # (the BX+2 extent provides the rows' own ±x candidates),
             # then slice to the BX interior and add the brick-y axis
-            hw = wy_ref[:, 0, :, side]
-            hxi = [xiy_ref[c, :, 0, :, side] for c in range(3)]
-            hp = [py_ref[c, :, 0, :, side] for c in range(3)] \
-                + [exy_ref[c, :, 0, :, side] for c in range(n_extra)]
+            hw = wy_ref[:, 0, side]
+            hxi = [xiy_ref[c, :, 0, side] for c in range(3)]
+            hp = [py_ref[c, :, 0, side] for c in range(3)] \
+                + [exy_ref[c, :, 0, side] for c in range(n_extra)]
             hxi = drift(hw, hxi, hp)
             gx = (i * BX - 1) + jax.lax.broadcasted_iota(
                 jnp.int32, hw.shape, 1)
@@ -529,14 +529,16 @@ def make_fused_push3d(K, BX, BY, NZ, nxb, nyb, plan, sp, dtype, bc=None,
               lambda i, j, *_: (0, 0, i, 0, j, 0)),
     ] + ([bspec((n_extra, Kd, 1, 2, BY, NZ),
                 lambda i, j, *_: (0, 0, i, 0, j, 0))] if n_extra else []) + [
-        # y-halo rows (K, nxb, BX+2, 2·nyb, NZ)
-        bspec((Kd, 1, BX + 2, 2, NZ), lambda i, j, *_: (0, i, 0, j, 0)),
-        bspec((3, Kd, 1, BX + 2, 2, NZ),
-              lambda i, j, *_: (0, 0, i, 0, j, 0)),
-        bspec((3, Kd, 1, BX + 2, 2, NZ),
-              lambda i, j, *_: (0, 0, i, 0, j, 0)),
-    ] + ([bspec((n_extra, Kd, 1, BX + 2, 2, NZ),
-                lambda i, j, *_: (0, 0, i, 0, j, 0))] if n_extra else []) + [
+        # y-halo rows (K, nxb, 2·nyb, BX+2, NZ): the 2-row y block sits
+        # outside the trailing (BX+2, NZ) dims, which match the array
+        # extents (Mosaic full-dim rule)
+        bspec((Kd, 1, 2, BX + 2, NZ), lambda i, j, *_: (0, i, j, 0, 0)),
+        bspec((3, Kd, 1, 2, BX + 2, NZ),
+              lambda i, j, *_: (0, 0, i, j, 0, 0)),
+        bspec((3, Kd, 1, 2, BX + 2, NZ),
+              lambda i, j, *_: (0, 0, i, j, 0, 0)),
+    ] + ([bspec((n_extra, Kd, 1, 2, BX + 2, NZ),
+                lambda i, j, *_: (0, 0, i, j, 0, 0))] if n_extra else []) + [
         bspec((1, 6, BX + 2 * M, BY + 2 * M, NZ + 2 * M),
               lambda i, j, *_: (i * nyb + j, 0, 0, 0, 0)),
     ]
@@ -576,7 +578,10 @@ def make_fused_push3d(K, BX, BY, NZ, nxb, nyb, plan, sp, dtype, bc=None,
         out_shape=out_shape,
         input_output_aliases=io_aliases,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # the 3K-slot rebin candidates + double-buffered brick blocks
+            # exceed the default 16 MiB scoped-vmem cap at 64^3 shapes
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -601,7 +606,13 @@ class PallasBinned3D:
         envx = os.environ.get("EPOCH_TPU_BX3")
         envy = os.environ.get("EPOCH_TPU_BY3")
         self.BX = int(envx) if envx else pick_b(self.nx, (4, 8, 2))
-        self.BY = int(envy) if envy else pick_b(self.ny, (8, 16, 4))
+        # x-halo trailing block dims are (BY, NZ): Mosaic needs BY %8
+        # or full-extent on hardware (interpret mode is unconstrained)
+        by_cands = (8, 16, 4) if interpret else (8, 16)
+        by = pick_b(self.ny, by_cands)
+        if by is None and self.ny <= 16:
+            by = self.ny
+        self.BY = int(envy) if envy else by
         self.nxb = self.nx // self.BX
         self.nyb = self.ny // self.BY
         dtype = jnp.dtype(cfg.dtype)
@@ -634,7 +645,7 @@ class PallasBinned3D:
         return jnp.stack([left, right], axis=axis + 1)
 
     def halo_rows_y(self, a, xaxis):
-        """y-halo rows per brick: [..., nxb, BX+2, 2·nyb, NZ] — rows
+        """y-halo rows per brick: [..., nxb, 2·nyb, BX+2, NZ] — rows
         {j·BY−1, (j+1)·BY} mod ny, x-extended one cell each side.
 
         ``xaxis``: position of the grid-x axis in ``a``.  Built from
@@ -669,9 +680,14 @@ class PallasBinned3D:
         lext = jnp.roll(xcol(BX - 1), 1, axis=xaxis)
         rext = jnp.roll(xcol(0), -1, axis=xaxis)
         ext = jnp.concatenate([lext, rr, rext], axis=xaxis + 1)
-        # merge (nyb, 2) → 2·nyb for the 5D BlockSpec
+        # [..., nxb, BX+2, nyb, 2, NZ] → [..., nxb, 2·nyb, BX+2, NZ]:
+        # the blocked (2·nyb) axis must sit OUTSIDE the last two dims —
+        # Mosaic requires the trailing block dims be 8/128-aligned or
+        # full, and a 2-row y block is neither (the interpret-mode-only
+        # ordering this replaces was rejected on real TPU)
+        ext = jnp.moveaxis(ext, xaxis + 1, xaxis + 3)
         shp = ext.shape
-        k = xaxis + 2                   # position of the nyb axis
+        k = xaxis + 1                   # position of the nyb axis
         return ext.reshape(shp[:k] + (shp[k] * shp[k + 1],) + shp[k + 2:])
 
     def make_fwin(self, fpad):
@@ -744,7 +760,8 @@ class PallasBinned3D:
             ext2 = ext2.at[:, :, g * BY:g * BY + self.ny].add(block)
         return ext2[:, :, :self.ny + 2 * M]
 
-    def __call__(self, fwin, binned, shift=None, extra=None, seed=None):
+    def __call__(self, fwin, binned, shift=None, extra=None, seed=None,
+                 refill=None):
         """Returns (new binned, jpart, extra_out)."""
         w, xi, p = binned.w, binned.xi, binned.p
         wx = self.halo_cols_x(w, 1)

@@ -184,6 +184,8 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "x"):
         slab_dropped=repl if state.slab_dropped is not None else None,
         window_pending=repl if state.window_pending is not None else None,
         injector_depth=jax.tree.map(lambda _: repl, state.injector_depth),
+        # staged refill columns are transverse-only (small): replicate
+        window_refill=jax.tree.map(lambda _: repl, state.window_refill),
         probes=jax.tree.map(lambda _: repl, state.probes),
         ejected=jax.tree.map(lambda _: repl, state.ejected),
         fluid_grids=tuple(

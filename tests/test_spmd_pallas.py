@@ -98,6 +98,11 @@ def test_spmd_pallas_matches_single(tmp_path, monkeypatch):
         st8 = step8(st8)
 
     assert int(st1.window_offset) == int(st8.window_offset) > 0
+    # the single-device path stages the pending refill column in
+    # state.window_refill (consumed in-kernel at the next push); the
+    # sharded path stages it in the arrays — materialise for comparison
+    from epoch_tpu.core.window import materialize_refill
+    st1 = materialize_refill(st1, sim.cfg)
     # fields agree to round-off
     for nm in ("ex", "ey", "ez", "bx", "by", "bz"):
         a = np.asarray(getattr(st1.fields, nm))
