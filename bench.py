@@ -196,7 +196,7 @@ def setup(mode=None):
             f.write(DECK3D.format(nx=nx, ny=ny, nz=nz, ppc=ppc,
                                   lx=nx * cell, ly=ny * cell,
                                   lz=nz * cell))
-        elif mode == "lwfa":
+        elif mode in ("lwfa", "qed"):
             # default 372 user cells/axis: CPML extends every axis by
             # 2*6 cells (mpi_routines.F90:290-291) to 384 = 48*8 = 3*128
             # — stripe- and lane-aligned for the fused kernel
@@ -210,11 +210,32 @@ def setup(mode=None):
             # post-switch moving-window steady state, the regime long
             # LWFA production runs spend ~all their time in
             t_start = float(os.environ.get("BENCH_TSTART", 50e-15))
-            f.write(DECK_LWFA.format(nx=nx, ny=ny, ppc=ppc,
-                                     lx=nx * cell, ly=ly,
-                                     yc=0.5 * ly, w0=0.25 * ly,
-                                     x0=0.25 * nx * cell,
-                                     t_start=t_start))
+            text = DECK_LWFA.format(nx=nx, ny=ny, ppc=ppc,
+                                    lx=nx * cell, ly=ly,
+                                    yc=0.5 * ly, w0=0.25 * ly,
+                                    x0=0.25 * nx * cell,
+                                    t_start=t_start)
+            if mode == "qed":
+                # physics-instrumented variant (VERDICT r2 item 3): QED
+                # synchrotron active every step — optical-depth aux rows
+                # ride the fused kernel's payload routing; must bench
+                # within ~1.5x of the bare deck
+                tables = os.environ.get(
+                    "EPOCH_QED_TABLES",
+                    "/root/reference/epoch1d/src/physics_packages/TABLES")
+                # emitters are identified species (photons.F90 emitter
+                # selection); mark the LWFA electrons
+                text = text.replace(
+                    "  name = electron\n  charge = -1\n  mass = 1.0\n",
+                    "  name = electron\n  identify:electron\n", 1)
+                text += ("begin:qed\n  use_qed = T\n"
+                         "  qed_start_time = 0\n  produce_photons = T\n"
+                         f"  qed_table_location = {tables}\n"
+                         "  photon_energy_min = 50 * kev\n"
+                         "  photon_dynamics = F\nend:qed\n"
+                         "begin:species\n  name = Photon\n"
+                         "  identify:photon\nend:species\n")
+            f.write(text)
         else:
             cell = 2.0e-8
             f.write(DECK.format(nx=nx, ny=ny, ppc=ppc,

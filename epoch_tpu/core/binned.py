@@ -725,14 +725,29 @@ def window_pending_capable(cfg):
     if cfg.injector_plans:
         # injector column writes land between the shift and the push
         return False
-    for p in (cfg.qed_plan, cfg.brem_plan, cfg.ionise_plan,
+    for p in (cfg.brem_plan, cfg.ionise_plan,
               cfg.collision_plan, cfg.split_plan, cfg.migration_plan):
         if p is not None:
             return False
+    if cfg.qed_plan is not None:
+        # QED is pending-compatible when every XLA-side stage between
+        # the shift and the push is CELL-LOCAL: in-kernel rates cover
+        # the emitters' field gather, and emission append targets the
+        # parent's array cell (relabel-consistent across species).
+        # Breit-Wheeler pair production gathers fields at photons
+        # XLA-side — one-cell-stale under a pending relabel — so it
+        # keeps the rolled path.
+        if cfg.qed_plan.produce_pairs:
+            return False
     kernel_bcs = (const.BC.OPEN, const.BC.REFLECT)
     for sp in cfg.species:
-        if sp.immobile or sp.species_type == const.SpeciesType.PHOTON:
+        if sp.immobile:
             return False
+        if sp.species_type == const.SpeciesType.PHOTON:
+            # photons ride their own fused ballistic kernel; thermal
+            # walls (no photon kernel) are rejected below like massive
+            # species with non-kernel BCs
+            pass
         if sp.bc_particle[0] not in kernel_bcs \
                 or sp.bc_particle[1] not in kernel_bcs:
             return False
@@ -791,9 +806,30 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
     kernel_bcs = (const.BC.PERIODIC, const.BC.OPEN, const.BC.REFLECT,
                   const.BC.THERMAL, const.BC.HEAT_BATH)
     out = []
+    TH = (const.BC.THERMAL, const.BC.HEAT_BATH)
     for si, sp in enumerate(cfg.species):
-        if sp.immobile or sp.species_type == const.SpeciesType.PHOTON:
-            # photons take the ballistic push (push_photons_binned)
+        if sp.species_type == const.SpeciesType.PHOTON:
+            # ballistic fused variant: rebin + full-dt drift, no
+            # gather/Boris/deposit — the XLA push_photons_binned ran the
+            # slot-sort rebin every step even on near-vacuum photon
+            # grids (a QED LWFA deck paid ~5x the bare deck for it).
+            # Not composed with shard_map yet (spmd keeps the XLA path).
+            if spmd_axis is not None or any(
+                    bc not in kernel_bcs or bc in TH
+                    for bc in sp.bc_particle[:2 * plan.nd]):
+                out.append(None)
+            else:
+                ph_window = window_pending_capable(cfg)
+                from .window import pending_single_shift
+                ph_stage = (ph_window and spmd_axis is None
+                            and pending_single_shift(cfg))
+                out.append(PallasBinned(
+                    plan, sp, cfg, interpret=interpret,
+                    with_window=ph_window, n_extra=plan.n_aux,
+                    photon=True, clear_rcol=ph_stage,
+                    cull_lo=(cfg.grid.cpml_thickness if ph_stage
+                             else 0)))
+        elif sp.immobile:
             out.append(None)
         elif any(bc not in kernel_bcs
                  for bc in sp.bc_particle[:2 * plan.nd]):
@@ -806,6 +842,23 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                  tuple(float(v) for v in pp.point))
                 for pp in getattr(cfg, "probe_plans", ())
                 if si in pp.species)
+            # in-kernel QED rates for emitter species: eta + the
+            # optical-depth decrement reuse the push's gathered fields;
+            # the 'qed_eta' aux row (LAST) is excluded from routing and
+            # appended fresh by the kernel
+            qp = cfg.qed_plan
+            qed_args = None
+            n_route = plan.n_aux
+            if qp is not None and si in qp.emitters \
+                    and spmd_axis is None \
+                    and "qed_eta" in plan.aux_idx \
+                    and plan.aux_idx["qed_eta"] == plan.n_aux - 1:
+                n_route = plan.n_aux - 1
+                qed_args = (plan.aux_idx["opdepth"],
+                            tuple(qp.h_fit_coeffs),
+                            float(qp.h_fit_lo), float(qp.h_fit_hi),
+                            float(qp.c1_per_dt * plan.dt),
+                            float(qp.c_eta))
             if spmd_axis is not None and probe_specs:
                 # probe capture not composed with the shard_map push yet
                 out.append(None)
@@ -826,12 +879,13 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
             cull_lo = cfg.grid.cpml_thickness if in_kernel_stage else 0
             out.append(PallasBinned(plan, sp, cfg, interpret=interpret,
                                     with_window=with_window,
-                                    n_extra=plan.n_aux + len(probe_specs),
+                                    n_extra=n_route + len(probe_specs),
                                     probe_specs=probe_specs,
                                     spmd_axis=spmd_axis, mesh_n=mesh_n,
                                     with_refill=with_refill,
                                     cull_lo=cull_lo,
-                                    clear_rcol=in_kernel_stage))
+                                    clear_rcol=in_kernel_stage,
+                                    qed=qed_args))
     return out
 
 
@@ -913,7 +967,7 @@ def _make_pallas_engines_3d(cfg, plan, interpret, mode):
 
 
 def push_deposit_pallas(engine, fwin, binned, plan, sp=None, shift=None,
-                        probes=None, seed=None, refill=None):
+                        probes=None, seed=None, refill=None, qed_on=None):
     """Fused-kernel variant of push_deposit_binned; returns per-stripe
     partial currents (callers sum over species, then fold once).
 
@@ -923,22 +977,32 @@ def push_deposit_pallas(engine, fwin, binned, plan, sp=None, shift=None,
     ``probes`` the return is (binned, jpart, probe_recs) as for
     push_deposit_binned."""
     n_aux = 0 if binned.aux is None else binned.aux.shape[0]
-    extra = binned.aux
+    qed_en = getattr(engine, "qed_enabled", False)
+    # in-kernel QED rates: the LAST aux row (qed_eta) is written fresh
+    # by the kernel (appended as the final output row) and excluded
+    # from the rebin routing
+    n_route = n_aux - 1 if qed_en else n_aux
+    extra = binned.aux[:n_route] if n_route else None
     if probes:
         dinit = probe_entry_distances(binned, plan, probes)
         extra = dinit if extra is None \
             else jnp.concatenate([extra, dinit], axis=0)
     out, jpart, extra_out = engine(fwin, binned, shift=shift, extra=extra,
-                                   seed=seed, refill=refill)
+                                   seed=seed, refill=refill,
+                                   qed_on=qed_on)
     probe_recs = None
     if extra_out is not None:
         if n_aux:
-            out = out._replace(aux=extra_out[:n_aux])
+            aux_new = extra_out[:n_route]
+            if qed_en:
+                aux_new = jnp.concatenate([aux_new, extra_out[-1:]],
+                                          axis=0)
+            out = out._replace(aux=aux_new)
         if probes:
             npb = len(probes)
-            dinit_r = extra_out[n_aux:n_aux + npb]
-            dfin = extra_out[n_aux + npb:n_aux + 2 * npb]
-            prew = extra_out[-1]          # pre-BC weight (aliveness)
+            dinit_r = extra_out[n_route:n_route + npb]
+            dfin = extra_out[n_route + npb:n_route + 2 * npb]
+            prew = extra_out[n_route + 2 * npb]   # pre-BC weight
             nd = plan.nd
             dtype = out.w.dtype
             mass = sp.mass
@@ -1092,6 +1156,68 @@ def gather_fields_binned(fpad, xi_stack, plan,
     return out
 
 
+def gather_fields_binned_shifted(fields, grid, xi_stack, plan,
+                                 comps=("ex", "ey", "ez",
+                                        "bx", "by", "bz")):
+    """Field components at particles whose ξ is UN-normalised (end-of-
+    push state, ξ ∈ (−1.5, 1.5)): the per-slot cell shift
+    dc = clip(floor(ξ+0.5), −1, 1) folds into widened gather windows.
+
+    Replaces the slot-SORT rebin the physics packages ran before
+    gathering (qed/ionise called ``rebin`` every step just to centre ξ —
+    a 3K-row lax.sort over the whole slot grid).  Widened windows cost
+    ~2.5x the centred gather's arithmetic, far below the sort."""
+    from .boundaries import STAGGER
+    nd = plan.nd
+    ng = grid.ng
+    gpad = 3                     # offsets reach ±(2+1) after the shift
+    names6 = ("ex", "ey", "ez", "bx", "by", "bz")
+    sl = tuple(slice(ng - gpad, ng + n + gpad) for n in grid.n)
+    fpad = jnp.stack([getattr(fields, nm)[sl] for nm in names6], axis=0)
+    if tuple(plan.ns) != tuple(grid.n):
+        # zero-extend over the slot grid's dead pad columns
+        fpad = jnp.pad(fpad, ((0, 0),) + tuple(
+            (0, plan.ns[d] - grid.n[d]) for d in range(nd)))
+    xi_ax = [xi_stack[d] for d in range(nd)]
+    dc = [jnp.clip(jnp.floor(xi_ax[d] + 0.5), -1.0, 1.0)
+          for d in range(nd)]
+    xc = [xi_ax[d] - dc[d] for d in range(nd)]
+    cf1 = [-xc[d] for d in range(nd)]
+    c2 = [jnp.floor(x) for x in xc]
+    cf2 = [c2[d] - xc[d] + 0.5 for d in range(nd)]
+    gw = [{o: _w_rel(cf1[d], o, dc[d], (-1.0, 0.0, 1.0))
+           for o in (-2, -1, 0, 1, 2)} for d in range(nd)]
+    hw = [{o: _w_rel(cf2[d], o, c2[d] + dc[d], (-2.0, -1.0, 0.0, 1.0))
+           for o in (-3, -2, -1, 0, 1, 2)} for d in range(nd)]
+    wprod_cache = {}
+
+    def wprods(bits):
+        if bits not in wprod_cache:
+            tabs = [hw[d] if bits[d] else gw[d] for d in range(nd)]
+            out = {}
+            for otup in itertools.product(*[sorted(t) for t in tabs]):
+                ww = None
+                for d in range(nd):
+                    wd = tabs[d][otup[d]]
+                    ww = wd if ww is None else ww * wd
+                out[otup] = ww
+            wprod_cache[bits] = out
+        return wprod_cache[bits]
+
+    out = {}
+    for nm in comps:
+        k = names6.index(nm)
+        bits = tuple(int(STAGGER[nm][d]) for d in range(nd))
+        acc = None
+        for otup, ww in wprods(bits).items():
+            s = tuple(slice(gpad + otup[d], gpad + otup[d] + plan.ns[d])
+                      for d in range(nd))
+            term = ww * fpad[(k,) + s][None]
+            acc = term if acc is None else acc + term
+        out[nm] = plan.fac * acc
+    return out
+
+
 def deposit_scalar_binned(vals, xi_stack, plan):
     """Shape-weighted scalar deposition (particle_to_grid analogue on the
     slot grid): requires post-rebin ξ (c1 ≡ 0, support −1..1 per axis).
@@ -1190,6 +1316,40 @@ def merge_candidates(binned: BinnedSpecies, cand_xi, cand_p, cand_w, plan,
     kept = jnp.sum(w > 0)
     dropped = binned.n_dropped + (live_total - kept).astype(jnp.int32)
     return binned._replace(xi=xi, p=p, w=w, aux=aux, n_dropped=dropped)
+
+
+def append_compressed(binned: BinnedSpecies, cand_xi, cand_p, cand_w,
+                      plan, cand_aux=None) -> BinnedSpecies:
+    """Append a SMALL compressed candidate grid (Kc rows, cell-ranked —
+    see qed.py's emission compression) into the first free slots of each
+    cell WITHOUT a sort: the slot grids are kept live-first-compacted by
+    the engines, so candidate r of a cell with n live slots lands in row
+    n+r via one K-deep select per candidate row.  merge_candidates'
+    multi-payload lax.sort cost ~7 ms/step at bench shapes even with
+    tiny candidate sets; this costs Kc selects per payload.  Overflow
+    beyond K is dropped and counted."""
+    nd = plan.nd
+    K = binned.K
+    Kc = cand_w.shape[0]
+    na = 0 if binned.aux is None else binned.aux.shape[0]
+    if na and cand_aux is None:
+        cand_aux = jnp.zeros((na,) + cand_w.shape, cand_w.dtype)
+    n_live = jnp.sum((binned.w > 0).astype(jnp.int32), axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, binned.w.shape, 0)
+    w, xi, p, aux = binned.w, binned.xi, binned.p, binned.aux
+    dropped = jnp.zeros((), jnp.int32)
+    for r in range(Kc):
+        alive_c = cand_w[r] > 0
+        sel = (rows == (n_live + r)[None]) & alive_c[None]
+        w = jnp.where(sel, cand_w[r][None], w)
+        xi = jnp.where(sel[None], cand_xi[:, r][:, None], xi)
+        p = jnp.where(sel[None], cand_p[:, r][:, None], p)
+        if na:
+            aux = jnp.where(sel[None], cand_aux[:, r][:, None], aux)
+        dropped = dropped + jnp.sum(
+            alive_c & (n_live + r >= K)).astype(jnp.int32)
+    return binned._replace(w=w, xi=xi, p=p, aux=aux,
+                           n_dropped=binned.n_dropped + dropped)
 
 
 def push_photons_binned(binned: BinnedSpecies, plan,

@@ -342,6 +342,11 @@ def build_config(deck: DeckConfig) -> SimConfig:
             or s.persist_start_step is not None for s in deck.subsets)
         if need_ids:
             aux_rows += ["id_lo", "id_hi"]
+        if deck.qed.use_qed:
+            # per-particle eta written by the fused kernel (in-kernel
+            # QED rates); MUST stay the LAST row — the kernel excludes
+            # it from the rebin routing and appends it fresh
+            aux_rows.append("qed_eta")
         if aux_rows:
             cfg = dataclasses.replace(cfg, binned_aux=tuple(aux_rows))
     return cfg

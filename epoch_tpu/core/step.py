@@ -186,6 +186,13 @@ def make_step_functions(cfg):
         from .window import pending_single_shift
         refill_in_kernel = (window_pending_ok and cfg.mesh is None
                             and pending_single_shift(cfg))
+        if cfg.qed_plan is not None:
+            # emitter species whose fused kernel computes eta + the
+            # optical-depth decrement itself (qed.py skips the dense
+            # XLA-side gather/interp for those)
+            cfg.qed_plan.rates_in_kernel = {
+                si: True for si, e in enumerate(pallas_engines)
+                if e is not None and getattr(e, "qed_enabled", False)}
         if cfg.mesh is not None and any(e is not None
                                         for e in pallas_engines):
             from ..parallel.spmd_push import make_spmd_push
@@ -274,9 +281,11 @@ def make_step_functions(cfg):
             bc in (const.BC.THERMAL, const.BC.HEAT_BATH)
             for sp_cfg in cfg.species
             for bc in sp_cfg.bc_particle[:2 * cfg.ndims])
+        any_qed_kernel = any(getattr(e, "qed_enabled", False)
+                             for e in pallas_engines)
         rng = state.rng
         keys = [None] * len(cfg.species)
-        if any_thermal:
+        if any_thermal or any_qed_kernel:
             for si in range(len(cfg.species)):
                 rng, keys[si] = jax.random.split(rng)
         probes = list(state.probes)
@@ -306,10 +315,17 @@ def make_step_functions(cfg):
                 continue
             if sp_cfg.species_type == const.SpeciesType.PHOTON:
                 # ballistic, current-free (push_photons,
-                # particles.F90:611-695)
-                b = binmod.push_photons_binned(
-                    b, bplan, bc=sp_cfg.bc_particle[:2 * cfg.ndims],
-                    key=key, sp=sp_cfg)
+                # particles.F90:611-695); fused variant when available
+                if pallas_engines[si] is not None:
+                    shift = state.window_pending if window_pending_ok \
+                        else None
+                    b, _jph = binmod.push_deposit_pallas(
+                        pallas_engines[si], fwin, b, bplan, sp=sp_cfg,
+                        shift=shift)
+                else:
+                    b = binmod.push_photons_binned(
+                        b, bplan, bc=sp_cfg.bc_particle[:2 * cfg.ndims],
+                        key=key, sp=sp_cfg)
                 new_species.append(b)
                 continue
             sp_probes = [(pi, pp) for pi, pp in
@@ -323,17 +339,25 @@ def make_step_functions(cfg):
                 if getattr(pallas_engines[si], "with_refill", False) \
                         and si < len(state.window_refill):
                     refill = state.window_refill[si]
+                qed_on = None
+                if getattr(pallas_engines[si], "qed_enabled", False):
+                    qp = cfg.qed_plan
+                    flagv = ((state.time > qp.start_time)
+                             & (state.time
+                                >= cfg.particle_push_start_time))
+                    qed_on = (flagv, _seed_from_key(keys[si]))
                 if sp_probes:
                     b, jpart, recs = binmod.push_deposit_pallas(
                         pallas_engines[si], fwin, b, bplan, sp=sp_cfg,
                         shift=shift, probes=[pp for _, pp in sp_probes],
-                        seed=seed, refill=refill)
+                        seed=seed, refill=refill, qed_on=qed_on)
                     probes, probe_dropped = _append_probe_recs(
                         probes, probe_dropped, sp_probes, recs)
                 else:
                     b, jpart = binmod.push_deposit_pallas(
                         pallas_engines[si], fwin, b, bplan, sp=sp_cfg,
-                        shift=shift, seed=seed, refill=refill)
+                        shift=shift, seed=seed, refill=refill,
+                        qed_on=qed_on)
                 if not sp_cfg.zero_current:
                     jpart_sum = jpart if jpart_sum is None \
                         else jpart_sum + jpart
@@ -353,7 +377,7 @@ def make_step_functions(cfg):
                     jpad_sum = jpad if jpad_sum is None \
                         else jpad_sum + jpad
             new_species.append(b)
-        if any_thermal:
+        if any_thermal or any_qed_kernel:
             state = state._replace(rng=rng)
         if jpart_sum is not None:
             jp = first_engine.fold_jpart(jpart_sum)

@@ -28,6 +28,8 @@ LWFA run — skip all VPU work and pass their slots through.
 """
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -312,7 +314,8 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                     interpret=False, with_window=False,
                     n_extra=0, probe_specs=(), with_xoff=False,
                     nx_global=None, pad_x=0, halo_mode="cols",
-                    with_refill=False, cull_lo=0, clear_rcol=False):
+                    with_refill=False, cull_lo=0, clear_rcol=False,
+                    photon=False, qed=None):
     """Build the fused per-species pallas_call (2D).
 
     One kernel per stripe does the full reference hot loop
@@ -382,10 +385,15 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
     nd = 2
     mass = float(sp.mass)
     q = float(sp.charge)
-    part_mc = float(const.c * mass)
-    ipart_mc = float(1.0 / part_mc)
-    cm = float(q * 0.5 * plan.dt * ipart_mc)
-    ccm = float(cm * const.c)
+    if photon:
+        # ballistic massless push (push_photons, particles.F90:611-695):
+        # rebin-with-BCs then x += p_hat*c*dt — no gather/Boris/deposit
+        part_mc = ipart_mc = cm = ccm = 0.0
+    else:
+        part_mc = float(const.c * mass)
+        ipart_mc = float(1.0 / part_mc)
+        cm = float(q * 0.5 * plan.dt * ipart_mc)
+        ccm = float(cm * const.c)
     fac = float(plan.fac)
     fj = tuple(float(v) for v in plan.fj)
     offsets = plan.offsets           # (-2..2)
@@ -451,9 +459,20 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
     ABLATE = _os.environ.get("EPOCH_TPU_KERNEL_ABLATE", "")
 
     n_probes = len(probe_specs)
-    n_extra_out = n_extra + (n_probes + 1 if n_probes else 0)
+    # output extra-row layout: [routed aux | probe dfin… , pre-BC w | eta]
+    n_extra_out = n_extra + (n_probes + 1 if n_probes else 0) \
+        + (1 if qed else 0)
+    ETA_ROW = n_extra_out - 1
+    if qed is not None:
+        # (i_od aux-row index, h(eta) log-log polyfit coeffs, fit range,
+        #  c1 = dt·α·√3/(2π·τc), C_eta = coeff·q0·√(τ0/m0))
+        QED_IOD, QED_COEF, QED_LO, QED_HI, QED_C1, QED_CETA = qed
 
     def drift(w, xi0, xi1, p0, p1, p2, *_extras):
+        if photon:
+            # photons rebin at their END-of-last-step positions (the
+            # XLA path's rebin-first ordering): no pre-rebin drift
+            return xi0, xi1
         alive = w > 0
         u0 = p0 * ipart_mc
         u1 = p1 * ipart_mc
@@ -475,6 +494,9 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
             rest = rest[1:]
         if with_xoff:
             xoff_ref = rest[0]
+            rest = rest[1:]
+        if qed is not None:
+            qed_ref = rest[0]
             rest = rest[1:]
         rest = list(rest)
         w_ref, xi_ref, p_ref = rest[:3]
@@ -511,6 +533,8 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         sh = shift_ref[0] if with_window else None
         sd = seed_ref[0] if any_thermal else None
         xo = xoff_ref[0] if with_xoff else 0
+        # qed scalar pair: [active flag, per-step RNG seed]
+        qon = (qed_ref[0], qed_ref[1]) if qed is not None else None
 
         @pl.when(flag == 0)
         def _():
@@ -524,22 +548,26 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
             po_ref[...] = p_ref[...]
             if exo_ref is not None:
                 zrow = jnp.zeros((1,) + w_ref.shape, w_ref.dtype)
+                prew_row = n_extra + n_probes if n_probes else -1
                 for c in range(n_extra):
                     exo_ref[c] = exi_ref[c]
-                for c in range(n_extra, n_extra_out - 1):
-                    exo_ref[c] = zrow[0]
-                if n_probes:
-                    exo_ref[n_extra_out - 1] = w_ref[:]
+                for c in range(n_extra, n_extra_out):
+                    if c == prew_row:
+                        exo_ref[c] = w_ref[:]
+                    else:
+                        exo_ref[c] = zrow[0]
 
         @pl.when(flag > 0)
         def _():
-            _live_body(i, xo, sh, sd, w_ref, xi_ref, p_ref, exi_ref,
+            _live_body(i, xo, sh, sd, qon, w_ref, xi_ref, p_ref,
+                       exi_ref,
                        (we_ref, xie_ref, pe_ref, exe_ref, side_refs),
                        (refw_ref, refxi_ref, refp_ref),
                        f_ref, wo_ref, xio_ref, po_ref, exo_ref, j_ref,
                        nd_ref)
 
-    def _live_body(i, xo, sh, sd, w_ref, xi_ref, p_ref, exi_ref, halos,
+    def _live_body(i, xo, sh, sd, qon, w_ref, xi_ref, p_ref, exi_ref,
+                   halos,
                    refills, f_ref, wo_ref, xio_ref, po_ref, exo_ref,
                    j_ref, nd_ref):
         we_ref, xie_ref, pe_ref, exe_ref, side_refs = halos
@@ -573,8 +601,8 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
             else:
                 w = jnp.where(m, 0.0, w)
         if ABLATE == "norebin":
-            _phase2(i, xo, sd, w, xi0, xi1, p[:3], p[3:], f_ref, wo_ref,
-                    xio_ref, po_ref, exo_ref, j_ref)
+            _phase2(i, xo, sd, qon, w, xi0, xi1, p[:3], p[3:], f_ref,
+                    wo_ref, xio_ref, po_ref, exo_ref, j_ref)
             return
         xi0, xi1 = drift(w, xi0, xi1, *p)
         if bounded_x:
@@ -687,20 +715,23 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                 for c in range(n_extra, n_extra_out):
                     exo_ref[c] = jnp.zeros(w.shape, w.dtype)
             return
-        _phase2(i, xo, sd, w, xi0, xi1, p, extras, f_ref, wo_ref,
+        _phase2(i, xo, sd, qon, w, xi0, xi1, p, extras, f_ref, wo_ref,
                 xio_ref, po_ref, exo_ref, j_ref)
 
-    def _phase2(i, xo, sd, w, xi0, xi1, p, extras, f_ref, wo_ref,
+    def _phase2(i, xo, sd, qon, w, xi0, xi1, p, extras, f_ref, wo_ref,
                 xio_ref, po_ref, exo_ref, j_ref):
         if exo_ref is not None:
+            prew_row = n_extra + n_probes if n_probes else -1
             for c in range(n_extra):
                 exo_ref[c] = extras[c]
-            for c in range(n_extra, n_extra_out - 1):
-                # probe end-of-step distances default to 0 for dead /
-                # skipped row blocks (the pre-BC weight row gates firing)
-                exo_ref[c] = jnp.zeros(w.shape, w.dtype)
-            if n_probes:
-                exo_ref[n_extra_out - 1] = w      # pre-BC aliveness
+            for c in range(n_extra, n_extra_out):
+                # probe end-of-step distances / eta default to 0 for
+                # dead or skipped row blocks (the pre-BC weight row
+                # gates probe firing)
+                if c == prew_row:
+                    exo_ref[c] = w      # pre-BC aliveness
+                else:
+                    exo_ref[c] = jnp.zeros(w.shape, w.dtype)
 
         # ---- phase 2: gather/Boris/move/deposit on the rebinned slots
         # (ξ ∈ [-0.5, 0.5): c1 ≡ 0) ----
@@ -727,95 +758,150 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
 
             @pl.when(jnp.any(wb > 0))
             def _(i=i, r0=r0, r1=r1, wb=wb, x0b=x0b, x1b=x1b, pb=pb):
-                _push_block(i, xo, sd, r0, r1, wb, x0b, x1b, pb, f_ref,
+                _push_block(i, xo, sd, qon, r0, r1, wb, x0b, x1b, pb,
+                            f_ref,
                             wo_ref, xio_ref, po_ref, exo_ref, j_ref)
 
-    def _push_block(i, xo, sd, r0, r1, w, xi0, xi1, p, f_ref,
+    def _push_block(i, xo, sd, qon, r0, r1, w, xi0, xi1, p, f_ref,
                     wo_ref, xio_ref, po_ref, exo_ref, j_ref):
         alive = w > 0
         xi = [xi0, xi1]
-        u = [p[c] * ipart_mc for c in range(3)]
-
-        cf1 = [-xi[d] for d in range(nd)]
-        c2 = [jnp.floor(xi[d]) for d in range(nd)]
-        cf2 = [c2[d] - xi[d] + 0.5 for d in range(nd)]
-        gw = [{o: _tri_const(cf1[d], o) for o in (-1, 0, 1)}
-              for d in range(nd)]
-        hw = [{o: _w_sel(cf2[d], o, c2[d], (-1.0, 0.0))
-               for o in (-2, -1, 0, 1)} for d in range(nd)]
-
-        wprod_cache = {}
-
-        def wprods(bits):
-            if bits not in wprod_cache:
-                tabs = [hw[d] if bits[d] else gw[d] for d in range(nd)]
-                out = {}
-                for ox in sorted(tabs[0]):
-                    for oy in sorted(tabs[1]):
-                        out[(ox, oy)] = tabs[0][ox] * tabs[1][oy]
-                wprod_cache[bits] = out
-            return wprod_cache[bits]
-
-        accs = {}
-        for k, nm in enumerate(names):
-            if ABLATE == "nogather":
-                accs[nm] = jnp.zeros(w.shape, dtype)
-                continue
-            acc = jnp.zeros(w.shape, dtype)
-            for (ox, oy), ww in wprods(stag_bits[nm]).items():
-                win = f_ref[0, k, ox + 2:ox + 2 + BX, 2 + oy:2 + oy + NY]
-                acc = acc + ww * win[None]
-            accs[nm] = acc
-
-        ex_p = fac * accs["ex"]
-        ey_p = fac * accs["ey"]
-        ez_p = fac * accs["ez"]
-        bx_p = fac * accs["bx"]
-        by_p = fac * accs["by"]
-        bz_p = fac * accs["bz"]
-
-        # Boris rotation (particles.F90:304-350)
-        uxm = u[0] + cm * ex_p
-        uym = u[1] + cm * ey_p
-        uzm = u[2] + cm * ez_p
-        if plan.higuera_cary:
-            g2 = uxm * uxm + uym * uym + uzm * uzm + 1.0
-            alpha_hc = float(0.5 * q * plan.dt / mass)
-            bx_b = alpha_hc * bx_p
-            by_b = alpha_hc * by_p
-            bz_b = alpha_hc * bz_p
-            beta2 = bx_b * bx_b + by_b * by_b + bz_b * bz_b
-            sigma = g2 - beta2
-            bdotu = bx_b * uxm + by_b * uym + bz_b * uzm
-            igam = jax.lax.rsqrt(0.5 * (sigma + jnp.sqrt(
-                sigma * sigma + 4.0 * (beta2 + bdotu * bdotu))))
+        if photon:
+            # ballistic full-dt move (push_photons_binned numerics)
+            mag = jnp.sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2])
+            ok = alive & (mag > 0)
+            faci = float(const.c * plan.dt) / jnp.where(mag > 0, mag, 1.0)
+            xi_new = [jnp.where(ok, xi[d] + p[d] * faci
+                                / float(plan.delta[d]), xi[d])
+                      for d in range(nd)]
+            p_new = [p[0], p[1], p[2]]
         else:
-            igam = jax.lax.rsqrt(uxm * uxm + uym * uym + uzm * uzm + 1.0)
-        rootb = ccm * igam
-        tx = bx_p * rootb
-        ty = by_p * rootb
-        tz = bz_p * rootb
-        tx2, ty2, tz2 = tx * tx, ty * ty, tz * tz
-        tau = 1.0 / (1.0 + tx2 + ty2 + tz2)
-        uxp = ((1 + tx2 - ty2 - tz2) * uxm
-               + 2.0 * ((tx * ty + tz) * uym + (tx * tz - ty) * uzm)) * tau
-        uyp = ((1 - tx2 + ty2 - tz2) * uym
-               + 2.0 * ((ty * tz + tx) * uzm + (ty * tx - tz) * uxm)) * tau
-        uzp = ((1 - tx2 - ty2 + tz2) * uzm
-               + 2.0 * ((tz * tx + ty) * uxm + (tz * ty - tx) * uym)) * tau
-        ux = uxp + cm * ex_p
-        uy = uyp + cm * ey_p
-        uz = uzp + cm * ez_p
-        igam = jax.lax.rsqrt(ux * ux + uy * uy + uz * uz + 1.0)
-        rootc = const.c * igam
-        uvec = (ux, uy, uz)
-        delta = [uvec[d] * rootc * float(plan.dto2 / plan.delta[d])
-                 for d in range(nd)]
-        vy = uy * rootc
-        vz = uz * rootc
+            u = [p[c] * ipart_mc for c in range(3)]
+            cf1 = [-xi[d] for d in range(nd)]
+            c2 = [jnp.floor(xi[d]) for d in range(nd)]
+            cf2 = [c2[d] - xi[d] + 0.5 for d in range(nd)]
+            gw = [{o: _tri_const(cf1[d], o) for o in (-1, 0, 1)}
+                  for d in range(nd)]
+            hw = [{o: _w_sel(cf2[d], o, c2[d], (-1.0, 0.0))
+                   for o in (-2, -1, 0, 1)} for d in range(nd)]
 
-        xi_new = [xi[d] + delta[d] for d in range(nd)]
-        p_new = [ux * part_mc, uy * part_mc, uz * part_mc]
+            wprod_cache = {}
+
+            def wprods(bits):
+                if bits not in wprod_cache:
+                    tabs = [hw[d] if bits[d] else gw[d] for d in range(nd)]
+                    out = {}
+                    for ox in sorted(tabs[0]):
+                        for oy in sorted(tabs[1]):
+                            out[(ox, oy)] = tabs[0][ox] * tabs[1][oy]
+                    wprod_cache[bits] = out
+                return wprod_cache[bits]
+
+            accs = {}
+            for k, nm in enumerate(names):
+                if ABLATE == "nogather":
+                    accs[nm] = jnp.zeros(w.shape, dtype)
+                    continue
+                acc = jnp.zeros(w.shape, dtype)
+                for (ox, oy), ww in wprods(stag_bits[nm]).items():
+                    win = f_ref[0, k, ox + 2:ox + 2 + BX, 2 + oy:2 + oy + NY]
+                    acc = acc + ww * win[None]
+                accs[nm] = acc
+
+            ex_p = fac * accs["ex"]
+            ey_p = fac * accs["ey"]
+            ez_p = fac * accs["ez"]
+            bx_p = fac * accs["bx"]
+            by_p = fac * accs["by"]
+            bz_p = fac * accs["bz"]
+
+            if qed is not None:
+                # QED synchrotron rates at the particle (calculate_eta,
+                # photons.F90:661-712), reusing the push's own gathered
+                # fields: eta, then the optical-depth decrement with
+                # h(eta) from the log-log polyfit of the reference table
+                # (table gathers cannot lower in Mosaic).  Emission
+                # itself stays XLA-side, sparse over fired slots.
+                alv = w > 0
+                g_q = jnp.sqrt(u[0] * u[0] + u[1] * u[1] + u[2] * u[2]
+                               + 1.0)
+                mod2 = jnp.maximum(u[0] * u[0] + u[1] * u[1]
+                                   + u[2] * u[2], 1e-20)
+                bxv = [u[c] / g_q for c in range(3)]
+                ude = (u[0] * ex_p + u[1] * ey_p + u[2] * ez_p) / mod2
+                gx_ = ex_p - ude * u[0] \
+                    + const.c * (bxv[1] * bz_p - bxv[2] * by_p)
+                gy_ = ey_p - ude * u[1] \
+                    + const.c * (bxv[2] * bx_p - bxv[0] * bz_p)
+                gz_ = ez_p - ude * u[2] \
+                    + const.c * (bxv[0] * by_p - bxv[1] * bx_p)
+                be_ = (bxv[0] * ex_p + bxv[1] * ey_p + bxv[2] * ez_p) \
+                    / jnp.sqrt(mod2)
+                eta_q = QED_CETA * g_q * jnp.sqrt(
+                    gx_ * gx_ + gy_ * gy_ + gz_ * gz_ + be_ * be_)
+                lg = jnp.clip(
+                    jnp.log(jnp.maximum(eta_q, 1e-30))
+                    * float(1.0 / math.log(10.0)), QED_LO, QED_HI)
+                acc_h = jnp.zeros_like(lg) + QED_COEF[0]
+                for cpoly in QED_COEF[1:]:
+                    acc_h = acc_h * lg + cpoly
+                h_q = jnp.exp(acc_h * float(math.log(10.0)))
+                d_od = QED_C1 * eta_q * h_q / g_q
+                od_q = exo_ref[QED_IOD, r0:r1]
+                # entry resample of exhausted/uninitialised depths
+                # (photons.F90 reset_optical_depth), then the decrement:
+                # post-push od <= 0 thereby flags a fire for the next
+                # qed pass (one-step emission latency vs the reference's
+                # same-pass processing — a dt-level approximation)
+                uq = _hash_u01(qon[1], i, 301 + r0, w.shape, w.dtype)
+                od_q = jnp.where(od_q <= 0.0,
+                                 -jnp.log(1.0 - 0.999999 * uq), od_q)
+                exo_ref[QED_IOD, r0:r1] = od_q - jnp.where(
+                    alv & (qon[0] > 0), d_od, 0.0)
+                exo_ref[ETA_ROW, r0:r1] = jnp.where(alv, eta_q, 0.0)
+
+            # Boris rotation (particles.F90:304-350)
+            uxm = u[0] + cm * ex_p
+            uym = u[1] + cm * ey_p
+            uzm = u[2] + cm * ez_p
+            if plan.higuera_cary:
+                g2 = uxm * uxm + uym * uym + uzm * uzm + 1.0
+                alpha_hc = float(0.5 * q * plan.dt / mass)
+                bx_b = alpha_hc * bx_p
+                by_b = alpha_hc * by_p
+                bz_b = alpha_hc * bz_p
+                beta2 = bx_b * bx_b + by_b * by_b + bz_b * bz_b
+                sigma = g2 - beta2
+                bdotu = bx_b * uxm + by_b * uym + bz_b * uzm
+                igam = jax.lax.rsqrt(0.5 * (sigma + jnp.sqrt(
+                    sigma * sigma + 4.0 * (beta2 + bdotu * bdotu))))
+            else:
+                igam = jax.lax.rsqrt(uxm * uxm + uym * uym + uzm * uzm + 1.0)
+            rootb = ccm * igam
+            tx = bx_p * rootb
+            ty = by_p * rootb
+            tz = bz_p * rootb
+            tx2, ty2, tz2 = tx * tx, ty * ty, tz * tz
+            tau = 1.0 / (1.0 + tx2 + ty2 + tz2)
+            uxp = ((1 + tx2 - ty2 - tz2) * uxm
+                   + 2.0 * ((tx * ty + tz) * uym + (tx * tz - ty) * uzm)) * tau
+            uyp = ((1 - tx2 + ty2 - tz2) * uym
+                   + 2.0 * ((ty * tz + tx) * uzm + (ty * tx - tz) * uxm)) * tau
+            uzp = ((1 - tx2 - ty2 + tz2) * uzm
+                   + 2.0 * ((tz * tx + ty) * uxm + (tz * ty - tx) * uym)) * tau
+            ux = uxp + cm * ex_p
+            uy = uyp + cm * ey_p
+            uz = uzp + cm * ez_p
+            igam = jax.lax.rsqrt(ux * ux + uy * uy + uz * uz + 1.0)
+            rootc = const.c * igam
+            uvec = (ux, uy, uz)
+            delta = [uvec[d] * rootc * float(plan.dto2 / plan.delta[d])
+                     for d in range(nd)]
+            vy = uy * rootc
+            vz = uz * rootc
+
+            xi_new = [xi[d] + delta[d] for d in range(nd)]
+            p_new = [ux * part_mc, uy * part_mc, uz * part_mc]
 
         if n_probes:
             # signed end-of-step plane distances at the PRE-BC position
@@ -863,7 +949,8 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                     thermal=_mk_thermal(1, sd, i))
             return xi_out, p_out, w_out
 
-        if sp.zero_current or sp.immobile or ABLATE == "nodeposit":
+        if photon or sp.zero_current or sp.immobile \
+                or ABLATE == "nodeposit":
             xi_b, p_b, w_b = apply_bcs(list(xi_new), list(p_new), w)
             write_back(xi_b, p_b, w_b)
             return
@@ -1017,12 +1104,12 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         jax.ShapeDtypeStruct((1, 1), jnp.int32),
     )
     n_scal = 1 + (1 if with_window else 0) + (1 if any_thermal else 0) \
-        + (1 if with_xoff else 0)
+        + (1 if with_xoff else 0) + (1 if qed is not None else 0)
     # donate the slot state into its outputs: without this XLA
     # double-buffers w/xi/p around the custom call inside the scan carry
     # (~90 µs/step of pure HBM copies at bench shapes)
     io_aliases = {n_scal + 0: 0, n_scal + 1: 1, n_scal + 2: 2}
-    if n_extra and not n_probes:
+    if n_extra and n_extra_out == n_extra:
         io_aliases[n_scal + 3] = 3
     return pl.pallas_call(
         kernel,
@@ -1057,7 +1144,9 @@ def pick_bx(nx, mosaic=True):
     if env:
         bx = int(env)
         return bx if nx % bx == 0 and nx // bx >= 2 else None
-    cands = (8, 16) if mosaic else (8, 16, 4, 2)
+    # 16 first: measured +1% over BX=8 at bench shapes (fewer grid steps
+    # and halo fetches per particle)
+    cands = (16, 8) if mosaic else (16, 8, 4, 2)
     for bx in cands:
         if nx % bx == 0 and nx // bx >= 2:
             return bx
@@ -1069,7 +1158,8 @@ class PallasBinned:
 
     def __init__(self, plan, sp, cfg, interpret=False, with_window=False,
                  n_extra=0, probe_specs=(), spmd_axis=None, mesh_n=1,
-                 with_refill=False, cull_lo=0, clear_rcol=False):
+                 with_refill=False, cull_lo=0, clear_rcol=False,
+                 photon=False, qed=None):
         """``spmd_axis``: mesh axis name when running per-shard inside a
         shard_map over grid-x (parallel/spmd_push.py) — halo columns at
         shard edges then come from lax.ppermute ring exchanges, and the
@@ -1101,6 +1191,7 @@ class PallasBinned:
         # patched shard edges (spmd_push.py)
         self.halo_mode = "cols" if spmd_axis is None else "stacked"
         self.with_refill = with_refill
+        self.qed_enabled = qed is not None
         self.fused = make_fused_push(
             self.K, self.BX, self.ny, self.nxb, plan, sp, dtype, bc=bc,
             interpret=interpret, with_window=with_window,
@@ -1108,7 +1199,8 @@ class PallasBinned:
             with_xoff=spmd_axis is not None, nx_global=self.nx_global,
             pad_x=self.nx_global - self.nx_real,
             halo_mode=self.halo_mode, with_refill=with_refill,
-            cull_lo=cull_lo, clear_rcol=clear_rcol)
+            cull_lo=cull_lo, clear_rcol=clear_rcol, photon=photon,
+            qed=qed)
         # refill staging column (must match make_fused_push RCOL)
         self.rcol = self.nx_real if self.nx_global > self.nx_real else 0
         self.n_halo = 3 if with_window else 2
@@ -1247,7 +1339,7 @@ class PallasBinned:
         return ext[:, :self.nx + 2 * M]
 
     def __call__(self, fwin, binned, shift=None, extra=None, seed=None,
-                 refill=None):
+                 refill=None, qed_on=None):
         """fwin from make_fwin.  Returns (new binned, jpart, extra_out).
 
         ``shift`` (with_window only): traced int32 scalar, 1 when a
@@ -1287,6 +1379,10 @@ class PallasBinned:
         flags = ((jnp.maximum(smax, hmax) > 0)).astype(jnp.int32)
         ins.append(fwin)
         if self.with_refill:
+            if refill is None:
+                refill = (jnp.zeros((self.K, self.ny), self.dtype),
+                          jnp.zeros((2, self.K, self.ny), self.dtype),
+                          jnp.zeros((3, self.K, self.ny), self.dtype))
             rw, rxi, rp = refill
             # stripes that see the staged column must be live: its own
             # stripe plus any neighbour whose halo view reads RCOL
@@ -1314,6 +1410,13 @@ class PallasBinned:
             xoff = jax.lax.axis_index(self.spmd_axis).astype(jnp.int32) \
                 * self.nx
             scal.append(jnp.reshape(xoff, (1,)))
+        if self.qed_enabled:
+            if qed_on is None:
+                qed_on = (jnp.ones((), jnp.int32),
+                          jnp.zeros((), jnp.int32))
+            flagv, seedv = qed_on
+            scal.append(jnp.stack([jnp.asarray(flagv, jnp.int32),
+                                   jnp.asarray(seedv, jnp.int32)]))
         outs = self.fused(*scal, *ins)
         if self.n_extra_out:
             new_w, new_xi, new_p, extra_out, jpart, ndrop = outs

@@ -136,19 +136,18 @@ def _ionise_binned(state, cfg, plan: IonisePlan, key):
 
     grid = cfg.grid
     bplan = binmod.BinnedPlan(cfg)
-    fpad = binmod.make_fpad(state.fields, grid)
     species = list(state.species)
     dt_at = cfg.dt / const.atomic_time
 
     for lv in plan.levels:
         b = species[lv["species"]]
         sp_cfg = cfg.species[lv["species"]]
-        # restore ξ ∈ [-0.5, 0.5) so the gather window is the pusher's
-        # (the reference ionises at the current position; the rebin is
-        # pure bookkeeping)
-        b = binmod.rebin(b, bplan, bc=sp_cfg.bc_particle[:2 * cfg.ndims])
-        fl = binmod.gather_fields_binned(fpad, b.xi, bplan,
-                                         comps=("ex", "ey", "ez"))
+        # end-of-push ξ is un-normalised: the shifted gather folds the
+        # cell offset into widened windows (the reference ionises at the
+        # current position; the old every-step slot-sort rebin here was
+        # pure bookkeeping and dominated ionisation decks)
+        fl = binmod.gather_fields_binned_shifted(
+            state.fields, grid, b.xi, bplan, comps=("ex", "ey", "ez"))
         e_mag = jnp.sqrt(fl["ex"] ** 2 + fl["ey"] ** 2 + fl["ez"] ** 2) \
             / const.atomic_electric_field
 

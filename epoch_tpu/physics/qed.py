@@ -123,6 +123,30 @@ class QEDPlan:
                                     ids.get("electron", -1))
         self.tri_positron = ids.get("trident_positron",
                                     ids.get("positron", -1))
+        # Chebyshev-free dense fit of the synchrotron h(eta) table in
+        # log-log space: the fused kernel evaluates rates in VMEM, where
+        # table gathers cannot lower (TPU gathers also serialise on the
+        # XLA side).  Max fit error checked in tests/test_qed.py.
+        t = self.tables
+        deg = 12
+        self.h_fit_coeffs = tuple(
+            float(c) for c in np.polyfit(t.h_logeta, t.h_val, deg))
+        self.h_fit_lo = float(t.h_logeta[0])
+        self.h_fit_hi = float(t.h_logeta[-1])
+        # per-species map set by the step builder when the fused kernel
+        # computes eta + the optical-depth decrement itself
+        self.rates_in_kernel = {}
+        # folded constants for the in-kernel rate math
+        # (eta = c_eta · γ · |g|, d_od = c1_per_dt·dt · eta · h / γ)
+        lambdac = const.h_bar / (const.m0 * const.c)
+        coeff = math.sqrt(3.0 * lambdac
+                          / (2.0 * const.alpha_fine
+                             * const.m0 * const.c ** 3))
+        tau0 = const.q0 ** 2 / (6.0 * math.pi * const.epsilon0
+                                * const.m0 * const.c ** 3)
+        self.c_eta = float(coeff * const.q0 * math.sqrt(tau0 / const.m0))
+        self.c1_per_dt = float(const.alpha_fine * math.sqrt(3.0)
+                               / (2.0 * math.pi * TAU_C))
 
 
 def _interp_1d(xt, yt, x):
@@ -244,7 +268,6 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
     species = list(state.species)
     active = (state.time > plan.start_time) \
         & (state.time >= cfg.particle_push_start_time)
-    fpad = binmod.make_fpad(state.fields, grid)
     i_od = bplan.aux_idx["opdepth"]
     i_odt = bplan.aux_idx.get("opdepth_tri", -1)
 
@@ -257,48 +280,120 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
         b = species[i]
         sp_cfg = cfg.species[i]
         key, k1, k2 = jax.random.split(key, 3)
-        b = binmod.rebin(b, bplan, bc=sp_cfg.bc_particle[:2 * cfg.ndims])
-        fl = binmod.gather_fields_binned(fpad, b.xi, bplan)
+        alive = b.w > 0
         u = [b.p[c] / mc0 for c in range(3)]
         gamma = jnp.sqrt(u[0] ** 2 + u[1] ** 2 + u[2] ** 2 + 1.0)
-        eta = _eta_electron((fl["ex"], fl["ey"], fl["ez"]),
-                            (fl["bx"], fl["by"], fl["bz"]), u, gamma)
-        alive = b.w > 0
-        od = b.aux[i_od]
-        od = jnp.where(od <= 0.0,
-                       -jnp.log(1.0 - jax.random.uniform(
-                           k1, od.shape, od.dtype, maxval=0.999999)),
-                       od)
-        h = 10.0 ** _interp_1d(tab.h_logeta, tab.h_val,
-                               jnp.log10(jnp.maximum(eta, 1e-30)))
-        d_od = dt * eta * const.alpha_fine * math.sqrt(3.0) * h \
-            / (2.0 * math.pi * TAU_C * gamma)
-        od = od - jnp.where(alive & active, d_od, 0.0)
-        fire = alive & active & (od <= 0.0)
+        if plan.rates_in_kernel.get(i):
+            # the fused push already resampled/decremented the optical
+            # depth and stored eta (aux rows): od <= 0 flags a fire —
+            # no gather, no table interp here; emission resolves one
+            # push after the crossing (dt-level latency)
+            eta = b.aux[bplan.aux_idx["qed_eta"]]
+            od = b.aux[i_od]
+            fire = alive & active & (od <= 0.0)
+        else:
+            # end-of-push ξ is un-normalised; the shifted gather folds
+            # the cell offset into widened windows instead of running
+            # the slot-sort rebin every step
+            fl = binmod.gather_fields_binned_shifted(state.fields, grid,
+                                                     b.xi, bplan)
+            eta = _eta_electron((fl["ex"], fl["ey"], fl["ez"]),
+                                (fl["bx"], fl["by"], fl["bz"]), u, gamma)
+            od = b.aux[i_od]
+            od = jnp.where(od <= 0.0,
+                           -jnp.log(1.0 - jax.random.uniform(
+                               k1, od.shape, od.dtype, maxval=0.999999)),
+                           od)
+            h = 10.0 ** _interp_1d(tab.h_logeta, tab.h_val,
+                                   jnp.log10(jnp.maximum(eta, 1e-30)))
+            d_od = dt * eta * const.alpha_fine * math.sqrt(3.0) * h \
+                / (2.0 * math.pi * TAU_C * gamma)
+            od = od - jnp.where(alive & active, d_od, 0.0)
+            fire = alive & active & (od <= 0.0)
 
-        r = jax.random.uniform(k2, od.shape, od.dtype)
-        chi_final = flat_invert(tab.log_eta, tab.log_chi, tab.p_photon,
-                                eta, r)
-        e_ph = (2.0 * chi_final / jnp.maximum(eta, 1e-30)) * gamma \
+        # --- sparse emission.  Fires are rare; the old dense inversion
+        # gathered a (N, n_chi) CDF row per SLOT per STEP (GBs
+        # materialised; TPU gathers serialise) and a slot-level top_k
+        # was itself a multi-ms sort over N=2.6M.  Extract fired CELLS
+        # instead (an 18x smaller top_k), gather those columns, and do
+        # everything per-(K, cell-subset):
+        Kp = b.w.shape[0]
+        fshape = fire.shape
+        gshape = fshape[1:]
+        N = fire.size
+        C = N // Kp
+        kc = min(int(os.environ.get("EPOCH_TPU_FIRE_CELL_CAP", 2048)), C)
+        fire_cell = jnp.any(fire.reshape(Kp, C), axis=0)
+        cvals, cidx = jax.lax.top_k(fire_cell.astype(jnp.float32), kc)
+        cok = cvals > 0
+        fire_c = fire.reshape(Kp, C)[:, cidx] & cok[None]
+        over_fires = (jnp.sum(fire) - jnp.sum(fire_c)).astype(jnp.int32)
+        eta_c = eta.reshape(Kp, C)[:, cidx]
+        gam_c = gamma.reshape(Kp, C)[:, cidx]
+        r_c = jax.random.uniform(k2, (Kp, kc), od.dtype)
+        chi_c = _invert_cdf_rows(
+            tab.log_eta, tab.log_chi, tab.p_photon,
+            eta_c.reshape(-1), r_c.reshape(-1)).reshape(Kp, kc)
+        e_ph_c = (2.0 * chi_c / jnp.maximum(eta_c, 1e-30)) * gam_c \
             * const.m0 * const.c ** 2
-        mag_p = jnp.sqrt(b.p[0] ** 2 + b.p[1] ** 2 + b.p[2] ** 2)
-        mag_safe = jnp.where(mag_p > 0, mag_p, 1.0)
-        dirv = b.p / mag_safe[None]
+        p_c = b.p.reshape(3, Kp, C)[:, :, cidx]
+        mag_c = jnp.sqrt(p_c[0] ** 2 + p_c[1] ** 2 + p_c[2] ** 2)
+        dir_c = p_c / jnp.where(mag_c > 0, mag_c, 1.0)[None]
         if plan.use_radiation_reaction:
-            new_mag = jnp.where(fire, jnp.maximum(
-                mag_p - e_ph / const.c, 0.0), mag_p)
-            newp = dirv * new_mag[None]
+            new_mag = jnp.where(fire_c, jnp.maximum(
+                mag_c - e_ph_c / const.c, 0.0), mag_c)
+            newp = b.p.reshape(3, Kp, C).at[:, :, cidx].set(
+                dir_c * new_mag[None]).reshape(b.p.shape)
         else:
             newp = b.p
-        b = b._replace(p=newp, aux=b.aux.at[i_od].set(od))
+        if plan.rates_in_kernel.get(i):
+            # od lives in aux untouched here (the kernel maintains it):
+            # skip the .at[].set, which forced a full aux copy per step
+            b = b._replace(p=newp)
+        else:
+            b = b._replace(p=newp, aux=b.aux.at[i_od].set(od))
         species[i] = b
 
         if plan.produce_photons and plan.photon_species >= 0:
-            keep = fire & (e_ph > plan.photon_energy_min)
-            p_ph = dirv * (e_ph / const.c)[None]
-            species[plan.photon_species] = binmod.merge_candidates(
-                species[plan.photon_species], b.xi, p_ph,
-                jnp.where(keep, b.w, 0.0), bplan)
+            # COMPRESSED candidate grid: rank fired slots within their
+            # cells (a K-deep cumsum, no sort) and keep ≤ Kc per cell,
+            # so merge_candidates sorts K_photon+Kc rows instead of
+            # K_photon+K_parent — the dense merge's multi-payload
+            # lax.sort was 6.5 ms/step at bench shapes
+            Kc = 2
+            nd_ = bplan.nd
+            keep_c = fire_c & (e_ph_c > plan.photon_energy_min)
+            rank_c = jnp.cumsum(keep_c.astype(jnp.int32), axis=0) - 1
+            over_rank = jnp.sum(keep_c & (rank_c >= Kc)).astype(jnp.int32)
+            xi_c = b.xi.reshape(nd_, Kp, C)[:, :, cidx]
+            p_ph_c = dir_c * (e_ph_c / const.c)[None]
+            w_c = b.w.reshape(Kp, C)[:, cidx]
+            cand_w = jnp.zeros((Kc, C), b.w.dtype)
+            cand_xi = jnp.zeros((nd_, Kc, C), b.xi.dtype)
+            cand_p = jnp.zeros((3, Kc, C), b.p.dtype)
+            for r in range(Kc):
+                sel = keep_c & (rank_c == r)
+                wv = jnp.sum(jnp.where(sel, w_c, 0.0), axis=0)
+                cand_w = cand_w.at[r, cidx].set(
+                    jnp.where(cok, wv, 0.0), mode="drop")
+                xv = jnp.sum(jnp.where(sel[None], xi_c, 0.0), axis=1)
+                cand_xi = cand_xi.at[:, r, cidx].set(xv, mode="drop")
+                pv = jnp.sum(jnp.where(sel[None], p_ph_c, 0.0), axis=1)
+                cand_p = cand_p.at[:, r, cidx].set(pv, mode="drop")
+            # most steps fire nothing: gate the append's K-deep selects
+            # over the photon slot arrays behind the fire count
+            ph0 = species[plan.photon_species]
+            ph = jax.lax.cond(
+                jnp.sum(keep_c) > 0,
+                lambda s: binmod.append_compressed(
+                    s, cand_xi.reshape((nd_, Kc) + gshape),
+                    cand_p.reshape((3, Kc) + gshape),
+                    cand_w.reshape((Kc,) + gshape), bplan),
+                lambda s: s, ph0)
+            # fires beyond the fired-cell cap / per-cell rank cap are
+            # dropped photons — counted like every other overflow
+            species[plan.photon_species] = ph._replace(
+                n_dropped=ph.n_dropped + over_fires + over_rank)
 
         # trident pairs (TRIDENT_PHOTONS, photons.F90:502-572,1010-1042)
         if plan.use_trident and i_odt >= 0 and plan.tri_electron >= 0 \
@@ -333,13 +428,13 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
         b = species[iph]
         sp_cfg = cfg.species[iph]
         key, k1, k2 = jax.random.split(key, 3)
-        b = binmod.rebin(b, bplan, bc=sp_cfg.bc_particle[:2 * cfg.ndims])
         mag_p = jnp.sqrt(b.p[0] ** 2 + b.p[1] ** 2 + b.p[2] ** 2)
         mag_safe = jnp.where(mag_p > 0, mag_p, 1.0)
         e_photon = const.c * mag_p
         part_e = e_photon / (const.m0 * const.c ** 2)
         dirv = b.p / mag_safe[None]
-        fl = binmod.gather_fields_binned(fpad, b.xi, bplan)
+        fl = binmod.gather_fields_binned_shifted(state.fields, grid,
+                                                 b.xi, bplan)
         chi = _chi_photon((fl["ex"], fl["ey"], fl["ez"]),
                           (fl["bx"], fl["by"], fl["bz"]),
                           (dirv[0], dirv[1], dirv[2]), part_e)

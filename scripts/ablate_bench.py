@@ -1,46 +1,52 @@
 #!/usr/bin/env python
 """Time the bench step under kernel-phase ablations (EPOCH_TPU_KERNEL_ABLATE).
 
-Results under ablation are numerically WRONG — timing only.  Run each
-ablation in a subprocess so the kernel is rebuilt."""
+Ablated kernels produce WRONG physics, which feeds back into the particle
+population and poisons naive ablated RUNS.  Instead: run the FULL step to
+steady state once, snapshot, then time each ablated step over a short
+segment from that same snapshot (population drift over the segment is
+~1%).  The ablation env var is read at kernel trace time, so each variant
+builds its own step functions in-process."""
 import json
 import os
-import subprocess
 import sys
+import time
 
-HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-CHILD = r"""
-import os, sys, time, json
-sys.path.insert(0, %r)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("EPOCH_TPU_X64", "0")
+
 import jax
+
 import bench
-from epoch_tpu.core.step import make_full_step
-cfg, st = bench.setup()
-run_n = make_full_step(cfg)
-steps = int(os.environ.get("BENCH_STEPS", 200))
-st = run_n(st, steps)
-bench.sync(st)
-t0 = time.perf_counter()
-st = run_n(st, steps)
-bench.sync(st)
-dt = time.perf_counter() - t0
-print(json.dumps({"ablate": os.environ.get("EPOCH_TPU_KERNEL_ABLATE", ""),
-                  "ms_per_step": 1e3 * dt / steps}))
-""" % (HERE,)
 
 
 def main():
+    from epoch_tpu.core.step import make_full_step
+    warm = int(os.environ.get("ABLATE_WARM", 300))
+    seg = int(os.environ.get("ABLATE_SEG", 60))
     abls = os.environ.get(
-        "ABLATIONS", ",nodeposit,nopush,norebin,nogather").split(",")
+        "ABLATIONS", ",nodeposit,nopush,norebin,nocompact,nogather"
+    ).split(",")
+
+    cfg, st = bench.setup()
+    os.environ["EPOCH_TPU_KERNEL_ABLATE"] = ""
+    run_full = make_full_step(cfg)
+    st = run_full(st, warm)
+    bench.sync(st)
+    snap = jax.tree.map(lambda a: a + 0, st)   # private copy (donation!)
+
     for ab in abls:
-        env = dict(os.environ)
-        env["EPOCH_TPU_KERNEL_ABLATE"] = ab
-        out = subprocess.run([sys.executable, "-c", CHILD], env=env,
-                             capture_output=True, text=True)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        print(line[-1] if line else f"FAILED {ab}: {out.stderr[-500:]}")
+        os.environ["EPOCH_TPU_KERNEL_ABLATE"] = ab
+        run_ab = make_full_step(cfg)
+        s = jax.tree.map(lambda a: a + 0, snap)
+        s = run_ab(s, seg)          # compile + warm the variant
+        bench.sync(s)
+        s = jax.tree.map(lambda a: a + 0, snap)
+        t0 = time.perf_counter()
+        s = run_ab(s, seg)
+        bench.sync(s)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"ablate": ab, "ms_per_step": 1e3 * dt / seg}))
 
 
 if __name__ == "__main__":

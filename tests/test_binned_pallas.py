@@ -364,3 +364,36 @@ def test_butterfly_compaction_property():
                 assert (w_c[nl:, a, b] == 0).all()
                 np.testing.assert_allclose(pay_c[:nl, a, b],
                                            pay[live, a, b], rtol=1e-6)
+
+
+def test_pallas_photon_push_matches_xla(monkeypatch):
+    """Fused ballistic photon variant (make_fused_push photon=True) vs
+    the XLA push_photons_binned (rebin + full-dt drift): positions and
+    momenta must agree over steps that exercise the rebin routing."""
+    monkeypatch.setenv("EPOCH_TPU_PALLAS", "interpret")
+    cfg, plan, sp, grid, bm, vals = _setup(n=(16, 8), K=8)
+    sp_ph = dataclasses.replace(
+        sp, name="ph", charge=0.0, mass=0.0,
+        species_type=const.SpeciesType.PHOTON)
+    cfg = dataclasses.replace(cfg, species=(sp_ph,))
+    plan = binmod.BinnedPlan(cfg)
+    engines = binmod.make_pallas_engines(cfg, plan)
+    assert engines[0] is not None, "fused photon path inactive"
+    from epoch_tpu.core.state import zero_fields
+    fields = zero_fields(grid.padded_shape(), np.float32)
+    fpad = binmod.make_fpad(fields, grid)
+    fwin = engines[0].make_fwin(fpad)
+    b_p = b_x = bm
+    for _ in range(4):
+        b_p, _j = binmod.push_deposit_pallas(engines[0], fwin, b_p, plan,
+                                             sp=sp_ph)
+        b_x = binmod.push_photons_binned(b_x, plan,
+                                         bc=sp_ph.bc_particle[:4])
+    xp_, pp_, wp_, ap_ = binmod.to_flat(b_p, grid)
+    xx_, px_, wx_, ax_ = binmod.to_flat(b_x, grid)
+    assert int(ap_.sum()) == int(ax_.sum()) > 0
+    for d in range(2):
+        np.testing.assert_allclose(np.sort(xp_[ap_][:, d]),
+                                   np.sort(xx_[ax_][:, d]), atol=1e-11)
+    np.testing.assert_allclose(np.sort(pp_[ap_][:, 0]),
+                               np.sort(px_[ax_][:, 0]), rtol=1e-6)

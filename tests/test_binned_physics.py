@@ -202,12 +202,12 @@ def test_binned_qed_emission(tmp_path):
     sim = Simulation(str(tmp_path / "input.deck"))
     cfg = sim.cfg
     assert cfg.engine == "binned"
-    assert cfg.binned_aux == ("opdepth",)
+    assert cfg.binned_aux == ("opdepth", "qed_eta")
     st = sim.state
     gamma = 2000.0
     p0 = math.sqrt(gamma ** 2 - 1.0) * const.m0 * const.c
     el = st.species[0]
-    assert el.aux is not None and el.aux.shape[0] == 1
+    assert el.aux is not None and el.aux.shape[0] == 2
     p = jnp.zeros_like(el.p).at[0].set(jnp.where(el.w > 0, p0, 0.0))
     el = el._replace(p=p)
     f = st.fields._replace(ey=jnp.full_like(st.fields.ey, 2.0e14))

@@ -179,3 +179,119 @@ def test_trident_pair_production(tmp_path):
     assert np.all(np.abs(pp[:, 1]) <= 1.5 * kick)
     w0 = float(st.species[0].weight[0])
     np.testing.assert_allclose(np.asarray(pos.weight)[al], w0)
+
+
+def test_h_polyfit_matches_table():
+    """The fused kernel evaluates h(eta) from a log-log polyfit of the
+    reference table (Mosaic cannot gather tables); the fit must track
+    the table interpolation to well under emission-statistics noise."""
+    import numpy as np
+    from epoch_tpu.physics.qed import QEDTables
+    t = QEDTables(TABLES)
+    lg = np.asarray(t.h_logeta)
+    lv = np.asarray(t.h_val)
+    c = np.polyfit(lg, lv, 12)
+    rel = np.max(np.abs(10.0 ** np.polyval(c, lg) - 10.0 ** lv)
+                 / np.maximum(10.0 ** lv, 1e-300))
+    assert rel < 5e-4, rel
+
+
+QED2D_DECK = """
+begin:control
+  nx = 32
+  ny = 16
+  t_end = 1
+  x_min = 0
+  x_max = 3.2e-5
+  y_min = 0
+  y_max = 1.6e-5
+end:control
+begin:boundaries
+  bc_x_min = periodic
+  bc_x_max = periodic
+  bc_y_min = periodic
+  bc_y_max = periodic
+end:boundaries
+begin:fields
+  ey = 1.0e9
+end:fields
+begin:qed
+  use_qed = T
+  qed_start_time = {tstart}
+  produce_photons = T
+  produce_pairs = F
+  photon_energy_min = 0
+  qed_table_location = {tables}
+end:qed
+begin:species
+  name = Electron
+  charge = -1
+  mass = 1.0
+  number_density = 1e20
+  nparticles_per_cell = 2
+  temperature_ev = 1e6
+  identify:electron
+end:species
+begin:species
+  name = Photon
+  nparticles = 0
+  identify:photon
+end:species
+begin:output
+  dt_snapshot = 1
+end:output
+"""
+
+
+def test_qed_rates_in_kernel_match_xla(tmp_path, monkeypatch):
+    """In-kernel eta + optical-depth decrement (fused push) vs the
+    XLA-side gather/interp path: with emission gated off
+    (qed_start_time past t), a one-step run must agree on the particle
+    state, and the kernel's stored eta must match the XLA formula."""
+    import numpy as np
+    import jax.numpy as jnp
+    from epoch_tpu.core import binned as binmod
+    from epoch_tpu.physics.qed import _eta_electron
+    import epoch_tpu.constants as const
+
+    def run(mode, steps=1):
+        monkeypatch.setenv("EPOCH_TPU_PALLAS", mode)
+        d = tmp_path / mode
+        d.mkdir(exist_ok=True)
+        (d / "input.deck").write_text(
+            QED2D_DECK.format(tables=TABLES, tstart=1.0))
+        sim = Simulation(str(d / "input.deck"), seed=7)
+        assert sim.cfg.engine == "binned"
+        st = sim.run(max_steps=steps)
+        return sim, st
+
+    sim_p, st_p = run("interpret")
+    sim_x, st_x = run("0")
+    bplan = binmod.BinnedPlan(sim_p.cfg)
+    b_p, b_x = st_p.species[0], st_x.species[0]
+    # identical dynamics (decrement inactive, fires impossible); slot
+    # ORDER may differ between the two engines — compare sorted sets
+    mp = np.asarray(b_p.w) > 0
+    mx = np.asarray(b_x.w) > 0
+    assert mp.sum() == mx.sum() > 0
+    np.testing.assert_allclose(np.sort(np.asarray(b_p.w)[mp]),
+                               np.sort(np.asarray(b_x.w)[mx]))
+    for c in range(3):
+        np.testing.assert_allclose(
+            np.sort(np.asarray(b_p.p[c])[mp]),
+            np.sort(np.asarray(b_x.p[c])[mx]), atol=1e-26)
+    # the kernel's eta row vs the XLA formula (kernel samples eta at the
+    # mid-push state: with the weak uniform field the per-step momentum
+    # change keeps the sorted sets within ~1e-3 relative)
+    i_eta = bplan.aux_idx["qed_eta"]
+    eta_k = np.sort(np.asarray(b_p.aux[i_eta])[mp])
+    fl = binmod.gather_fields_binned_shifted(
+        st_x.fields, sim_x.cfg.grid, b_x.xi, bplan)
+    mc0 = const.m0 * const.c
+    u = [b_x.p[c] / mc0 for c in range(3)]
+    gamma = jnp.sqrt(u[0] ** 2 + u[1] ** 2 + u[2] ** 2 + 1.0)
+    eta_ref = np.sort(np.asarray(_eta_electron(
+        (fl["ex"], fl["ey"], fl["ez"]),
+        (fl["bx"], fl["by"], fl["bz"]), u, gamma))[mx])
+    rel = np.abs(eta_k - eta_ref) / np.maximum(np.abs(eta_ref), 1e-15)
+    assert float(rel.max()) < 5e-3, float(rel.max())
