@@ -758,9 +758,12 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                         mesh_n=1):
     """Per-species fused Pallas kernel drivers, or None where ineligible.
 
-    The Pallas path covers the 2D all-periodic triangle configuration in
-    single precision on TPU (the bench/LWFA hot path); everything else
-    falls back to the XLA slot-grid implementation above.
+    The Pallas path covers 2D/3D triangle-shape configurations in single
+    precision on TPU: periodic/open/reflect/thermal/heat-bath BCs, the
+    pending-shift moving window (incl. in-kernel refill/cull), aux/probe
+    payload routing, in-kernel QED rates, and the ballistic photon
+    variant; remaining cases fall back to the XLA slot-grid
+    implementation above (with a logged reason).
     ``EPOCH_TPU_PALLAS`` ∈ {auto,0,1,interpret} overrides.
     """
     import os

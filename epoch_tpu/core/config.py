@@ -104,7 +104,8 @@ class SimConfig:
     window_stop_time: float = math.inf
     window_plans: tuple = ()   # per-species insertion plans (window.py)
     # particle engine: 'scatter' (general, any BCs) or 'binned' (dense
-    # cell-slot grid, all-periodic only — the TPU hot path, core/binned.py)
+    # cell-slot grid — the TPU hot path, core/binned.py; see
+    # sim._select_engine for the supported feature set)
     engine: str = "scatter"
     bin_k: int = 0             # slots per cell for the binned engine
     # per-particle auxiliary rows on the binned engine (optical depths for

@@ -798,6 +798,7 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                 return wprod_cache[bits]
 
             accs = {}
+            bf16g = _os.environ.get("EPOCH_TPU_BF16_GATHER") == "1"
             for k, nm in enumerate(names):
                 if ABLATE == "nogather":
                     accs[nm] = jnp.zeros(w.shape, dtype)
@@ -805,7 +806,18 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                 acc = jnp.zeros(w.shape, dtype)
                 for (ox, oy), ww in wprods(stag_bits[nm]).items():
                     win = f_ref[0, k, ox + 2:ox + 2 + BX, 2 + oy:2 + oy + NY]
-                    acc = acc + ww * win[None]
+                    if bf16g:
+                        # experiment (EPOCH_TPU_BF16_GATHER=1): bf16
+                        # shape-weight products, f32 accumulate.
+                        # MEASURED NEGATIVE at bench shapes: 912 vs
+                        # 950 M pushes/s — the casts outweigh any VPU
+                        # gain (bf16 ALU rate = f32 here).  Kept as a
+                        # recorded result; default off.
+                        acc = acc + (ww.astype(jnp.bfloat16)
+                                     * win[None].astype(jnp.bfloat16)
+                                     ).astype(dtype)
+                    else:
+                        acc = acc + ww * win[None]
                 accs[nm] = acc
 
             ex_p = fac * accs["ex"]
