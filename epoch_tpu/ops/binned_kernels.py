@@ -401,6 +401,18 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
     M = -offsets[0]
     nx = nxb * BX
     nxg = nx_global if nx_global is not None else nx
+    # "cols" side arrays come in one of two layouts:
+    #   flat  — (…, K, nxb·NY) with (…, K, NY) blocks at offset i·NY:
+    #           built by a single strided column extraction, no
+    #           transpose (the (nxb, …, K, NY) layout cost a moveaxis
+    #           copy per side array, ~0.3 ms/step at bench shapes).
+    #           Needs NY % 128 == 0 (Mosaic: last block dim must be
+    #           lane-aligned when not full-extent).
+    #   lead  — (nxb, …, K, NY), stripe axis leading (any NY).
+    import os as _os_fl
+    flat_sides = (halo_mode == "cols" and NY % 128 == 0
+                  and _os_fl.environ.get("EPOCH_TPU_FLAT_SIDES", "1")
+                  != "0")
     # refill staging column: the first dead pad column on padded grids,
     # the wrapped column 0 otherwise (window._insert_column_binned)
     RCOL = (nxg - pad_x) if pad_x > 0 else 0
@@ -632,14 +644,20 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                 wr = side_refs[side]
                 xr = side_refs[n_sides + side]
                 pr = side_refs[2 * n_sides + side]
-                hw = wr[0][:, None, :]
-                hx0 = xr[0, 0][:, None, :]
-                hx1 = xr[0, 1][:, None, :]
-                hp = [pr[0, c][:, None, :] for c in range(3)]
+                if flat_sides:
+                    hw = wr[:][:, None, :]
+                    hx0 = xr[0][:, None, :]
+                    hx1 = xr[1][:, None, :]
+                    hp = [pr[c][:, None, :] for c in range(3)]
+                else:
+                    hw = wr[0][:, None, :]
+                    hx0 = xr[0, 0][:, None, :]
+                    hx1 = xr[0, 1][:, None, :]
+                    hp = [pr[0, c][:, None, :] for c in range(3)]
                 if n_extra:
                     er = side_refs[3 * n_sides + side]
-                    hp += [er[0, c][:, None, :]
-                           for c in range(n_extra)]
+                    hp += [(er[c] if flat_sides else er[0, c])
+                           [:, None, :] for c in range(n_extra)]
             else:
                 hw = we_ref[:, 0, side, :][:, None, :]
                 hx0 = xie_ref[0, :, 0, side, :][:, None, :]
@@ -1041,7 +1059,31 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                      memory_space=pltpu.VMEM),
     ] + ([pl.BlockSpec((n_extra, K, BX, NY), lambda i, *_: (0, 0, i, 0),
                        memory_space=pltpu.VMEM)] if n_extra else [])
-    if halo_mode == "cols":
+    if halo_mode == "cols" and flat_sides:
+        # per-side column arrays (…, K, nxb·NY): block (…, K, NY) at
+        # last-dim offset j·NY reads the NEIGHBOUR stripe's column —
+        # no transpose on the XLA side (NY % 128 == 0 keeps the block
+        # lane-aligned).
+        lm = lambda i, *_: (0, (i - 1) % nxb)
+        rm = lambda i, *_: (0, (i + 1) % nxb)
+        lm2 = lambda i, *_: (0, 0, (i - 1) % nxb)
+        rm2 = lambda i, *_: (0, 0, (i + 1) % nxb)
+        side_maps = [lm, rm] + ([rm] if with_window else [])
+        side_maps2 = [lm2, rm2] + ([rm2] if with_window else [])
+        for mp in side_maps:
+            in_specs.append(pl.BlockSpec((K, NY), mp,
+                                         memory_space=pltpu.VMEM))
+        for mp in side_maps2:
+            in_specs.append(pl.BlockSpec((2, K, NY), mp,
+                                         memory_space=pltpu.VMEM))
+        for mp in side_maps2:
+            in_specs.append(pl.BlockSpec((3, K, NY), mp,
+                                         memory_space=pltpu.VMEM))
+        if n_extra:
+            for mp in side_maps2:
+                in_specs.append(pl.BlockSpec((n_extra, K, NY), mp,
+                                             memory_space=pltpu.VMEM))
+    elif halo_mode == "cols":
         # per-side column arrays (nxb, …, K, NY): the index_map reads
         # the NEIGHBOUR stripe's entry — the periodic roll is free.
         # The blocked stripe axis leads so the trailing block dims
@@ -1202,6 +1244,11 @@ class PallasBinned:
         # index maps; sharded path: pre-stacked tensors with ppermute-
         # patched shard edges (spmd_push.py)
         self.halo_mode = "cols" if spmd_axis is None else "stacked"
+        import os as _os
+        self.flat_sides = (self.halo_mode == "cols"
+                           and self.ny % 128 == 0
+                           and _os.environ.get("EPOCH_TPU_FLAT_SIDES",
+                                               "1") != "0")
         self.with_refill = with_refill
         self.qed_enabled = qed is not None
         self.fused = make_fused_push(
@@ -1246,6 +1293,11 @@ class PallasBinned:
                 self.stripecol(a, axis, 0)]
         if self.with_window:
             cols.append(self.stripecol(a, axis, 1))
+        if self.flat_sides:
+            # (…, nxb, NY) → (…, nxb·NY): a free reshape of contiguous
+            # trailing dims — the kernel blocks (…, K, NY) at last-dim
+            # offset i·NY (NY % 128 == 0), so no moveaxis copy is paid
+            return [c.reshape(c.shape[:axis] + (-1,)) for c in cols]
         # stripe axis leading: the kernel blocks it to 1 so the trailing
         # block dims (K, NY) stay full-extent (Mosaic alignment rule)
         return [jnp.moveaxis(c, axis, 0) for c in cols]
@@ -1370,10 +1422,14 @@ class PallasBinned:
         if self.n_extra:
             ins.append(extra)
         if self.halo_mode == "cols":
-            wcols = self.halo_side_arrays(w, 1)   # (nxb, K, NY) each
+            wcols = self.halo_side_arrays(w, 1)
             # arrival flags: stripe i's left halo is wcols[0][i-1],
             # right halos wcols[1:][i+1] — tiny (nxb,) rolls
-            cmax = [jnp.max(c, axis=(1, 2)) for c in wcols]
+            if self.flat_sides:   # (K, nxb·NY) each
+                cmax = [jnp.max(c.reshape(self.K, self.nxb, self.ny),
+                                axis=(0, 2)) for c in wcols]
+            else:                 # (nxb, K, NY) each
+                cmax = [jnp.max(c, axis=(1, 2)) for c in wcols]
             hmax = jnp.maximum(jnp.roll(cmax[0], 1), jnp.roll(cmax[1], -1))
             for c in cmax[2:]:
                 hmax = jnp.maximum(hmax, jnp.roll(c, -1))

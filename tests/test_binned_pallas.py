@@ -397,3 +397,30 @@ def test_pallas_photon_push_matches_xla(monkeypatch):
                                    np.sort(xx_[ax_][:, d]), atol=1e-11)
     np.testing.assert_allclose(np.sort(pp_[ap_][:, 0]),
                                np.sort(px_[ax_][:, 0]), rtol=1e-6)
+
+
+def test_pallas_flat_sides_matches_lead_layout(monkeypatch):
+    """The lane-aligned "flat" halo side-array layout ((…, K, nxb·NY)
+    blocks, used when NY % 128 == 0 — no moveaxis staging copies) must
+    be bit-identical to the stripe-leading layout it replaces, through
+    pushes that exercise the halo rebin routing and aux payloads."""
+    outs = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("EPOCH_TPU_FLAT_SIDES", mode)
+        cfg, plan, sp, grid, bm, interior = _setup(n=(16, 128), n_aux=2)
+        eng = binmod.make_pallas_engines(cfg, plan, interpret=True)[0]
+        assert eng is not None
+        assert eng.flat_sides == (mode == "1")
+        names = ("ex", "ey", "ez", "bx", "by", "bz")
+        fstack = jnp.stack([interior[nm] for nm in names], axis=0)
+        fpad = jnp.pad(fstack, ((0, 0), (2, 2), (2, 2)), mode="wrap")
+        fwin = eng.make_fwin(fpad)
+        b = bm
+        for _ in range(4):
+            b, jpart = binmod.push_deposit_pallas(eng, fwin, b, plan)
+        outs[mode] = (b, eng.fold_jpart(jpart))
+    (b1, j1), (b0, j0) = outs["1"], outs["0"]
+    for nm in ("w", "xi", "p", "aux"):
+        np.testing.assert_array_equal(np.asarray(getattr(b1, nm)),
+                                      np.asarray(getattr(b0, nm)))
+    np.testing.assert_array_equal(np.asarray(j1), np.asarray(j0))
