@@ -21,7 +21,7 @@ from .sdf import SDFWriter, read as sdf_read
 
 
 def write_restart(path, cfg, state: SimState, deck_text: str = "",
-                  persistent_members=None):
+                  persistent_members=None, embed_source: bool = True):
     w = SDFWriter(path, step=int(state.step), time=float(state.time),
                   restart=True)
     grid = cfg.grid
@@ -163,6 +163,13 @@ def write_restart(path, cfg, state: SimState, deck_text: str = "",
     if deck_text:
         w.write_datablock("input_deck", "Input Deck", deck_text.encode(),
                           "text/plain")
+    if embed_source:
+        # full source tarball in every restart dump (epoch_write_source_info,
+        # diagnostics.F90:3412; src/pack.py); extract with
+        # scripts/unpack_source_from_restart.py
+        from ..utils.pack import source_tarball
+        w.write_datablock("source_code", "Source Code/epoch_tpu",
+                          source_tarball(), "application/gzip")
     w.close()
 
 

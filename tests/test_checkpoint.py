@@ -143,3 +143,51 @@ end:output
     write_restart(ck, sim.cfg, sim.state, persistent_members=members)
     got = read_persistent_members(ck)
     assert got == members
+
+
+def test_source_embedding_roundtrip(tmp_path):
+    """Every restart dump embeds the full source tarball
+    (epoch_write_source_info, diagnostics.F90:3412; src/pack.py); the
+    unpack script must recover byte-identical source files."""
+    import io
+    import subprocess
+    import sys
+    import tarfile
+
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "input.deck").write_text(DECK.format(pusher="scatter"))
+    sim = Simulation(str(d / "input.deck"))
+    ckpt = str(d / "restart.sdf")
+    write_restart(ckpt, sim.cfg, sim.state, deck_text="the deck text")
+
+    from epoch_tpu.io import sdf
+    blk = sdf.read(ckpt)["Source Code/epoch_tpu"]
+    assert blk.meta["mimetype"] == "application/gzip"
+    with tarfile.open(fileobj=io.BytesIO(blk.data), mode="r:gz") as tf:
+        names = tf.getnames()
+        payload = tf.extractfile("epoch_tpu/io/checkpoint.py").read()
+    assert "epoch_tpu/core/binned.py" in names
+    assert "bench.py" in names
+    import epoch_tpu.io.checkpoint as ck
+    with open(ck.__file__, "rb") as f:
+        assert payload == f.read()
+    # determinism: a second dump embeds byte-identical source
+    write_restart(str(d / "r2.sdf"), sim.cfg, sim.state)
+    assert sdf.read(str(d / "r2.sdf"))["Source Code/epoch_tpu"].data \
+        == blk.data
+
+    # the unpack script end-to-end
+    out = tmp_path / "unpacked"
+    out.mkdir()
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.dirname(
+             os.path.abspath(__file__))),
+             "scripts", "unpack_source_from_restart.py"),
+         ckpt, str(out)],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert (out / "epoch_tpu" / "io" / "checkpoint.py").read_bytes() \
+        == payload
+    assert (out / "input.deck.from_restart").read_text() == "the deck text"
