@@ -985,21 +985,33 @@ def push_deposit_pallas(engine, fwin, binned, plan, sp=None, shift=None,
     # by the kernel (appended as the final output row) and excluded
     # from the rebin routing
     n_route = n_aux - 1 if qed_en else n_aux
-    extra = binned.aux[:n_route] if n_route else None
-    if probes:
-        dinit = probe_entry_distances(binned, plan, probes)
-        extra = dinit if extra is None \
-            else jnp.concatenate([extra, dinit], axis=0)
+    alias_extras = getattr(engine, "alias_extras", False) and not probes
+    if alias_extras:
+        # grown-output aliasing: pass the FULL aux (the stale eta row is
+        # overwritten in-kernel) — no slice/concat copies, and the slot
+        # extras buffer is donated through the kernel
+        extra = binned.aux
+    else:
+        extra = binned.aux[:n_route] if n_route else None
+        if probes:
+            dinit = probe_entry_distances(binned, plan, probes)
+            extra = dinit if extra is None \
+                else jnp.concatenate([extra, dinit], axis=0)
     out, jpart, extra_out = engine(fwin, binned, shift=shift, extra=extra,
                                    seed=seed, refill=refill,
                                    qed_on=qed_on)
     probe_recs = None
     if extra_out is not None:
         if n_aux:
-            aux_new = extra_out[:n_route]
-            if qed_en:
-                aux_new = jnp.concatenate([aux_new, extra_out[-1:]],
-                                          axis=0)
+            if alias_extras:
+                # output row order [routed aux… | eta] matches the aux
+                # row order exactly — adopt the donated buffer whole
+                aux_new = extra_out
+            else:
+                aux_new = extra_out[:n_route]
+                if qed_en:
+                    aux_new = jnp.concatenate([aux_new, extra_out[-1:]],
+                                              axis=0)
             out = out._replace(aux=aux_new)
         if probes:
             npb = len(probes)

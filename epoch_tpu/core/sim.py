@@ -296,7 +296,17 @@ def build_config(deck: DeckConfig) -> SimConfig:
         cfg = dataclasses.replace(cfg, collision_plan=CollisionPlan(cfg, deck))
     if deck.qed.use_qed:
         from ..physics.qed import QEDPlan
-        cfg = dataclasses.replace(cfg, qed_plan=QEDPlan(cfg, deck))
+        plan = QEDPlan(cfg, deck)
+        cfg = dataclasses.replace(cfg, qed_plan=plan)
+        if plan.produce_photons and not plan.photon_dynamics \
+                and plan.photon_species >= 0:
+            # photon_dynamics = F (the reference default): photons are
+            # created and accumulate but are never pushed
+            # (particles.F90:178 gates push_photons on photon_dynamics)
+            sp = list(cfg.species)
+            sp[plan.photon_species] = dataclasses.replace(
+                sp[plan.photon_species], immobile=True)
+            cfg = dataclasses.replace(cfg, species=tuple(sp))
     if deck.bremsstrahlung.use_bremsstrahlung:
         from ..physics.bremsstrahlung import BremPlan
         plan = BremPlan(cfg, deck)

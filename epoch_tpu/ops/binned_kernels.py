@@ -475,6 +475,13 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
     n_extra_out = n_extra + (n_probes + 1 if n_probes else 0) \
         + (1 if qed else 0)
     ETA_ROW = n_extra_out - 1
+    # grown-output aliasing: when qed appends the eta row (and no probe
+    # rows are interleaved) the caller passes the FULL aux — including
+    # the stale eta row, which the kernel overwrites — so the input and
+    # output extras shapes match and the buffer is donated instead of
+    # round-tripping a separate HBM allocation per step per emitter
+    alias_grown = qed is not None and n_extra > 0 and n_probes == 0
+    n_extra_in = n_extra_out if alias_grown else n_extra
     if qed is not None:
         # (i_od aux-row index, h(eta) log-log polyfit coeffs, fit range,
         #  c1 = dt·α·√3/(2π·τc), C_eta = coeff·q0·√(τ0/m0))
@@ -1057,7 +1064,7 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((3, K, BX, NY), lambda i, *_: (0, 0, i, 0),
                      memory_space=pltpu.VMEM),
-    ] + ([pl.BlockSpec((n_extra, K, BX, NY), lambda i, *_: (0, 0, i, 0),
+    ] + ([pl.BlockSpec((n_extra_in, K, BX, NY), lambda i, *_: (0, 0, i, 0),
                        memory_space=pltpu.VMEM)] if n_extra else [])
     if halo_mode == "cols" and flat_sides:
         # per-side column arrays (…, K, nxb·NY): block (…, K, NY) at
@@ -1163,7 +1170,7 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
     # double-buffers w/xi/p around the custom call inside the scan carry
     # (~90 µs/step of pure HBM copies at bench shapes)
     io_aliases = {n_scal + 0: 0, n_scal + 1: 1, n_scal + 2: 2}
-    if n_extra and n_extra_out == n_extra:
+    if n_extra and n_extra_out == n_extra_in:
         io_aliases[n_scal + 3] = 3
     return pl.pallas_call(
         kernel,
@@ -1236,7 +1243,12 @@ class PallasBinned:
         self.n_extra = n_extra
         self.n_probes = len(probe_specs)
         self.n_extra_out = n_extra + (self.n_probes + 1
-                                      if self.n_probes else 0)
+                                      if self.n_probes else 0) \
+            + (1 if qed is not None else 0)
+        # grown-output aliasing (see make_fused_push): callers pass the
+        # FULL aux incl. the eta row; no slice/concat copies XLA-side
+        self.alias_extras = (qed is not None and n_extra > 0
+                             and self.n_probes == 0)
         bc = tuple(sp.bc_particle[:4])
         self.any_thermal = any(
             b in (const.BC.THERMAL, const.BC.HEAT_BATH) for b in bc)
@@ -1421,6 +1433,10 @@ class PallasBinned:
         ins = [w, xi, p]
         if self.n_extra:
             ins.append(extra)
+            if self.alias_extras:
+                # full aux passed through (rows beyond n_extra are the
+                # kernel-written eta row); only routed rows need halos
+                extra = extra[:self.n_extra]
         if self.halo_mode == "cols":
             wcols = self.halo_side_arrays(w, 1)
             # arrival flags: stripe i's left halo is wcols[0][i-1],

@@ -281,8 +281,6 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
         sp_cfg = cfg.species[i]
         key, k1, k2 = jax.random.split(key, 3)
         alive = b.w > 0
-        u = [b.p[c] / mc0 for c in range(3)]
-        gamma = jnp.sqrt(u[0] ** 2 + u[1] ** 2 + u[2] ** 2 + 1.0)
         if plan.rates_in_kernel.get(i):
             # the fused push already resampled/decremented the optical
             # depth and stored eta (aux rows): od <= 0 flags a fire —
@@ -292,6 +290,8 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
             od = b.aux[i_od]
             fire = alive & active & (od <= 0.0)
         else:
+            u = [b.p[c] / mc0 for c in range(3)]
+            gamma = jnp.sqrt(u[0] ** 2 + u[1] ** 2 + u[2] ** 2 + 1.0)
             # end-of-push ξ is un-normalised; the shifted gather folds
             # the cell offset into widened windows instead of running
             # the slot-sort rebin every step
@@ -311,60 +311,63 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
             od = od - jnp.where(alive & active, d_od, 0.0)
             fire = alive & active & (od <= 0.0)
 
-        # --- sparse emission.  Fires are rare; the old dense inversion
-        # gathered a (N, n_chi) CDF row per SLOT per STEP (GBs
+        # --- sparse emission, fire-gated.  Fires are rare; the old dense
+        # inversion gathered a (N, n_chi) CDF row per SLOT per STEP (GBs
         # materialised; TPU gathers serialise) and a slot-level top_k
         # was itself a multi-ms sort over N=2.6M.  Extract fired CELLS
-        # instead (an 18x smaller top_k), gather those columns, and do
-        # everything per-(K, cell-subset):
+        # instead (an 18x smaller top_k), gather those columns, do
+        # everything per-(K, cell-subset) — and gate the WHOLE tail
+        # (top_k, CDF inversion, recoil scatter, candidate build and
+        # photon append) behind any(fire), so the common no-fire step
+        # pays one conditional join instead of the extraction pipeline.
         Kp = b.w.shape[0]
         fshape = fire.shape
         gshape = fshape[1:]
         N = fire.size
         C = N // Kp
         kc = min(int(os.environ.get("EPOCH_TPU_FIRE_CELL_CAP", 2048)), C)
-        fire_cell = jnp.any(fire.reshape(Kp, C), axis=0)
-        cvals, cidx = jax.lax.top_k(fire_cell.astype(jnp.float32), kc)
-        cok = cvals > 0
-        fire_c = fire.reshape(Kp, C)[:, cidx] & cok[None]
-        over_fires = (jnp.sum(fire) - jnp.sum(fire_c)).astype(jnp.int32)
-        eta_c = eta.reshape(Kp, C)[:, cidx]
-        gam_c = gamma.reshape(Kp, C)[:, cidx]
-        r_c = jax.random.uniform(k2, (Kp, kc), od.dtype)
-        chi_c = _invert_cdf_rows(
-            tab.log_eta, tab.log_chi, tab.p_photon,
-            eta_c.reshape(-1), r_c.reshape(-1)).reshape(Kp, kc)
-        e_ph_c = (2.0 * chi_c / jnp.maximum(eta_c, 1e-30)) * gam_c \
-            * const.m0 * const.c ** 2
-        p_c = b.p.reshape(3, Kp, C)[:, :, cidx]
-        mag_c = jnp.sqrt(p_c[0] ** 2 + p_c[1] ** 2 + p_c[2] ** 2)
-        dir_c = p_c / jnp.where(mag_c > 0, mag_c, 1.0)[None]
-        if plan.use_radiation_reaction:
-            new_mag = jnp.where(fire_c, jnp.maximum(
-                mag_c - e_ph_c / const.c, 0.0), mag_c)
-            newp = b.p.reshape(3, Kp, C).at[:, :, cidx].set(
-                dir_c * new_mag[None]).reshape(b.p.shape)
-        else:
-            newp = b.p
-        if plan.rates_in_kernel.get(i):
-            # od lives in aux untouched here (the kernel maintains it):
-            # skip the .at[].set, which forced a full aux copy per step
-            b = b._replace(p=newp)
-        else:
-            b = b._replace(p=newp, aux=b.aux.at[i_od].set(od))
-        species[i] = b
+        with_photons = plan.produce_photons and plan.photon_species >= 0
+        ph0 = species[plan.photon_species] if with_photons else None
 
-        if plan.produce_photons and plan.photon_species >= 0:
+        def _emit_tail(ops):
+            pin, ph = ops
+            fire_cell = jnp.any(fire.reshape(Kp, C), axis=0)
+            cvals, cidx = jax.lax.top_k(fire_cell.astype(jnp.float32), kc)
+            cok = cvals > 0
+            fire_c = fire.reshape(Kp, C)[:, cidx] & cok[None]
+            over_fires = (jnp.sum(fire)
+                          - jnp.sum(fire_c)).astype(jnp.int32)
+            eta_c = eta.reshape(Kp, C)[:, cidx]
+            p_c = pin.reshape(3, Kp, C)[:, :, cidx]
+            mag_c = jnp.sqrt(p_c[0] ** 2 + p_c[1] ** 2 + p_c[2] ** 2)
+            gam_c = jnp.sqrt((mag_c / mc0) ** 2 + 1.0)
+            dir_c = p_c / jnp.where(mag_c > 0, mag_c, 1.0)[None]
+            r_c = jax.random.uniform(k2, (Kp, kc), b.w.dtype)
+            chi_c = _invert_cdf_rows(
+                tab.log_eta, tab.log_chi, tab.p_photon,
+                eta_c.reshape(-1), r_c.reshape(-1)).reshape(Kp, kc)
+            e_ph_c = (2.0 * chi_c / jnp.maximum(eta_c, 1e-30)) * gam_c \
+                * const.m0 * const.c ** 2
+            if plan.use_radiation_reaction:
+                new_mag = jnp.where(fire_c, jnp.maximum(
+                    mag_c - e_ph_c / const.c, 0.0), mag_c)
+                newp = pin.reshape(3, Kp, C).at[:, :, cidx].set(
+                    dir_c * new_mag[None]).reshape(pin.shape)
+            else:
+                newp = pin
+            if not with_photons:
+                return newp, ph, over_fires
             # COMPRESSED candidate grid: rank fired slots within their
             # cells (a K-deep cumsum, no sort) and keep ≤ Kc per cell,
-            # so merge_candidates sorts K_photon+Kc rows instead of
-            # K_photon+K_parent — the dense merge's multi-payload
-            # lax.sort was 6.5 ms/step at bench shapes
+            # so the append costs Kc K-deep selects instead of the dense
+            # merge's multi-payload lax.sort (6.5 ms/step at bench
+            # shapes)
             Kc = 2
             nd_ = bplan.nd
             keep_c = fire_c & (e_ph_c > plan.photon_energy_min)
             rank_c = jnp.cumsum(keep_c.astype(jnp.int32), axis=0) - 1
-            over_rank = jnp.sum(keep_c & (rank_c >= Kc)).astype(jnp.int32)
+            over_rank = jnp.sum(keep_c
+                                & (rank_c >= Kc)).astype(jnp.int32)
             xi_c = b.xi.reshape(nd_, Kp, C)[:, :, cidx]
             p_ph_c = dir_c * (e_ph_c / const.c)[None]
             w_c = b.w.reshape(Kp, C)[:, cidx]
@@ -380,20 +383,31 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
                 cand_xi = cand_xi.at[:, r, cidx].set(xv, mode="drop")
                 pv = jnp.sum(jnp.where(sel[None], p_ph_c, 0.0), axis=1)
                 cand_p = cand_p.at[:, r, cidx].set(pv, mode="drop")
-            # most steps fire nothing: gate the append's K-deep selects
-            # over the photon slot arrays behind the fire count
-            ph0 = species[plan.photon_species]
-            ph = jax.lax.cond(
-                jnp.sum(keep_c) > 0,
-                lambda s: binmod.append_compressed(
-                    s, cand_xi.reshape((nd_, Kc) + gshape),
-                    cand_p.reshape((3, Kc) + gshape),
-                    cand_w.reshape((Kc,) + gshape), bplan),
-                lambda s: s, ph0)
+            ph = binmod.append_compressed(
+                ph, cand_xi.reshape((nd_, Kc) + gshape),
+                cand_p.reshape((3, Kc) + gshape),
+                cand_w.reshape((Kc,) + gshape), bplan)
             # fires beyond the fired-cell cap / per-cell rank cap are
             # dropped photons — counted like every other overflow
-            species[plan.photon_species] = ph._replace(
-                n_dropped=ph.n_dropped + over_fires + over_rank)
+            return newp, ph._replace(
+                n_dropped=ph.n_dropped + over_fires + over_rank), \
+                over_fires
+
+        def _no_fire(ops):
+            pin, ph = ops
+            return pin, ph, jnp.zeros((), jnp.int32)
+
+        newp, ph_new, _ = jax.lax.cond(jnp.any(fire), _emit_tail,
+                                       _no_fire, (b.p, ph0))
+        if with_photons:
+            species[plan.photon_species] = ph_new
+        if plan.rates_in_kernel.get(i):
+            # od lives in aux untouched here (the kernel maintains it):
+            # skip the .at[].set, which forced a full aux copy per step
+            b = b._replace(p=newp)
+        else:
+            b = b._replace(p=newp, aux=b.aux.at[i_od].set(od))
+        species[i] = b
 
         # trident pairs (TRIDENT_PHOTONS, photons.F90:502-572,1010-1042)
         if plan.use_trident and i_odt >= 0 and plan.tri_electron >= 0 \
@@ -407,8 +421,10 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
             omega_hat = 10.0 ** _interp_1d(
                 tab.t_logchi, tab.omega_val,
                 jnp.log10(jnp.maximum(eta, 1e-30)))
+            gam_t = jnp.sqrt((b.p[0] ** 2 + b.p[1] ** 2 + b.p[2] ** 2)
+                             / mc0 ** 2 + 1.0)
             d_odt = dt * eta * const.alpha_fine ** 2 * 0.64 * omega_hat \
-                / (2.0 * math.pi * TAU_C * gamma)
+                / (2.0 * math.pi * TAU_C * gam_t)
             odt = odt - jnp.where(alive & active, d_odt, 0.0)
             fire_t = alive & active & (odt <= 0.0)
             p_zero = jnp.zeros_like(b.p)

@@ -97,6 +97,51 @@ def test_emission_in_strong_field(sim):
     assert (px > 0).all()
 
 
+def test_photon_dynamics_off_freezes_photons(tmp_path):
+    """photon_dynamics defaults to F in the reference (deck_qed_block
+    F90 default; particles.F90:178 gates push_photons on it): photons
+    are created and accumulate energy diagnostics but are never moved.
+    Emit in a strong field, then check created photons stay put."""
+    def run(extra):
+        d = tmp_path / ("dyn" if extra else "nodyn")
+        d.mkdir()
+        deck = DECK.format(tables=TABLES)
+        if extra:
+            deck = deck.replace("produce_pairs = F",
+                                "produce_pairs = F\n  photon_dynamics = T")
+        (d / "input.deck").write_text(deck)
+        sim = Simulation(str(d / "input.deck"))
+        st = sim.state
+        gamma = 2000.0
+        p0 = np.sqrt(gamma ** 2 - 1.0) * const.m0 * const.c
+        slab = st.species[0]
+        slab = slab._replace(p=jnp.zeros_like(slab.p).at[:, 0].set(p0))
+        f = st.fields._replace(ey=jnp.full_like(st.fields.ey, 2.0e14))
+        st = st._replace(fields=f, species=(slab, st.species[1]))
+        for _ in range(10):
+            st = sim.fns["step_a"](st)._replace(fields=f)
+        ph = st.species[1]
+        al0 = np.asarray(ph.alive)
+        assert al0.sum() > 0
+        x0 = np.asarray(ph.x)[al0, 0]
+        # two more steps: photons move iff photon_dynamics
+        for _ in range(2):
+            st = sim.fns["step_a"](st)._replace(fields=f)
+        ph1 = st.species[1]
+        x1 = np.asarray(ph1.x)[np.asarray(ph1.alive), 0]
+        return sim, x0, x1
+
+    sim_f, x0, x1 = run(False)
+    assert sim_f.cfg.species[1].immobile
+    # frozen: every originally-alive photon position is still present
+    # bit-exactly (new photons may have appeared since)
+    assert np.isin(x0, x1).all()
+    sim_t, y0, y1 = run(True)
+    assert not sim_t.cfg.species[1].immobile
+    # moving at c: no original position survives two steps
+    assert not np.isin(y0, y1).any()
+
+
 TRIDENT_DECK = """
 begin:control
   pusher = scatter
