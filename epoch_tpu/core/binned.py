@@ -742,7 +742,11 @@ def window_pending_capable(cfg):
     kernel_bcs = (const.BC.OPEN, const.BC.REFLECT)
     for sp in cfg.species:
         if sp.immobile:
-            return False
+            # immobile species (photon_dynamics = F photons, fixed ion
+            # backgrounds) consume the relabel through a rebin-only
+            # zero-drift kernel (make_pallas_engines); x BCs checked
+            # below like every other species
+            pass
         if sp.species_type == const.SpeciesType.PHOTON:
             # photons ride their own fused ballistic kernel; thermal
             # walls (no photon kernel) are rejected below like massive
@@ -829,11 +833,35 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                 out.append(PallasBinned(
                     plan, sp, cfg, interpret=interpret,
                     with_window=ph_window, n_extra=plan.n_aux,
-                    photon=True, clear_rcol=ph_stage,
+                    photon=True, move=not sp.immobile,
+                    clear_rcol=ph_stage,
                     cull_lo=(cfg.grid.cpml_thickness if ph_stage
                              else 0)))
         elif sp.immobile:
-            out.append(None)
+            # zero-drift rebin-only kernel under a moving window: exists
+            # purely to consume the pending relabel + swept-boundary
+            # cull so immobile species don't force the rolled (full
+            # slot-state copy per step) window path
+            if with_window and spmd_axis is None and not any(
+                    bc not in kernel_bcs or bc in TH
+                    for bc in sp.bc_particle[:2 * plan.nd]):
+                from .window import pending_single_shift
+                im_stage = pending_single_shift(cfg)
+                wplan = cfg.window_plans[si] \
+                    if si < len(cfg.window_plans) else None
+                im_refill = bool(
+                    im_stage and wplan is not None
+                    and wplan["max_new"] > 0
+                    and wplan["density"] is not None)
+                out.append(PallasBinned(
+                    plan, sp, cfg, interpret=interpret,
+                    with_window=True, n_extra=plan.n_aux,
+                    photon=True, move=False, clear_rcol=im_stage,
+                    with_refill=im_refill,
+                    cull_lo=(cfg.grid.cpml_thickness if im_stage
+                             else 0)))
+            else:
+                out.append(None)
         elif any(bc not in kernel_bcs
                  for bc in sp.bc_particle[:2 * plan.nd]):
             out.append(None)

@@ -311,6 +311,18 @@ def make_step_functions(cfg):
                 new_species.append(spmd_new[si])
                 continue
             if sp_cfg.immobile:
+                if window_pending_ok and pallas_engines[si] is not None:
+                    # zero-drift rebin-only kernel: consumes the pending
+                    # window relabel + the swept-boundary cull (without
+                    # it any immobile species forces the rolled window
+                    # path, a full slot-state copy per step)
+                    refill = None
+                    if getattr(pallas_engines[si], "with_refill",
+                               False) and si < len(state.window_refill):
+                        refill = state.window_refill[si]
+                    b, _ji = binmod.push_deposit_pallas(
+                        pallas_engines[si], fwin, b, bplan, sp=sp_cfg,
+                        shift=state.window_pending, refill=refill)
                 new_species.append(b)
                 continue
             if sp_cfg.species_type == const.SpeciesType.PHOTON:

@@ -315,7 +315,7 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                     n_extra=0, probe_specs=(), with_xoff=False,
                     nx_global=None, pad_x=0, halo_mode="cols",
                     with_refill=False, cull_lo=0, clear_rcol=False,
-                    photon=False, qed=None):
+                    photon=False, move=True, qed=None):
     """Build the fused per-species pallas_call (2D).
 
     One kernel per stripe does the full reference hot loop
@@ -791,7 +791,13 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                     wo_ref, xio_ref, po_ref, exo_ref, j_ref):
         alive = w > 0
         xi = [xi0, xi1]
-        if photon:
+        if photon and not move:
+            # immobile / photon_dynamics=F species: rebin-only (the
+            # kernel exists to consume pending window relabels + the
+            # swept-boundary cull; particles.F90:178 skips the move)
+            xi_new = [xi[d] for d in range(nd)]
+            p_new = [p[0], p[1], p[2]]
+        elif photon:
             # ballistic full-dt move (push_photons_binned numerics)
             mag = jnp.sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2])
             ok = alive & (mag > 0)
@@ -1220,7 +1226,7 @@ class PallasBinned:
     def __init__(self, plan, sp, cfg, interpret=False, with_window=False,
                  n_extra=0, probe_specs=(), spmd_axis=None, mesh_n=1,
                  with_refill=False, cull_lo=0, clear_rcol=False,
-                 photon=False, qed=None):
+                 photon=False, move=True, qed=None):
         """``spmd_axis``: mesh axis name when running per-shard inside a
         shard_map over grid-x (parallel/spmd_push.py) — halo columns at
         shard edges then come from lax.ppermute ring exchanges, and the
@@ -1271,7 +1277,7 @@ class PallasBinned:
             pad_x=self.nx_global - self.nx_real,
             halo_mode=self.halo_mode, with_refill=with_refill,
             cull_lo=cull_lo, clear_rcol=clear_rcol, photon=photon,
-            qed=qed)
+            move=move, qed=qed)
         # refill staging column (must match make_fused_push RCOL)
         self.rcol = self.nx_real if self.nx_global > self.nx_real else 0
         self.n_halo = 3 if with_window else 2

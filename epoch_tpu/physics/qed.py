@@ -325,20 +325,33 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
         gshape = fshape[1:]
         N = fire.size
         C = N // Kp
-        kc = min(int(os.environ.get("EPOCH_TPU_FIRE_CELL_CAP", 2048)), C)
+        # cap sized for the measured regime (QED LWFA bench: ~210 fired
+        # cells/step at 2.3M particles): every gather/scatter in the
+        # tail scales with kc; cells beyond it are counted drops
+        kc = min(int(os.environ.get("EPOCH_TPU_FIRE_CELL_CAP", 256)), C)
         with_photons = plan.produce_photons and plan.photon_species >= 0
         ph0 = species[plan.photon_species] if with_photons else None
 
         def _emit_tail(ops):
             pin, ph = ops
-            fire_cell = jnp.any(fire.reshape(Kp, C), axis=0)
-            cvals, cidx = jax.lax.top_k(fire_cell.astype(jnp.float32), kc)
+            # native-layout sparse extraction: flat reshapes of the big
+            # (…, K, *grid) arrays forced XLA layout copies (~1.5 ms/step
+            # of T(4,128) round-trips at bench shapes, plus re-copies to
+            # the kernel's stripe layout).  Flatten only the small
+            # (grid,) fired-cell map for the top_k; gather/scatter
+            # everything else through unravelled cell indices.
+            fire_cell = jnp.any(fire, axis=0)
+            cvals, cidx = jax.lax.top_k(
+                fire_cell.reshape(-1).astype(jnp.float32), kc)
             cok = cvals > 0
-            fire_c = fire.reshape(Kp, C)[:, cidx] & cok[None]
+            uc = jnp.unravel_index(cidx, gshape)
+            i2 = (slice(None),) + uc            # (Kp, kc) selections
+            i3 = (slice(None), slice(None)) + uc  # (lead, Kp, kc)
+            fire_c = fire[i2] & cok[None]
             over_fires = (jnp.sum(fire)
                           - jnp.sum(fire_c)).astype(jnp.int32)
-            eta_c = eta.reshape(Kp, C)[:, cidx]
-            p_c = pin.reshape(3, Kp, C)[:, :, cidx]
+            eta_c = eta[i2]
+            p_c = pin[i3]
             mag_c = jnp.sqrt(p_c[0] ** 2 + p_c[1] ** 2 + p_c[2] ** 2)
             gam_c = jnp.sqrt((mag_c / mc0) ** 2 + 1.0)
             dir_c = p_c / jnp.where(mag_c > 0, mag_c, 1.0)[None]
@@ -351,8 +364,7 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
             if plan.use_radiation_reaction:
                 new_mag = jnp.where(fire_c, jnp.maximum(
                     mag_c - e_ph_c / const.c, 0.0), mag_c)
-                newp = pin.reshape(3, Kp, C).at[:, :, cidx].set(
-                    dir_c * new_mag[None]).reshape(pin.shape)
+                newp = pin.at[i3].set(dir_c * new_mag[None])
             else:
                 newp = pin
             if not with_photons:
@@ -368,25 +380,25 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
             rank_c = jnp.cumsum(keep_c.astype(jnp.int32), axis=0) - 1
             over_rank = jnp.sum(keep_c
                                 & (rank_c >= Kc)).astype(jnp.int32)
-            xi_c = b.xi.reshape(nd_, Kp, C)[:, :, cidx]
+            xi_c = b.xi[i3]
             p_ph_c = dir_c * (e_ph_c / const.c)[None]
-            w_c = b.w.reshape(Kp, C)[:, cidx]
-            cand_w = jnp.zeros((Kc, C), b.w.dtype)
-            cand_xi = jnp.zeros((nd_, Kc, C), b.xi.dtype)
-            cand_p = jnp.zeros((3, Kc, C), b.p.dtype)
+            w_c = b.w[i2]
+            cand_w = jnp.zeros((Kc,) + gshape, b.w.dtype)
+            cand_xi = jnp.zeros((nd_, Kc) + gshape, b.xi.dtype)
+            cand_p = jnp.zeros((3, Kc) + gshape, b.p.dtype)
             for r in range(Kc):
                 sel = keep_c & (rank_c == r)
                 wv = jnp.sum(jnp.where(sel, w_c, 0.0), axis=0)
-                cand_w = cand_w.at[r, cidx].set(
+                cand_w = cand_w.at[(r,) + uc].set(
                     jnp.where(cok, wv, 0.0), mode="drop")
                 xv = jnp.sum(jnp.where(sel[None], xi_c, 0.0), axis=1)
-                cand_xi = cand_xi.at[:, r, cidx].set(xv, mode="drop")
+                cand_xi = cand_xi.at[(slice(None), r) + uc].set(
+                    xv, mode="drop")
                 pv = jnp.sum(jnp.where(sel[None], p_ph_c, 0.0), axis=1)
-                cand_p = cand_p.at[:, r, cidx].set(pv, mode="drop")
-            ph = binmod.append_compressed(
-                ph, cand_xi.reshape((nd_, Kc) + gshape),
-                cand_p.reshape((3, Kc) + gshape),
-                cand_w.reshape((Kc,) + gshape), bplan)
+                cand_p = cand_p.at[(slice(None), r) + uc].set(
+                    pv, mode="drop")
+            ph = binmod.append_compressed(ph, cand_xi, cand_p, cand_w,
+                                          bplan)
             # fires beyond the fired-cell cap / per-cell rank cap are
             # dropped photons — counted like every other overflow
             return newp, ph._replace(
@@ -397,8 +409,13 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
             pin, ph = ops
             return pin, ph, jnp.zeros((), jnp.int32)
 
-        newp, ph_new, _ = jax.lax.cond(jnp.any(fire), _emit_tail,
-                                       _no_fire, (b.p, ph0))
+        if os.environ.get("EPOCH_TPU_QED_GATE", "1") == "0":
+            # debug/profiling: run the tail unconditionally so its ops
+            # show up flat in a device trace (a lax.cond hides them)
+            newp, ph_new, _ = _emit_tail((b.p, ph0))
+        else:
+            newp, ph_new, _ = jax.lax.cond(jnp.any(fire), _emit_tail,
+                                           _no_fire, (b.p, ph0))
         if with_photons:
             species[plan.photon_species] = ph_new
         if plan.rates_in_kernel.get(i):

@@ -340,6 +340,65 @@ def test_window_pending_shift_matches_roll(tmp_path, monkeypatch):
                                    1.0, float(np.abs(st_x.fields.ex).max())))
 
 
+IMMOBILE_WINDOW_DECK = WINDOW_DECK.replace("begin:output", """begin:species
+  name = proton
+  charge = 1
+  mass = 1836.2
+  immobile = T
+  nparticles_per_cell = 2
+  number_density = 1e23
+end:species
+begin:output""")
+
+
+def test_window_immobile_rebin_only_kernel(tmp_path, monkeypatch):
+    """An immobile species under a moving window rides a zero-drift
+    rebin-only kernel (make_pallas_engines) that consumes the pending
+    relabel + swept-boundary cull, instead of forcing the rolled
+    (full slot-state copy per step) window path.  Must agree with the
+    XLA engine's rolled shift (reference skips the move for immobile
+    species, epoch2d/src/particles.F90:178, but window.F90 still
+    shifts/culls them)."""
+    import os
+    from epoch_tpu.core import Simulation
+
+    def run(mode):
+        monkeypatch.setenv("EPOCH_TPU_PALLAS", mode)
+        d = tmp_path / mode
+        d.mkdir(exist_ok=True)
+        (d / "input.deck").write_text(IMMOBILE_WINDOW_DECK)
+        sim = Simulation(str(d / "input.deck"))
+        assert sim.cfg.engine == "binned"
+        if mode == "interpret":
+            assert binmod.window_pending_capable(sim.cfg)
+            eng = binmod.make_pallas_engines(
+                sim.cfg, binmod.BinnedPlan(sim.cfg), interpret=True)
+            assert eng[1] is not None, "immobile species got no kernel"
+        st = sim.run(max_steps=25)
+        return sim, st
+
+    sim_p, st_p = run("interpret")
+    sim_x, st_x = run("0")
+    assert int(st_p.window_offset) == int(st_x.window_offset) > 3
+    assert int(st_p.window_pending) == 0
+    grid = sim_p.cfg.grid
+    per = (False, True)
+    for si in range(2):
+        xp_, pp_, wp_, ap_ = binmod.to_flat(st_p.species[si], grid,
+                                            periodic=per)
+        xx_, px_, wx_, ax_ = binmod.to_flat(st_x.species[si], grid,
+                                            periodic=per)
+        assert abs(int(ap_.sum()) - int(ax_.sum())) == 0, si
+        np.testing.assert_allclose(np.sort(xp_[ap_][:, 0]),
+                                   np.sort(xx_[ax_][:, 0]), atol=5e-11)
+    # immobile momenta stay zero; positions were never drifted
+    assert float(np.abs(np.asarray(st_p.species[1].p)).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(st_p.fields.ex),
+                               np.asarray(st_x.fields.ex),
+                               atol=2e-4 * max(
+                                   1.0, float(np.abs(st_x.fields.ex).max())))
+
+
 def test_butterfly_compaction_property():
     """The in-kernel compaction is stable live-first routing; check the
     vectorised jnp implementation directly against numpy for random
