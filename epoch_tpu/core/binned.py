@@ -55,6 +55,15 @@ class BinnedSpecies(NamedTuple):
     # run needs none, (n_aux, K, *grid) otherwise.  Row meanings are the
     # config's ``binned_aux`` tuple (BinnedPlan.aux_idx).
     aux: jax.Array | None = None
+    # carried halo side columns for the fused-kernel fast path: the
+    # kernel OUTPUTS its post-push halo source columns each step so the
+    # next step reads them directly instead of re-staging them from the
+    # slot arrays XLA-side (~0.1 ms/step of pure layout copies at bench
+    # shapes).  Tuple layout = PallasBinned.stage_sides; None whenever
+    # the columns may be stale (any XLA-side slot mutation) — engines
+    # only carry sides on decks where nothing touches the slot state
+    # between kernel invocations (binned.sides_carry_capable).
+    sides: tuple | None = None
 
     @property
     def K(self):
@@ -758,6 +767,31 @@ def window_pending_capable(cfg):
     return bool(cfg.species)
 
 
+def sides_carry_capable(cfg):
+    """True when nothing touches the binned slot state between fused-
+    kernel invocations, so the kernel's halo side-column outputs stay
+    valid across steps and replace the XLA-side staging
+    (BinnedSpecies.sides; ~0.1 ms/step of layout copies at bench
+    shapes).  Any XLA-side slot mutator disqualifies the deck."""
+    import os
+    if os.environ.get("EPOCH_TPU_SIDES_CARRY", "1") == "0":
+        return False
+    if cfg.mesh is not None:
+        # sharded steps pin state shardings per structure; keep the
+        # state pytree stable there (spmd engines stage per shard)
+        return False
+    if cfg.injector_plans:
+        return False
+    for pl_ in (cfg.qed_plan, cfg.brem_plan, cfg.ionise_plan,
+                cfg.collision_plan, cfg.split_plan, cfg.migration_plan):
+        if pl_ is not None:
+            return False
+    if cfg.move_window and not window_pending_capable(cfg):
+        # the rolled window path shifts the slot arrays XLA-side
+        return False
+    return True
+
+
 def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                         mesh_n=1):
     """Per-species fused Pallas kernel drivers, or None where ineligible.
@@ -810,6 +844,7 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
         return bail(f"estimated kernel VMEM {est/2**20:.0f} MiB exceeds "
                     "the 96 MiB budget (grid too tall in y)")
     with_window = window_pending_capable(cfg)
+    carry = sides_carry_capable(cfg) and spmd_axis is None
     kernel_bcs = (const.BC.PERIODIC, const.BC.OPEN, const.BC.REFLECT,
                   const.BC.THERMAL, const.BC.HEAT_BATH)
     out = []
@@ -835,6 +870,7 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                     with_window=ph_window, n_extra=plan.n_aux,
                     photon=True, move=not sp.immobile,
                     clear_rcol=ph_stage,
+                    sides_out=carry and plan.n_aux == 0,
                     cull_lo=(cfg.grid.cpml_thickness if ph_stage
                              else 0)))
         elif sp.immobile:
@@ -858,6 +894,7 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                     with_window=True, n_extra=plan.n_aux,
                     photon=True, move=False, clear_rcol=im_stage,
                     with_refill=im_refill,
+                    sides_out=carry and plan.n_aux == 0,
                     cull_lo=(cfg.grid.cpml_thickness if im_stage
                              else 0)))
             else:
@@ -908,14 +945,16 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                 and wplan["max_new"] > 0
                 and wplan["density"] is not None)
             cull_lo = cfg.grid.cpml_thickness if in_kernel_stage else 0
+            n_ex = n_route + len(probe_specs)
             out.append(PallasBinned(plan, sp, cfg, interpret=interpret,
                                     with_window=with_window,
-                                    n_extra=n_route + len(probe_specs),
+                                    n_extra=n_ex,
                                     probe_specs=probe_specs,
                                     spmd_axis=spmd_axis, mesh_n=mesh_n,
                                     with_refill=with_refill,
                                     cull_lo=cull_lo,
                                     clear_rcol=in_kernel_stage,
+                                    sides_out=carry and n_ex == 0,
                                     qed=qed_args))
     return out
 
@@ -1025,9 +1064,13 @@ def push_deposit_pallas(engine, fwin, binned, plan, sp=None, shift=None,
             dinit = probe_entry_distances(binned, plan, probes)
             extra = dinit if extra is None \
                 else jnp.concatenate([extra, dinit], axis=0)
+    # carried-sides fast path: reuse the previous invocation's halo
+    # side-column outputs when present (engine.sides_out decks only —
+    # sides_carry_capable guarantees nothing mutated the slots since)
+    sides = binned.sides if getattr(engine, "sides_out", False) else None
     out, jpart, extra_out = engine(fwin, binned, shift=shift, extra=extra,
                                    seed=seed, refill=refill,
-                                   qed_on=qed_on)
+                                   qed_on=qed_on, sides=sides)
     probe_recs = None
     if extra_out is not None:
         if n_aux:

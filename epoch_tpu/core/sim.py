@@ -717,6 +717,7 @@ class Simulation:
             st = st._replace(species=tuple(new_slabs))
         st = st._replace(fields=bnd.efield_bcs(st.fields, self.cfg))
         st = self.fns["init_b_boundaries"](st)
+        st = self.fns["prime_sides"](st)
         self.state = st
 
     @property

@@ -506,6 +506,25 @@ def make_step_functions(cfg):
         state = state._replace(time=state.time + 0.5 * dt)
         return bfield_final_bcs(state, 0.5 * dt, state.time)
 
+    def prime_sides(state):
+        """Stage BinnedSpecies.sides for carried-sides engines so the
+        state pytree structure is fixed BEFORE any scan/jit over steps
+        (the kernel refreshes them every invocation afterwards).
+        Host-side no-op when already primed or no engine carries."""
+        if cfg.engine != "binned":
+            return state
+        new_species = list(state.species)
+        changed = False
+        for si, b in enumerate(new_species):
+            e = pallas_engines[si]
+            if e is not None and getattr(e, "sides_out", False) \
+                    and b.sides is None:
+                new_species[si] = b._replace(sides=e.stage_sides(b))
+                changed = True
+        if not changed:
+            return state
+        return state._replace(species=tuple(new_species))
+
     return {
         # no buffer donation here: callers may hold references across the
         # dump callback; the benchmark path jits its own donated composite.
@@ -517,6 +536,7 @@ def make_step_functions(cfg):
         "init_b_boundaries_raw": init_b_boundaries,
         "fields_half": fields_half,
         "push_all": push_all,
+        "prime_sides": prime_sides,
         "uses_spmd_pallas": spmd_push is not None,
     }
 
@@ -541,6 +561,9 @@ def make_full_step(cfg, chunk: int = 10):
     full_chunk = jax.jit(chunk_body, donate_argnums=0)
 
     def run_n(state, n: int):
+        # carried-sides engines need the state structure fixed before
+        # the scan (the kernel refreshes sides in-place afterwards)
+        state = fns["prime_sides"](state)
         for _ in range(n // chunk):
             state = full_chunk(state)
         for _ in range(n % chunk):

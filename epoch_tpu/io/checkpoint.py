@@ -203,7 +203,7 @@ def read_restart(path, cfg, template: SimState) -> SimState:
     for i, sp in enumerate(cfg.species):
         t = template.species[i]
         if hasattr(t, "xi"):
-            species.append(t._replace(
+            sp_r = t._replace(
                 xi=arr(f"Restart/Binned/xi/{sp.name}"),
                 p=arr(f"Restart/Binned/p/{sp.name}"),
                 w=arr(f"Restart/Binned/w/{sp.name}"),
@@ -211,7 +211,14 @@ def read_restart(path, cfg, template: SimState) -> SimState:
                     d[f"Restart/Binned/dropped/{sp.name}"].data, jnp.int32),
                 aux=(arr(f"Restart/Binned/aux/{sp.name}")
                      if f"Restart/Binned/aux/{sp.name}" in d else t.aux),
-            ))
+            )
+            if sp_r.sides is not None:
+                # derived halo side columns: the template's are stale
+                # against the restored slots — re-stage from the
+                # restored arrays (layout via the template structure is
+                # unavailable here; Simulation re-primes after restore)
+                sp_r = sp_r._replace(sides=None)
+            species.append(sp_r)
         else:
             extra = {}
             if f"Restart/Particles/id/{sp.name}" in d:

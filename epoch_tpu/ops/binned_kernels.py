@@ -315,7 +315,7 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                     n_extra=0, probe_specs=(), with_xoff=False,
                     nx_global=None, pad_x=0, halo_mode="cols",
                     with_refill=False, cull_lo=0, clear_rcol=False,
-                    photon=False, move=True, qed=None):
+                    photon=False, move=True, qed=None, sides_out=False):
     """Build the fused per-species pallas_call (2D).
 
     One kernel per stripe does the full reference hot loop
@@ -541,7 +541,8 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         wo_ref, xio_ref, po_ref = rest[:3]
         del rest[:3]
         exo_ref = rest.pop(0) if n_extra_out else None
-        j_ref, nd_ref = rest
+        j_ref, nd_ref = rest[:2]
+        sides_o = rest[2:]      # carried-sides outputs (sides_out only)
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -584,6 +585,30 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                        (refw_ref, refxi_ref, refp_ref),
                        f_ref, wo_ref, xio_ref, po_ref, exo_ref, j_ref,
                        nd_ref)
+
+        if sides_out:
+            # publish this stripe's POST-push halo source columns (the
+            # exact values the staged side arrays would hold next step)
+            # so decks where nothing else touches the slot state can
+            # carry them instead of re-staging (BinnedSpecies.sides).
+            # Reads the just-written output blocks; column layout and
+            # array order mirror stage_sides / halo_side_arrays.
+            n_s = 3 if with_window else 2
+            cols = (BX - 1, 0, 1)
+            for s in range(n_s):
+                cc = cols[s]
+                if flat_sides:
+                    sides_o[s][...] = wo_ref[:, cc, :]
+                    sides_o[n_s + s][0] = xio_ref[0, :, cc, :]
+                    sides_o[n_s + s][1] = xio_ref[1, :, cc, :]
+                    for c in range(3):
+                        sides_o[2 * n_s + s][c] = po_ref[c, :, cc, :]
+                else:
+                    sides_o[s][0] = wo_ref[:, cc, :]
+                    sides_o[n_s + s][0, 0] = xio_ref[0, :, cc, :]
+                    sides_o[n_s + s][0, 1] = xio_ref[1, :, cc, :]
+                    for c in range(3):
+                        sides_o[2 * n_s + s][0, c] = po_ref[c, :, cc, :]
 
     def _live_body(i, xo, sh, sd, qon, w_ref, xi_ref, p_ref, exi_ref,
                    halos,
@@ -1170,6 +1195,48 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         jax.ShapeDtypeStruct((nxb, 3, BX + 2 * M, NY + 2 * M), dtype),
         jax.ShapeDtypeStruct((1, 1), jnp.int32),
     )
+    if sides_out:
+        # carried halo side columns: output arrays mirror the side-INPUT
+        # layout exactly (flat (…, K, nxb·NY) or lead (nxb, …, K, NY)),
+        # ordered [w sides…, xi sides…, p sides…].  NOT io-aliased to
+        # the side inputs: stripe i reads its neighbours' entries from
+        # the PREVIOUS step's buffer, which an in-place write would
+        # corrupt mid-grid.
+        n_s = 3 if with_window else 2
+        if flat_sides:
+            out_specs = out_specs + tuple(
+                pl.BlockSpec((K, NY), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM) for _ in range(n_s)
+            ) + tuple(
+                pl.BlockSpec((2, K, NY), lambda i, *_: (0, 0, i),
+                             memory_space=pltpu.VMEM) for _ in range(n_s)
+            ) + tuple(
+                pl.BlockSpec((3, K, NY), lambda i, *_: (0, 0, i),
+                             memory_space=pltpu.VMEM) for _ in range(n_s))
+            out_shape = out_shape + tuple(
+                jax.ShapeDtypeStruct((K, nxb * NY), dtype)
+                for _ in range(n_s)) + tuple(
+                jax.ShapeDtypeStruct((2, K, nxb * NY), dtype)
+                for _ in range(n_s)) + tuple(
+                jax.ShapeDtypeStruct((3, K, nxb * NY), dtype)
+                for _ in range(n_s))
+        else:
+            out_specs = out_specs + tuple(
+                pl.BlockSpec((1, K, NY), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM) for _ in range(n_s)
+            ) + tuple(
+                pl.BlockSpec((1, 2, K, NY), lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM) for _ in range(n_s)
+            ) + tuple(
+                pl.BlockSpec((1, 3, K, NY), lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM) for _ in range(n_s))
+            out_shape = out_shape + tuple(
+                jax.ShapeDtypeStruct((nxb, K, NY), dtype)
+                for _ in range(n_s)) + tuple(
+                jax.ShapeDtypeStruct((nxb, 2, K, NY), dtype)
+                for _ in range(n_s)) + tuple(
+                jax.ShapeDtypeStruct((nxb, 3, K, NY), dtype)
+                for _ in range(n_s))
     n_scal = 1 + (1 if with_window else 0) + (1 if any_thermal else 0) \
         + (1 if with_xoff else 0) + (1 if qed is not None else 0)
     # donate the slot state into its outputs: without this XLA
@@ -1226,7 +1293,7 @@ class PallasBinned:
     def __init__(self, plan, sp, cfg, interpret=False, with_window=False,
                  n_extra=0, probe_specs=(), spmd_axis=None, mesh_n=1,
                  with_refill=False, cull_lo=0, clear_rcol=False,
-                 photon=False, move=True, qed=None):
+                 photon=False, move=True, qed=None, sides_out=False):
         """``spmd_axis``: mesh axis name when running per-shard inside a
         shard_map over grid-x (parallel/spmd_push.py) — halo columns at
         shard edges then come from lax.ppermute ring exchanges, and the
@@ -1255,6 +1322,13 @@ class PallasBinned:
         # FULL aux incl. the eta row; no slice/concat copies XLA-side
         self.alias_extras = (qed is not None and n_extra > 0
                              and self.n_probes == 0)
+        # carried-sides fast path: kernel outputs its halo source
+        # columns; only meaningful without extra payload rows (aux rows
+        # would also need carrying) and off the spmd/stacked layout
+        self.sides_out = bool(sides_out)
+        if sides_out:
+            assert n_extra == 0 and spmd_axis is None, \
+                "sides carry requires n_extra == 0 and no spmd axis"
         bc = tuple(sp.bc_particle[:4])
         self.any_thermal = any(
             b in (const.BC.THERMAL, const.BC.HEAT_BATH) for b in bc)
@@ -1277,7 +1351,7 @@ class PallasBinned:
             pad_x=self.nx_global - self.nx_real,
             halo_mode=self.halo_mode, with_refill=with_refill,
             cull_lo=cull_lo, clear_rcol=clear_rcol, photon=photon,
-            move=move, qed=qed)
+            move=move, qed=qed, sides_out=sides_out)
         # refill staging column (must match make_fused_push RCOL)
         self.rcol = self.nx_real if self.nx_global > self.nx_real else 0
         self.n_halo = 3 if with_window else 2
@@ -1420,8 +1494,17 @@ class PallasBinned:
             ext = ext.at[:, g * BX:g * BX + self.nx].add(block)
         return ext[:, :self.nx + 2 * M]
 
+    def stage_sides(self, binned):
+        """Halo side-column arrays staged XLA-side from the slot state,
+        in exactly the layout the kernel's side inputs/outputs use —
+        the initial value for the carried-sides fast path (sides_out),
+        also re-staged after any XLA-side slot mutation."""
+        return tuple(self.halo_side_arrays(binned.w, 1)
+                     + self.halo_side_arrays(binned.xi, 2)
+                     + self.halo_side_arrays(binned.p, 2))
+
     def __call__(self, fwin, binned, shift=None, extra=None, seed=None,
-                 refill=None, qed_on=None):
+                 refill=None, qed_on=None, sides=None):
         """fwin from make_fwin.  Returns (new binned, jpart, extra_out).
 
         ``shift`` (with_window only): traced int32 scalar, 1 when a
@@ -1444,7 +1527,18 @@ class PallasBinned:
                 # kernel-written eta row); only routed rows need halos
                 extra = extra[:self.n_extra]
         if self.halo_mode == "cols":
-            wcols = self.halo_side_arrays(w, 1)
+            if sides is not None:
+                # carried sides (previous kernel invocation's outputs):
+                # no staging at all
+                wcols = list(sides[:self.n_halo])
+                ins += list(sides)
+            else:
+                wcols = self.halo_side_arrays(w, 1)
+                ins += wcols
+                ins += self.halo_side_arrays(xi, 2)
+                ins += self.halo_side_arrays(p, 2)
+                if self.n_extra:
+                    ins += self.halo_side_arrays(extra, 2)
             # arrival flags: stripe i's left halo is wcols[0][i-1],
             # right halos wcols[1:][i+1] — tiny (nxb,) rolls
             if self.flat_sides:   # (K, nxb·NY) each
@@ -1455,11 +1549,6 @@ class PallasBinned:
             hmax = jnp.maximum(jnp.roll(cmax[0], 1), jnp.roll(cmax[1], -1))
             for c in cmax[2:]:
                 hmax = jnp.maximum(hmax, jnp.roll(c, -1))
-            ins += wcols
-            ins += self.halo_side_arrays(xi, 2)
-            ins += self.halo_side_arrays(p, 2)
-            if self.n_extra:
-                ins += self.halo_side_arrays(extra, 2)
         else:
             we = self.halo_cols(w, 1)
             hmax = jnp.max(we, axis=(0, 2, 3))
@@ -1508,12 +1597,16 @@ class PallasBinned:
             scal.append(jnp.stack([jnp.asarray(flagv, jnp.int32),
                                    jnp.asarray(seedv, jnp.int32)]))
         outs = self.fused(*scal, *ins)
+        sides_new = None
+        if self.sides_out:
+            n_sarr = 3 * self.n_halo
+            outs, sides_new = outs[:-n_sarr], tuple(outs[-n_sarr:])
         if self.n_extra_out:
             new_w, new_xi, new_p, extra_out, jpart, ndrop = outs
         else:
             new_w, new_xi, new_p, jpart, ndrop = outs
             extra_out = None
         out = binned._replace(
-            xi=new_xi, p=new_p, w=new_w,
+            xi=new_xi, p=new_p, w=new_w, sides=sides_new,
             n_dropped=binned.n_dropped + ndrop[0, 0])
         return out, jpart, extra_out

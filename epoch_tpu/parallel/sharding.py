@@ -195,6 +195,12 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "x"):
 
 
 def shard_state(state: SimState, mesh: Mesh, axis: str = "x") -> SimState:
+    # carried halo side columns (BinnedSpecies.sides) are a single-
+    # device fast path (binned.sides_carry_capable excludes meshes) and
+    # derived data — drop them rather than invent shardings
+    state = state._replace(species=tuple(
+        s._replace(sides=None) if getattr(s, "sides", None) is not None
+        else s for s in state.species))
     sh = state_shardings(state, mesh, axis)
     return jax.tree.map(
         lambda arr, s: jax.device_put(arr, s), state, sh,

@@ -76,6 +76,9 @@ class Runner:
             if not os.path.exists(path) and not rs.endswith(".sdf"):
                 path = path + ".sdf"
             st = read_restart(path, self.sim.cfg, self.sim.state)
+            # carried halo sides are derived data nulled by read_restart;
+            # re-stage them from the restored slot arrays
+            st = self.sim.fns["prime_sides"](st)
             # restart dumps are written at the mid-step output point; the
             # reference completes the step on restart (time += dt/2,
             # update_eb_fields_final, moving_window — epoch1d.F90:144-152),

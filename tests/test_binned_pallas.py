@@ -399,6 +399,32 @@ def test_window_immobile_rebin_only_kernel(tmp_path, monkeypatch):
                                    1.0, float(np.abs(st_x.fields.ex).max())))
 
 
+def test_carried_sides_match_fresh_staging():
+    """sides_out engines carry their halo side columns across pushes
+    (BinnedSpecies.sides) instead of re-staging them; after any number
+    of pushes the carried arrays must be bit-identical to what
+    stage_sides would rebuild from the slot state — any divergence
+    means a kernel/XLA staging mismatch or stale carry."""
+    cfg, plan, sp, grid, bm, interior = _setup(n=(16, 128))
+    eng = binmod.make_pallas_engines(cfg, plan, interpret=True)[0]
+    assert eng is not None and eng.sides_out
+    assert binmod.sides_carry_capable(cfg)
+    names = ("ex", "ey", "ez", "bx", "by", "bz")
+    fstack = jnp.stack([interior[nm] for nm in names], axis=0)
+    fpad = jnp.pad(fstack, ((0, 0), (2, 2), (2, 2)), mode="wrap")
+    fwin = eng.make_fwin(fpad)
+    b = bm
+    assert b.sides is None
+    for step in range(3):
+        b, _ = binmod.push_deposit_pallas(eng, fwin, b, plan)
+        assert b.sides is not None and len(b.sides) == 3 * eng.n_halo
+        fresh = eng.stage_sides(b)
+        for k, (c_arr, f_arr) in enumerate(zip(b.sides, fresh)):
+            np.testing.assert_array_equal(np.asarray(c_arr),
+                                          np.asarray(f_arr),
+                                          err_msg=f"step {step} side {k}")
+
+
 def test_butterfly_compaction_property():
     """The in-kernel compaction is stable live-first routing; check the
     vectorised jnp implementation directly against numpy for random
