@@ -122,8 +122,12 @@ class BinnedPlan:
         if self.shape != Shape.TRIANGLE:
             raise NotImplementedError("binned engine: triangle shape only")
         self.n = grid.n
-        self.dt = cfg.dt
-        self.delta = grid.delta
+        # plain Python floats throughout: a np.float64 scalar (e.g. a dt
+        # computed through np.sqrt) is strongly typed in JAX and silently
+        # promotes every downstream product to f64 under x64 — the
+        # FutureWarning'd f64→f32 scatter in the deposit came from here
+        self.dt = float(cfg.dt)
+        self.delta = tuple(float(d) for d in grid.delta)
         self.grid_min = tuple(float(grid.grid_min(d))
                               for d in range(self.nd))
         self.fac = float(shapes.FAC_1D[self.shape] ** self.nd)
@@ -731,6 +735,12 @@ def window_pending_capable(cfg):
     falls back to rolling the slot state (window._shift_binned)."""
     if not cfg.move_window:
         return False
+    if cfg.ndims > 2:
+        # the 3D fused kernel does not consume pending shifts yet: 3D
+        # windows run the rolled path (window._shift_binned — an
+        # XLA-side slot-state roll per shift, correct but ~1 extra
+        # slot-state copy every c·dt/dx steps)
+        return False
     if cfg.injector_plans:
         # injector column writes land between the shift and the push
         return False
@@ -999,10 +1009,16 @@ def _make_pallas_engines_3d(cfg, plan, interpret, mode):
     """3D fused-kernel drivers (ops/binned_kernels3d.py), or None where
     ineligible.  Window/probes/thermal stay on the XLA slot path in 3D;
     aux rows ride the kernel as in 2D."""
-    import os
+    import logging
+    log = logging.getLogger("epoch_tpu")
     n_sp = len(cfg.species)
-    if cfg.move_window or getattr(cfg, "probe_plans", ()):
+    if getattr(cfg, "probe_plans", ()):
+        log.warning("3D fused Pallas path ineligible (particle probes): "
+                    "falling back to the XLA slot engine")
         return [None] * n_sp
+    # the moving window is fine here: 3D windows use the rolled shift
+    # (window._shift_binned, XLA-side) which preserves the binning
+    # invariant the kernel needs — window_pending_capable excludes 3D
     if not interpret and jax.default_backend() != "tpu" and mode != "1":
         return [None] * n_sp
     from ..ops.binned_kernels3d import pick_b, PallasBinned3D
@@ -1015,6 +1031,10 @@ def _make_pallas_engines_3d(cfg, plan, interpret, mode):
     if BY is None and plan.n[1] <= 16:
         BY = plan.n[1]
     if BX is None or BY is None:
+        log.warning(
+            "3D fused Pallas path ineligible (no aligned brick tiling "
+            "for nx=%d ny=%d; Mosaic needs BY %% 8 == 0 or full-extent): "
+            "falling back to the XLA slot engine", plan.n[0], plan.n[1])
         return [None] * n_sp
     # VMEM bound: the 3K rebin candidate set is the high-water mark
     # (the kernel requests a 100 MiB scoped-vmem budget; stay below it
@@ -1022,13 +1042,25 @@ def _make_pallas_engines_3d(cfg, plan, interpret, mode):
     K = cfg.bin_k
     cand_bytes = 3 * K * BX * BY * plan.n[2] * 4 * (10 + plan.n_aux)
     if cand_bytes > 60 * 1024 * 1024:
+        log.warning(
+            "3D fused Pallas path ineligible (rebin candidate set "
+            "%.0f MiB exceeds the 60 MiB VMEM budget at K=%d, BX=%d, "
+            "BY=%d, NZ=%d): falling back to the XLA slot engine — "
+            "reduce bin_headroom or nz", cand_bytes / 2 ** 20, K, BX, BY,
+            plan.n[2])
         return [None] * n_sp
     kernel_bcs = (const.BC.PERIODIC, const.BC.OPEN, const.BC.REFLECT)
     out = []
     for sp in cfg.species:
         if sp.immobile or sp.species_type == const.SpeciesType.PHOTON:
+            if not sp.immobile or cfg.move_window:
+                log.info("species %s: 3D fused kernel has no photon/"
+                         "immobile variant — XLA slot path", sp.name)
             out.append(None)
         elif any(bc not in kernel_bcs for bc in sp.bc_particle[:6]):
+            log.warning("species %s: 3D fused kernel supports periodic/"
+                        "open/reflect particle BCs only — XLA slot path",
+                        sp.name)
             out.append(None)
         else:
             out.append(PallasBinned3D(plan, sp, cfg, interpret=interpret,

@@ -376,41 +376,48 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
         return "scatter"
     binned_bcs = (const.BC.PERIODIC, const.BC.OPEN, const.BC.REFLECT,
                   const.BC.THERMAL, const.BC.HEAT_BATH)
-    eligible = (
-        all(bc in binned_bcs
-            for sp in cfg.species for bc in sp.bc_particle[:2 * cfg.ndims])
-        and all(bc in binned_bcs
-                for bc in cfg.bc_particle[:2 * cfg.ndims])
-        and cfg.grid.shape_fn == const.Shape.TRIANGLE
-        and len(cfg.species) > 0
-        and not any(getattr(sb, "density_back", 0.0)
-                    for sb in deck.species)   # delta-f
-        and not deck.control.use_migration
-        # probes run on the binned engine (plane distances carried
-        # through the rebin) except with a moving window (probe planes
-        # are window-frame-fixed there) or photon species (photon push
-        # bypasses the massive-particle path that detects crossings)
-        and not (deck.probes and (
+    why = []
+    if not all(bc in binned_bcs
+               for sp in cfg.species
+               for bc in sp.bc_particle[:2 * cfg.ndims]) \
+            or not all(bc in binned_bcs
+                       for bc in cfg.bc_particle[:2 * cfg.ndims]):
+        why.append("unsupported particle boundary condition")
+    if cfg.grid.shape_fn != const.Shape.TRIANGLE:
+        why.append(f"shape function {cfg.grid.shape_fn.name}"
+                   " (binned = triangle only)")
+    if len(cfg.species) == 0:
+        why.append("no species")
+    if any(getattr(sb, "density_back", 0.0) for sb in deck.species):
+        why.append("delta-f species")
+    if deck.control.use_migration:
+        why.append("species migration")
+    # probes run on the binned engine (plane distances carried
+    # through the rebin) except with a moving window (probe planes
+    # are window-frame-fixed there) or photon species (photon push
+    # bypasses the massive-particle path that detects crossings)
+    if deck.probes and (
             deck.window.move_window
             or any(cfg.species[i].species_type == const.SpeciesType.PHOTON
                    for pb in deck.probes
                    for i in (deck.species_index(s)
-                             for s in pb.include_species))))
-    )
+                             for s in pb.include_species))):
+        why.append("probes with a moving window / photon species")
+    eligible = not why
     if choice == "binned":
         if not eligible:
             raise ValueError(
-                "pusher=binned requires periodic/open/reflect/thermal "
-                "particle boundaries, triangle shape and no "
-                "migration/delta-f")
+                "pusher=binned ineligible: " + "; ".join(why))
         return "binned"
-    # 3D auto-selects too: the fused 3D Pallas kernel
-    # (ops/binned_kernels3d.py) measured 128 M pushes/s at 64^3 x 4ppc x
-    # 2 species on the bench chip, ~60 s compile (BENCH_MODE=3d).  The
-    # moving window stays 1d/2d-grid only for now.
-    if cfg.move_window and cfg.ndims > 2:
+    if not eligible:
+        # loud downgrade (VERDICT r3): a silently selected scatter engine
+        # loses an order of magnitude of throughput
+        import logging
+        logging.getLogger("epoch_tpu").warning(
+            "binned TPU engine ineligible (%s): falling back to the "
+            "scatter engine", "; ".join(why))
         return "scatter"
-    return "binned" if eligible else "scatter"
+    return "binned"
 
 
 def _initial_fields(deck: DeckConfig, grid: Grid, dtype) -> Fields:

@@ -243,6 +243,15 @@ class OutputBlock:
     nstep_stop: int = 2 ** 62
     dt_average: float = -1.0
     nstep_average: int = -1
+    # walltime-driven cadences (deck_io_block.F90:498-510): fire a dump
+    # every walltime_interval seconds of elapsed wall-clock within
+    # [walltime_start, walltime_stop], plus one-shot dump_at_walltimes
+    walltime_interval: float = -1.0
+    walltime_start: float = 0.0
+    walltime_stop: float = float("inf")
+    dump_at_walltimes: list = dfield(default_factory=list)
+    dump_first_after_restart: bool = False
+    disabled: bool = False
     # variable name → dumpmask bits
     variables: dict = dfield(default_factory=dict)
 

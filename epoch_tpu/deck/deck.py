@@ -23,6 +23,37 @@ class RawBlock:
     elements: list  # [(element, value), ...]
 
 
+# the reference's io-block variable vocabulary (deck_io_block.F90 element
+# handlers; scalar/cadence keys are parsed separately above this set) —
+# used to distinguish "valid EPOCH key this framework does not write yet"
+# from a genuinely unknown key when warning
+REF_IO_VARIABLES = frozenset("""
+absorption average_particle_energy average_px average_py average_pz
+average_weight averaging_period bremsstrahlung_optical_depth bx by bz
+charge charge_density cpml_psi_bxy cpml_psi_byx cpml_psi_bzx cpml_psi_bzy
+cpml_psi_exy cpml_psi_eyx cpml_psi_ezx cpml_psi_ezy distribution_functions
+dump_input_decks dump_source_code ejected_particles ek ekbar ekflux ex
+extended_io_file ey ez field_grid gamma grid id jx jy jz mass mass_density
+min_cycles_per_average number_density optical_depth particle_energy
+particle_energy_flux particle_grid particle_probes particle_weight
+particles particles_per_cell poynt_flux poynting_flux ppc px py pz
+qed_energy relativistic_mass rest_mass restartable species_id temp temp_x
+temp_y temp_z temperature temperature_x temperature_y temperature_z
+total_energy_sum trident_optical_depth tx ty tz use_offset_grid vx vy vz
+weight work_x work_x_total work_y work_y_total work_z work_z_total
+dump_final force_first_to_be_restartable force_last_to_be_restartable
+dump_cycle_first_index filesystem current_density
+""".split())
+
+
+def _known_output_variable(el: str) -> bool:
+    """True when the io.diagnostics writer implements this variable key."""
+    from ..io.diagnostics import (FIELD_VARS, DERIVED_VARS, VAR_EXPANSIONS,
+                                  PARTICLE_VARS, EXTRA_OUTPUT_KEYS)
+    return (el in FIELD_VARS or el in DERIVED_VARS or el in VAR_EXPANSIONS
+            or el in PARTICLE_VARS or el in EXTRA_OUTPUT_KEYS)
+
+
 def read_deck_lines(path: str) -> list[RawBlock]:
     """Tokenise a deck file into raw blocks, following ``import:``s."""
     out: list[RawBlock] = []
@@ -601,6 +632,13 @@ class DeckParser:
             "nstep_stop": ("nstep_stop", self.integer),
             "dt_average": ("dt_average", self.num),
             "nstep_average": ("nstep_average", self.integer),
+            "walltime_interval": ("walltime_interval", self.num),
+            "walltime_snapshot": ("walltime_interval", self.num),
+            "walltime_start": ("walltime_start", self.num),
+            "walltime_stop": ("walltime_stop", self.num),
+            "dump_first_after_restart": ("dump_first_after_restart",
+                                         self.logical),
+            "disabled": ("disabled", self.logical),
         }
         for el, val in blk.elements:
             el = el.lower()
@@ -611,8 +649,27 @@ class DeckParser:
                 o.dump_at_times = [self.num(v) for v in _split_top_level(val)]
             elif el == "dump_at_nsteps" or el == "nsteps_dump":
                 o.dump_at_nsteps = [self.integer(v) for v in _split_top_level(val)]
+            elif el == "dump_at_walltimes" or el == "walltimes_dump":
+                o.dump_at_walltimes = [self.num(v)
+                                       for v in _split_top_level(val)]
             else:
-                # everything else is an output-variable dumpmask
+                # everything else is an output-variable dumpmask; keys
+                # outside the known variable vocabulary are accepted but
+                # WARNED about (the reference errors on unknown io-block
+                # elements, deck_io_block.F90 handler tail) — a silently
+                # swallowed key is a data-loss hazard
+                if not _known_output_variable(el):
+                    import logging
+                    if el in REF_IO_VARIABLES:
+                        logging.getLogger("epoch_tpu").warning(
+                            "output block %r: variable %r is valid EPOCH "
+                            "vocabulary but not implemented by this "
+                            "framework — it will not be written", o.name, el)
+                    else:
+                        logging.getLogger("epoch_tpu").warning(
+                            "output block %r: unknown key %r (treated as a "
+                            "dumpmask variable; it will never be written)",
+                            o.name, el)
                 try:
                     o.variables[el] = self.dumpmask(val)
                 except DeckExprError:

@@ -434,7 +434,17 @@ VAR_EXPANSIONS = {
     "poynt_flux": ("poynt_flux_x", "poynt_flux_y", "poynt_flux_z"),
     "poynting_flux": ("poynt_flux_x", "poynt_flux_y", "poynt_flux_z"),
     "current_density": ("current_x", "current_y", "current_z"),
+    "work_done_integrated": ("work_x", "work_y", "work_z"),
 }
+
+# non-variable keys maybe_dump/write_dump consume directly (the rest of
+# the writer's vocabulary, for deck-time unknown-key warnings)
+EXTRA_OUTPUT_KEYS = frozenset((
+    "grid", "field_grid", "particles", "particle_grid",
+    "distribution_functions", "total_energy_sum", "absorption",
+    "ejected_particles", "particle_probes", "species_id",
+    "dump_input_decks", "dump_source_code",
+))
 
 def _gamma_of(s, sp):
     import jax.numpy as jnp
@@ -498,6 +508,10 @@ class IOBlockState:
         self.nstep_prev = 0
         self.first_call = True
         self.dump_at_times = sorted(block.dump_at_times)
+        # walltime cadence bookkeeping (io_block%walltime_prev +
+        # one-shot dump_at_walltimes, diagnostics.F90:1253-1300)
+        self.walltime_prev = 0.0
+        self.dump_at_walltimes = sorted(block.dump_at_walltimes)
         # running averages (averaged_data_block, shared_data.F90:286-293)
         self.avg_sum = {}
         self.avg_count = 0
@@ -525,7 +539,14 @@ class OutputManager:
         # (subset name, species name) -> set of registered particle ids
         # (id_registry, particle_id_hash.F90:88-692)
         self.persistent_members = {}
+        # walltime cadences measure elapsed wall-clock since job start
+        # (walltime_started, diagnostics.F90:248-251)
+        self.walltime_started = time_mod.time()
         os.makedirs(data_dir, exist_ok=True)
+
+    @property
+    def elapsed_walltime(self):
+        return time_mod.time() - self.walltime_started
 
     def _assign_ids(self, sim, state):
         aux_names = tuple(getattr(self.cfg, "binned_aux", ()))
@@ -594,8 +615,12 @@ class OutputManager:
             (0 <= nsteps == step)
         merged_mask = {}
         any_dump = False
+        elapsed = self.elapsed_walltime
         for st in self.blocks:
             b = st.block
+            if b.disabled:
+                st.first_call = False
+                continue
             dump = force
             if last_call and b.dump_last:
                 dump = True
@@ -603,6 +628,17 @@ class OutputManager:
                 dump = True
             while st.dump_at_times and time >= st.dump_at_times[0]:
                 st.dump_at_times.pop(0)
+                dump = True
+            # walltime cadences (diagnostics.F90:1253-1300): interval
+            # within [walltime_start, walltime_stop] + one-shot list
+            if b.walltime_interval > 0 \
+                    and b.walltime_start <= elapsed <= b.walltime_stop \
+                    and elapsed - st.walltime_prev >= b.walltime_interval:
+                st.walltime_prev = elapsed
+                dump = True
+            while st.dump_at_walltimes \
+                    and elapsed >= st.dump_at_walltimes[0]:
+                st.dump_at_walltimes.pop(0)
                 dump = True
             for ns in b.dump_at_nsteps:
                 if step >= ns:

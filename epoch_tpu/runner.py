@@ -110,6 +110,12 @@ class Runner:
             self.out.id_counter = top + 1
         self.stdout = stdout
         self._t0 = _time.time()
+        # walltime stop machinery (check_walltime_auto,
+        # diagnostics.F90:3323-3410): EWMA step/io timers feed the
+        # will-another-step-fit estimate
+        from .utils.timers import Timers
+        self.timers = Timers()
+        self.stop_at_walltime = self.sim.deck.control.stop_at_walltime
 
     def write_restart(self, name="restart.sdf"):
         from .io.checkpoint import write_restart
@@ -131,25 +137,42 @@ class Runner:
         if max_steps is not None:
             nsteps = min(nsteps, max_steps) if nsteps is not None else max_steps
         halt = False
+        from .utils import timers as _tm
         while not halt:
             t = float(st.time)
             s = int(st.step)
             if (nsteps is not None and s >= nsteps) or t >= cfg.t_end:
                 break
+            if self.stop_at_walltime > 0 and self._walltime_exceeded():
+                # check_walltime_auto (diagnostics.F90:3323): halt with a
+                # forced restart dump when another step would not fit
+                # before the walltime limit — a scheduler-killed run must
+                # never lose its state
+                self.sim.state = st
+                self.write_restart()
+                print(" Stopping because \"stop_at_walltime\" has been "
+                      "exceeded.", file=self.stdout)
+                break
             fns = sim.fns_for(st)
+            self.timers.start(_tm.STEP)
             st = fns["step_a"](st)
             s = int(st.step)
             if deck.control.use_nan_check:
                 self._nan_check(st)
             if stdout_freq and s % stdout_freq == 0:
                 self._status_line(st)
+            self.timers.stop(_tm.STEP)
+            self.timers.start(_tm.IO)
             st = self.out.maybe_dump(sim, st)
+            self.timers.stop(_tm.IO)
             if s % check_every == 0:
                 # sync the live state first: a STOP-file restart dump must
                 # contain the current step, not the stale initial state
                 self.sim.state = st
                 halt = self._check_stop()
+            self.timers.start(_tm.STEP)
             st = fns["step_b"](st)
+            self.timers.stop(_tm.STEP)
         sim.state = st
         st = self.out.maybe_dump(sim, st, last=True)
         sim.state = st
@@ -213,7 +236,25 @@ class Runner:
         else:
             print(line, file=self.stdout)
 
+    def _walltime_exceeded(self):
+        """check_walltime_auto (diagnostics.F90:3337-3346, single-
+        controller form): would finishing another step + its io cross
+        stop_at_walltime?"""
+        from .utils import timers as _tm
+        elapsed = _time.time() - self._t0
+        budget = (elapsed + self.timers.avg[_tm.STEP]
+                  + self.timers.avg[_tm.IO])
+        return budget >= self.stop_at_walltime
+
     def _check_stop(self):
+        # the STOP-file check point also honours stop_at_walltime
+        # directly (check_for_stop_condition, diagnostics.F90:3253-3259)
+        if self.stop_at_walltime > 0 \
+                and _time.time() - self._t0 >= self.stop_at_walltime:
+            self.write_restart()
+            print(" Stopping because \"stop_at_walltime\" has been "
+                  "exceeded.", file=self.stdout)
+            return True
         for name, dump in (("STOP", True), ("STOP_NODUMP", False)):
             p = os.path.join(self.data_dir, name)
             if os.path.exists(p):
