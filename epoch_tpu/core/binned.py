@@ -753,11 +753,20 @@ def window_pending_capable(cfg):
         # the shift and the push is CELL-LOCAL: in-kernel rates cover
         # the emitters' field gather, and emission append targets the
         # parent's array cell (relabel-consistent across species).
-        # Breit-Wheeler pair production gathers fields at photons
-        # XLA-side — one-cell-stale under a pending relabel — so it
-        # keeps the rolled path.
+        # Breit-Wheeler pairs qualify too when the photon kernel
+        # computes chi + the depth decrement itself (the XLA tail then
+        # only reads aux rows and appends into the parent's cell); a
+        # config where the photon kernel can't take the rates (frozen
+        # photons, missing qed_eta row) keeps the rolled path, since
+        # the XLA-side chi gather would be one-cell-stale under a
+        # pending relabel.
         if cfg.qed_plan.produce_pairs:
-            return False
+            ph = cfg.qed_plan.photon_species
+            rates_ok = (ph >= 0 and not cfg.species[ph].immobile
+                        and cfg.binned_aux
+                        and cfg.binned_aux[-1] == "qed_eta")
+            if not rates_ok:
+                return False
     kernel_bcs = (const.BC.OPEN, const.BC.REFLECT)
     for sp in cfg.species:
         if sp.immobile:
@@ -875,14 +884,37 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                 from .window import pending_single_shift
                 ph_stage = (ph_window and spmd_axis is None
                             and pending_single_shift(cfg))
+                # in-kernel Breit-Wheeler pair rates: the moving-photon
+                # kernel gathers fields itself and decrements the pair
+                # optical depth (chi stored in the qed_eta row); the
+                # XLA-side tail (qed.py) then only fires on od <= 0 —
+                # no per-slot gather or table interp outside the kernel
+                qp = cfg.qed_plan
+                ph_qed = None
+                n_ph_route = plan.n_aux
+                if qp is not None and qp.produce_pairs \
+                        and si == qp.photon_species and not sp.immobile \
+                        and "qed_eta" in plan.aux_idx \
+                        and plan.aux_idx["qed_eta"] == plan.n_aux - 1:
+                    n_ph_route = plan.n_aux - 1
+                    # photon interpretation of the qed tuple: slots 2-3
+                    # are the fit's (mid, half) normalisation, not a
+                    # clip range (the kernel branches on photon=True)
+                    ph_qed = (plan.aux_idx["opdepth"],
+                              tuple(qp.pair_fit_coeffs),
+                              float(qp.pair_fit_mid),
+                              float(qp.pair_fit_half),
+                              float(qp.c_pair_per_dt * plan.dt),
+                              float(qp.c_chi))
                 out.append(PallasBinned(
                     plan, sp, cfg, interpret=interpret,
-                    with_window=ph_window, n_extra=plan.n_aux,
+                    with_window=ph_window, n_extra=n_ph_route,
                     photon=True, move=not sp.immobile,
                     clear_rcol=ph_stage,
                     sides_out=carry and plan.n_aux == 0,
                     cull_lo=(cfg.grid.cpml_thickness if ph_stage
-                             else 0)))
+                             else 0),
+                    qed=ph_qed))
         elif sp.immobile:
             # zero-drift rebin-only kernel under a moving window: exists
             # purely to consume the pending relabel + swept-boundary
@@ -1452,8 +1484,13 @@ def append_compressed(binned: BinnedSpecies, cand_xi, cand_p, cand_w,
     na = 0 if binned.aux is None else binned.aux.shape[0]
     if na and cand_aux is None:
         cand_aux = jnp.zeros((na,) + cand_w.shape, cand_w.dtype)
-    n_live = jnp.sum((binned.w > 0).astype(jnp.int32), axis=0)
     rows = jax.lax.broadcasted_iota(jnp.int32, binned.w.shape, 0)
+    # first free row = one past the LAST live row (not the live count):
+    # in-place kills (Breit-Wheeler photon destruction, BC kills) leave
+    # transient holes until the next rebin compacts them — counting live
+    # slots would land candidates ON live rows above a hole and silently
+    # overwrite them.  Holes are wasted capacity for one step only.
+    n_live = jnp.max(jnp.where(binned.w > 0, rows + 1, 0), axis=0)
     w, xi, p, aux = binned.w, binned.xi, binned.p, binned.aux
     dropped = jnp.zeros((), jnp.int32)
     for r in range(Kc):

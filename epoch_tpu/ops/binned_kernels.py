@@ -816,23 +816,11 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                     wo_ref, xio_ref, po_ref, exo_ref, j_ref):
         alive = w > 0
         xi = [xi0, xi1]
-        if photon and not move:
-            # immobile / photon_dynamics=F species: rebin-only (the
-            # kernel exists to consume pending window relabels + the
-            # swept-boundary cull; particles.F90:178 skips the move)
-            xi_new = [xi[d] for d in range(nd)]
-            p_new = [p[0], p[1], p[2]]
-        elif photon:
-            # ballistic full-dt move (push_photons_binned numerics)
-            mag = jnp.sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2])
-            ok = alive & (mag > 0)
-            faci = float(const.c * plan.dt) / jnp.where(mag > 0, mag, 1.0)
-            xi_new = [jnp.where(ok, xi[d] + p[d] * faci
-                                / float(plan.delta[d]), xi[d])
-                      for d in range(nd)]
-            p_new = [p[0], p[1], p[2]]
-        else:
-            u = [p[c] * ipart_mc for c in range(3)]
+
+        def _gather6():
+            # 6-component staggered triangle gather at the post-rebin
+            # (ξ-centred) positions; shared by the massive push and the
+            # photon pair-rate path
             cf1 = [-xi[d] for d in range(nd)]
             c2 = [jnp.floor(xi[d]) for d in range(nd)]
             cf2 = [c2[d] - xi[d] + 0.5 for d in range(nd)]
@@ -875,13 +863,69 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                     else:
                         acc = acc + ww * win[None]
                 accs[nm] = acc
+            return tuple(fac * accs[nm] for nm in names)
 
-            ex_p = fac * accs["ex"]
-            ey_p = fac * accs["ey"]
-            ez_p = fac * accs["ez"]
-            bx_p = fac * accs["bx"]
-            by_p = fac * accs["by"]
-            bz_p = fac * accs["bz"]
+        if photon and not move:
+            # immobile / photon_dynamics=F species: rebin-only (the
+            # kernel exists to consume pending window relabels + the
+            # swept-boundary cull; particles.F90:178 skips the move)
+            xi_new = [xi[d] for d in range(nd)]
+            p_new = [p[0], p[1], p[2]]
+        elif photon:
+            # ballistic full-dt move (push_photons_binned numerics)
+            mag = jnp.sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2])
+            if qed is not None:
+                # in-kernel Breit-Wheeler pair rates (calculate_chi,
+                # photons.F90:714-745 + the optical-depth decrement,
+                # :607-660): chi from the kernel's own gathered fields
+                # at the PRE-move position, T(chi) from the log-log
+                # polyfit (QED_COEF), d_od = C1·chi·T/part_e.  The
+                # fired photons (od <= 0) are destroyed XLA-side by the
+                # sparse pair tail (qed.py), which reads chi from the
+                # eta row.
+                ex_p, ey_p, ez_p, bx_p, by_p, bz_p = _gather6()
+                msafe = jnp.where(mag > 0, mag, 1.0)
+                dxv = p[0] / msafe
+                dyv = p[1] / msafe
+                dzv = p[2] / msafe
+                edd = ex_p * dxv + ey_p * dyv + ez_p * dzv
+                qx = ex_p - edd * dxv + const.c * (dyv * bz_p - dzv * by_p)
+                qy = ey_p - edd * dyv + const.c * (dzv * bx_p - dxv * bz_p)
+                qz = ez_p - edd * dzv + const.c * (dxv * by_p - dyv * bx_p)
+                part_e = mag * float(1.0 / (const.m0 * const.c))
+                chi_q = QED_CETA * part_e * jnp.sqrt(
+                    qx * qx + qy * qy + qz * qz)
+                # T(chi) = exp(ln10·(poly(xn) − (8/3)·log10(e)/chi)):
+                # the Erber exponential is exact, the residual poly is
+                # fit in a [-1,1]-normalised abscissa (QED_LO/HI carry
+                # the fit's mid/half here — see QEDPlan.pair_fit_*)
+                chi_s = jnp.maximum(chi_q, 1e-30)
+                xn = jnp.clip(
+                    (jnp.log(chi_s) * float(1.0 / math.log(10.0))
+                     - QED_LO) * float(1.0 / QED_HI), -1.0, 1.0)
+                acc_t = jnp.zeros_like(xn) + QED_COEF[0]
+                for cpoly in QED_COEF[1:]:
+                    acc_t = acc_t * xn + cpoly
+                expnt = acc_t - float(8.0 / 3.0 * math.log10(math.e)) \
+                    / chi_s
+                t_q = jnp.exp(expnt * float(math.log(10.0)))
+                d_od = QED_C1 * chi_q * t_q / jnp.maximum(part_e, 1e-30)
+                od_q = exo_ref[QED_IOD, r0:r1]
+                uq = _hash_u01(qon[1], i, 301 + r0, w.shape, w.dtype)
+                od_q = jnp.where(od_q <= 0.0,
+                                 -jnp.log(1.0 - 0.999999 * uq), od_q)
+                exo_ref[QED_IOD, r0:r1] = od_q - jnp.where(
+                    alive & (qon[0] > 0) & (mag > 0), d_od, 0.0)
+                exo_ref[ETA_ROW, r0:r1] = jnp.where(alive, chi_q, 0.0)
+            ok = alive & (mag > 0)
+            faci = float(const.c * plan.dt) / jnp.where(mag > 0, mag, 1.0)
+            xi_new = [jnp.where(ok, xi[d] + p[d] * faci
+                                / float(plan.delta[d]), xi[d])
+                      for d in range(nd)]
+            p_new = [p[0], p[1], p[2]]
+        else:
+            u = [p[c] * ipart_mc for c in range(3)]
+            ex_p, ey_p, ez_p, bx_p, by_p, bz_p = _gather6()
 
             if qed is not None:
                 # QED synchrotron rates at the particle (calculate_eta,
@@ -1028,6 +1072,9 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
         xi_dep = [xi_new[d] + delta[d] for d in range(nd)]
         c3 = [jnp.clip(jnp.floor(x + 0.5), -1.0, 1.0) for x in xi_dep]
         cf3 = [c3[d] - xi_dep[d] for d in range(nd)]
+        # start-of-push fractions (the gather's cf1, recomputed: ξ is
+        # cell-centred post-rebin so cf1 ≡ -ξ)
+        cf1 = [-xi[d] for d in range(nd)]
         zero = jnp.zeros_like(cf1[0])
         gx5 = [[(_tri_const(cf1[d], o) if abs(o) <= 1 else zero)
                 for o in offsets] for d in range(nd)]

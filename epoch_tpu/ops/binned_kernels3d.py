@@ -761,8 +761,14 @@ class PallasBinned3D:
         return ext2[:, :, :self.ny + 2 * M]
 
     def __call__(self, fwin, binned, shift=None, extra=None, seed=None,
-                 refill=None):
-        """Returns (new binned, jpart, extra_out)."""
+                 refill=None, qed_on=None, sides=None):
+        """Returns (new binned, jpart, extra_out).
+
+        ``qed_on``/``sides`` exist for call-signature parity with the 2D
+        PallasBinned (push_deposit_pallas forwards them unconditionally);
+        the 3D kernel has no in-kernel QED rates or carried sides yet, so
+        both must be None (qed_enabled/sides_out are never set 3D-side)."""
+        assert qed_on is None and sides is None
         w, xi, p = binned.w, binned.xi, binned.p
         wx = self.halo_cols_x(w, 1)
         xix = self.halo_cols_x(xi, 2)

@@ -133,6 +133,31 @@ class QEDPlan:
             float(c) for c in np.polyfit(t.h_logeta, t.h_val, deg))
         self.h_fit_lo = float(t.h_logeta[0])
         self.h_fit_hi = float(t.h_logeta[-1])
+        # Breit-Wheeler pair-rate fit for the in-kernel photon path.
+        # T(chi) (pairprod.table) spans 48 decades with a 1e-50 table
+        # floor — a raw log-log polyfit cannot track it.  Factor out the
+        # Erber exponential suppression exp(-8/(3chi)) and fit the
+        # residual G = log10(T) + (8/3chi)·log10(e) over the unclamped
+        # rows in a [-1,1]-normalised abscissa (f32-Horner-stable):
+        #   T = exp(ln10·(poly(xn) - (8/3)·log10(e)/chi)),
+        #   xn = clip((log10 chi - mid)/half, -1, 1).
+        # Max f32 error 7e-4 where T > 1e-20; exact 0 (underflow) in the
+        # suppressed region.  Gated in tests/test_qed.py.
+        t_lg = np.asarray(t.t_logchi)
+        t_lv = np.asarray(t.t_val)
+        g_res = t_lv + (8.0 / (3.0 * 10.0 ** t_lg)) * math.log10(math.e)
+        unclamped = t_lv > -49.9
+        p_lo = float(t_lg[unclamped][0])
+        p_hi = float(t_lg[unclamped][-1])
+        self.pair_fit_mid = 0.5 * (p_lo + p_hi)
+        self.pair_fit_half = 0.5 * (p_hi - p_lo)
+        xn = (t_lg[unclamped] - self.pair_fit_mid) / self.pair_fit_half
+        self.pair_fit_coeffs = tuple(
+            float(c) for c in np.polyfit(xn, g_res[unclamped], 16))
+        # d_od = c_pair_per_dt·dt · chi · T(chi) / part_e;
+        # chi = c_chi · part_e · |q_perp|  (calculate_chi :714-745)
+        self.c_pair_per_dt = float(const.alpha_fine / TAU_C)
+        self.c_chi = float(0.5 / E_S)
         # per-species map set by the step builder when the fused kernel
         # computes eta + the optical-depth decrement itself
         self.rates_in_kernel = {}
@@ -374,7 +399,7 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
             # so the append costs Kc K-deep selects instead of the dense
             # merge's multi-payload lax.sort (6.5 ms/step at bench
             # shapes)
-            Kc = 2
+            Kc = int(os.environ.get("EPOCH_TPU_EMIT_RANK_CAP", 4))
             nd_ = bplan.nd
             keep_c = fire_c & (e_ph_c > plan.photon_energy_min)
             rank_c = jnp.cumsum(keep_c.astype(jnp.int32), axis=0) - 1
@@ -466,42 +491,134 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
         e_photon = const.c * mag_p
         part_e = e_photon / (const.m0 * const.c ** 2)
         dirv = b.p / mag_safe[None]
-        fl = binmod.gather_fields_binned_shifted(state.fields, grid,
-                                                 b.xi, bplan)
-        chi = _chi_photon((fl["ex"], fl["ey"], fl["ez"]),
-                          (fl["bx"], fl["by"], fl["bz"]),
-                          (dirv[0], dirv[1], dirv[2]), part_e)
         alive = b.w > 0
-        od = b.aux[i_od]
-        od = jnp.where(od <= 0.0,
-                       -jnp.log(1.0 - jax.random.uniform(
-                           k1, od.shape, od.dtype, maxval=0.999999)),
-                       od)
-        tpair = 10.0 ** _interp_1d(
-            tab.t_logchi, tab.t_val,
-            jnp.log10(jnp.maximum(chi, 1e-30)))
-        d_od = dt / TAU_C * const.alpha_fine \
-            / jnp.maximum(part_e, 1e-30) * chi * tpair
-        od = od - jnp.where(alive & active, d_od, 0.0)
-        fire = alive & active & (od <= 0.0) & (part_e > 2.0)
+        if plan.rates_in_kernel.get(iph):
+            # the fused photon kernel decremented the pair optical depth
+            # in-kernel (chi from its own gathered fields): od <= 0
+            # flags a fire — no gather/table interp here.  chi > 0
+            # excludes photons created THIS step by the emission append
+            # (aux rows zero until their first kernel pass — od = 0
+            # would otherwise read as an instant fire).
+            od = b.aux[i_od]
+            chi_row = b.aux[bplan.aux_idx["qed_eta"]]
+            fire = alive & active & (od <= 0.0) & (part_e > 2.0) \
+                & (chi_row > 0.0)
+            set_od = None
+        else:
+            fl = binmod.gather_fields_binned_shifted(state.fields, grid,
+                                                     b.xi, bplan)
+            chi = _chi_photon((fl["ex"], fl["ey"], fl["ez"]),
+                              (fl["bx"], fl["by"], fl["bz"]),
+                              (dirv[0], dirv[1], dirv[2]), part_e)
+            od = b.aux[i_od]
+            od = jnp.where(od <= 0.0,
+                           -jnp.log(1.0 - jax.random.uniform(
+                               k1, od.shape, od.dtype, maxval=0.999999)),
+                           od)
+            tpair = 10.0 ** _interp_1d(
+                tab.t_logchi, tab.t_val,
+                jnp.log10(jnp.maximum(chi, 1e-30)))
+            d_od = dt / TAU_C * const.alpha_fine \
+                / jnp.maximum(part_e, 1e-30) * chi * tpair
+            od = od - jnp.where(alive & active, d_od, 0.0)
+            fire = alive & active & (od <= 0.0) & (part_e > 2.0)
+            set_od = od
 
-        r = jax.random.uniform(k2, od.shape, od.dtype)
-        eps_axes = jnp.broadcast_to(
-            jnp.log10(jnp.maximum(jnp.asarray(tab.epsilon_split),
-                                  1e-30))[None, :],
-            (tab.log_chi2.shape[0], tab.epsilon_split.shape[0]))
-        frac = flat_invert(tab.log_chi2, eps_axes, tab.p_energy, chi, r)
-        frac = jnp.clip(frac, 0.0, 1.0)
-        if plan.bw_electron >= 0 and plan.bw_positron >= 0:
-            cand_w = jnp.where(fire, b.w, 0.0)
-            pe = dirv * (frac * mag_p)[None]
-            pp = dirv * ((1.0 - frac) * mag_p)[None]
-            species[plan.bw_electron] = binmod.merge_candidates(
-                species[plan.bw_electron], b.xi, pe, cand_w, bplan)
-            species[plan.bw_positron] = binmod.merge_candidates(
-                species[plan.bw_positron], b.xi, pp, cand_w, bplan)
-        species[iph] = b._replace(
-            w=jnp.where(fire, 0.0, b.w), aux=b.aux.at[i_od].set(od))
+        make_pairs = plan.bw_electron >= 0 and plan.bw_positron >= 0
+        if make_pairs:
+            # sparse, fire-gated pair creation (mirror of the emission
+            # tail above): the dense path inverted the energy-split CDF
+            # for EVERY slot and ran two sort-based merge_candidates
+            # every step — ~2x 7 ms at bench shapes with zero fires.
+            # Extract fired CELLS via top_k, do the inversion on the
+            # (K, kc) column subset, and append rank-compressed
+            # candidates; the whole tail sits behind any(fire).
+            Kp = b.w.shape[0]
+            gshape = fire.shape[1:]
+            C = fire.size // Kp
+            kc = min(int(os.environ.get("EPOCH_TPU_FIRE_CELL_CAP", 256)),
+                     C)
+            bwe0 = species[plan.bw_electron]
+            bwp0 = species[plan.bw_positron]
+            eps_axes = jnp.broadcast_to(
+                jnp.log10(jnp.maximum(jnp.asarray(tab.epsilon_split),
+                                      1e-30))[None, :],
+                (tab.log_chi2.shape[0], tab.epsilon_split.shape[0]))
+
+            def _pair_tail(ops):
+                ph_w, bwe, bwp = ops
+                fire_cell = jnp.any(fire, axis=0)
+                cvals, cidx = jax.lax.top_k(
+                    fire_cell.reshape(-1).astype(jnp.float32), kc)
+                cok = cvals > 0
+                uc = jnp.unravel_index(cidx, gshape)
+                i2 = (slice(None),) + uc
+                i3 = (slice(None), slice(None)) + uc
+                fire_c = fire[i2] & cok[None]
+                over_fires = (jnp.sum(fire)
+                              - jnp.sum(fire_c)).astype(jnp.int32)
+                mag_c = mag_p[i2]
+                dir_c = dirv[i3]
+                w_c = b.w[i2]
+                xi_c = b.xi[i3]
+                # chi at the fired subset: recompute from the aux eta
+                # row is unavailable for photons — invert the energy-
+                # split CDF with chi re-derived column-wise
+                if plan.rates_in_kernel.get(iph):
+                    chi_c = b.aux[bplan.aux_idx["qed_eta"]][i2]
+                else:
+                    chi_c = chi[i2]
+                r_c = jax.random.uniform(k2, (Kp, kc), b.w.dtype)
+                frac_c = _invert_cdf_rows(
+                    tab.log_chi2, eps_axes, tab.p_energy,
+                    chi_c.reshape(-1), r_c.reshape(-1)).reshape(Kp, kc)
+                frac_c = jnp.clip(frac_c, 0.0, 1.0)
+                Kc = int(os.environ.get("EPOCH_TPU_EMIT_RANK_CAP", 4))
+                nd_ = bplan.nd
+                rank_c = jnp.cumsum(fire_c.astype(jnp.int32), axis=0) - 1
+                over_rank = jnp.sum(fire_c
+                                    & (rank_c >= Kc)).astype(jnp.int32)
+                outs = []
+                for tgt, fr in ((bwe, frac_c), (bwp, 1.0 - frac_c)):
+                    p_c = dir_c * (fr * mag_c)[None]
+                    cand_w = jnp.zeros((Kc,) + gshape, b.w.dtype)
+                    cand_xi = jnp.zeros((nd_, Kc) + gshape, b.xi.dtype)
+                    cand_p = jnp.zeros((3, Kc) + gshape, b.p.dtype)
+                    for r in range(Kc):
+                        sel = fire_c & (rank_c == r)
+                        wv = jnp.sum(jnp.where(sel, w_c, 0.0), axis=0)
+                        cand_w = cand_w.at[(r,) + uc].set(
+                            jnp.where(cok, wv, 0.0), mode="drop")
+                        xv = jnp.sum(jnp.where(sel[None], xi_c, 0.0),
+                                     axis=1)
+                        cand_xi = cand_xi.at[(slice(None), r) + uc].set(
+                            xv, mode="drop")
+                        pv = jnp.sum(jnp.where(sel[None], p_c, 0.0),
+                                     axis=1)
+                        cand_p = cand_p.at[(slice(None), r) + uc].set(
+                            pv, mode="drop")
+                    tgt = binmod.append_compressed(tgt, cand_xi, cand_p,
+                                                   cand_w, bplan)
+                    outs.append(tgt._replace(
+                        n_dropped=tgt.n_dropped + over_fires + over_rank))
+                ph_w = jnp.where(fire, 0.0, ph_w)
+                return ph_w, outs[0], outs[1]
+
+            def _no_pair(ops):
+                return ops
+
+            ph_w, bwe1, bwp1 = jax.lax.cond(
+                jnp.any(fire), _pair_tail, _no_pair,
+                (b.w, bwe0, bwp0))
+            species[plan.bw_electron] = bwe1
+            species[plan.bw_positron] = bwp1
+        else:
+            ph_w = jnp.where(fire, 0.0, b.w)
+        if set_od is None:
+            species[iph] = species[iph]._replace(w=ph_w)
+        else:
+            species[iph] = species[iph]._replace(
+                w=ph_w, aux=b.aux.at[i_od].set(set_od))
 
     return state._replace(species=tuple(species)), key
 

@@ -340,3 +340,209 @@ def test_qed_rates_in_kernel_match_xla(tmp_path, monkeypatch):
         (fl["bx"], fl["by"], fl["bz"]), u, gamma))[mx])
     rel = np.abs(eta_k - eta_ref) / np.maximum(np.abs(eta_ref), 1e-15)
     assert float(rel.max()) < 5e-3, float(rel.max())
+
+
+BW_DECK = """
+begin:control
+  nx = 16
+  ny = 16
+  t_end = 1
+  x_min = 0
+  x_max = 1.6e-5
+  y_min = 0
+  y_max = 1.6e-5
+  bin_headroom = 3
+end:control
+begin:boundaries
+  bc_x_min = periodic
+  bc_x_max = periodic
+  bc_y_min = periodic
+  bc_y_max = periodic
+end:boundaries
+begin:qed
+  use_qed = T
+  qed_start_time = 0
+  produce_photons = T
+  produce_pairs = T
+  photon_dynamics = T
+  photon_energy_min = 1e6 * mev
+  qed_table_location = {tables}
+end:qed
+begin:species
+  name = Electron
+  charge = -1
+  mass = 1.0
+  nparticles = 0
+  identify:electron
+end:species
+begin:species
+  # QED-inert ballast: sizes the slot capacity (K ~ ppc*headroom) so
+  # the pair/emission appends never overflow cells in this test
+  name = proton
+  charge = 1
+  mass = 1836.2
+  number_density = 1e20
+  nparticles_per_cell = 8
+end:species
+begin:species
+  name = Photon
+  nparticles = 0
+  identify:photon
+end:species
+begin:species
+  name = Positron
+  nparticles = 0
+  identify:positron
+end:species
+begin:output
+  dt_snapshot = 1
+end:output
+"""
+
+
+def test_breit_wheeler_pair_production(tmp_path):
+    """Breit-Wheeler pair creation (generate_pair, photons.F90:944-1009)
+    through the sparse fire-gated tail: GeV photons crossing a strong
+    transverse field (chi ~ 1.5) must convert into e-/e+ pairs; each
+    fire destroys the photon and hands its full weight to BOTH children,
+    whose momenta split the photon's along its direction.  The huge
+    photon_energy_min keeps the children's own synchrotron emission
+    untracked (recoil only), so the photon weight book is monotone."""
+    (tmp_path / "input.deck").write_text(BW_DECK.format(tables=TABLES))
+    sim = Simulation(str(tmp_path / "input.deck"), seed=11)
+    cfg = sim.cfg
+    assert cfg.engine == "binned"
+    assert cfg.qed_plan.produce_pairs
+    st = sim.state
+    names = [s.name for s in cfg.species]
+    ie, iph, ipos = (names.index("Electron"), names.index("Photon"),
+                     names.index("Positron"))
+    # seed 2 GeV photons (part_e ~ 4000 >> 2) moving +x in every cell
+    ph = st.species[iph]
+    e_ph = 4000.0 * const.m0 * const.c ** 2
+    w = jnp.zeros_like(ph.w).at[0].set(1.0e9)
+    p = jnp.zeros_like(ph.p).at[0, 0].set(jnp.where(w[0] > 0, e_ph / const.c, 0.0))
+    sp = list(st.species)
+    sp[iph] = ph._replace(w=w, p=p)
+    st = st._replace(species=tuple(sp))
+    w_ph0 = float(jnp.sum(jnp.where(w > 0, w, 0.0)))
+    f = st.fields._replace(ey=jnp.full_like(st.fields.ey, 2.0e15))
+    st = st._replace(fields=f)
+    for _ in range(30):
+        st = sim.fns["step_a"](st)._replace(fields=f)
+    el, phs, pos = st.species[ie], st.species[iph], st.species[ipos]
+    n_el = int(jnp.sum(el.w > 0))
+    n_pos = int(jnp.sum(pos.w > 0))
+    assert n_pos > 0, "no Breit-Wheeler pairs at chi ~ 1.5"
+    assert n_el == n_pos
+    # weight books: destroyed photon weight reappears on BOTH children
+    w_ph1 = float(jnp.sum(jnp.where(phs.w > 0, phs.w, 0.0)))
+    w_el = float(jnp.sum(jnp.where(el.w > 0, el.w, 0.0)))
+    w_pos = float(jnp.sum(jnp.where(pos.w > 0, pos.w, 0.0)))
+    dropped = int(el.n_dropped) + int(pos.n_dropped)
+    assert dropped == 0
+    np.testing.assert_allclose(w_el, w_ph0 - w_ph1, rtol=1e-5)
+    np.testing.assert_allclose(w_pos, w_ph0 - w_ph1, rtol=1e-5)
+    # children inherit the photon's +x direction (energy split in
+    # [0, 1] — a ~0 split leaves a child with ~zero momentum)
+    al_e = np.asarray(el.w) > 0
+    assert (np.asarray(el.p[0])[al_e] >= 0).all()
+    assert (np.asarray(el.p[0])[al_e] <= e_ph / const.c * (1 + 1e-6)).all()
+
+
+def test_pair_polyfit_matches_table():
+    """The fused photon kernel evaluates T(chi) (pair production rate,
+    pairprod.table) as exp(ln10·(poly(xn) - (8/3)·log10(e)/chi)) — the
+    Erber suppression factored out, residual polyfit normalised.  The
+    f32 evaluation must track the table to well under pair-statistics
+    noise wherever the rate is physically alive (T > 1e-20), and
+    underflow to EXACTLY zero in the table's 1e-50 clamp region."""
+    from epoch_tpu.physics.qed import QEDTables, QEDPlan
+
+    class _Q:
+        qed_table_location = TABLES
+        produce_photons = True
+        produce_pairs = True
+        photon_energy_min = 0.0
+        photon_dynamics = True
+        use_radiation_reaction = True
+        qed_start_time = 0.0
+
+    class _D:
+        qed = _Q()
+        species = ()
+
+    class _C:
+        species = ()
+    plan = QEDPlan(_C(), _D())
+    t = QEDTables(TABLES)
+    lg = np.asarray(t.t_logchi)
+    lv = np.asarray(t.t_val)
+    chi = (10.0 ** lg).astype(np.float32)
+    xn = np.clip(((lg - plan.pair_fit_mid) / plan.pair_fit_half)
+                 .astype(np.float32), -1, 1)
+    acc = np.zeros_like(xn) + np.float32(plan.pair_fit_coeffs[0])
+    for cc in plan.pair_fit_coeffs[1:]:
+        acc = acc * xn + np.float32(cc)
+    expnt = acc - np.float32(8.0 / 3.0 * np.log10(np.e)) / chi
+    t32 = np.exp(expnt * np.float32(np.log(10.0)))
+    tref = 10.0 ** lv
+    rel = np.abs(t32 - tref) / np.maximum(tref, 1e-300)
+    assert rel[lv > -20].max() < 2e-3, rel[lv > -20].max()
+    assert t32[lv <= -49.9].max() == 0.0
+
+
+def test_pair_rates_in_kernel_match_xla(tmp_path, monkeypatch):
+    """In-kernel photon chi + pair optical-depth decrement (fused
+    ballistic kernel) vs the XLA gather/table path: with uniform fields
+    (curl-free, J=0 — the Maxwell half-steps are no-ops) and a known
+    starting depth (no entry resample), one step must agree on chi and
+    on the decrement to the pair-rate fit tolerance."""
+    def run(mode):
+        monkeypatch.setenv("EPOCH_TPU_PALLAS", mode)
+        d = tmp_path / ("m_" + mode)
+        d.mkdir(exist_ok=True)
+        (d / "input.deck").write_text(BW_DECK.format(tables=TABLES))
+        sim = Simulation(str(d / "input.deck"), seed=11)
+        from epoch_tpu.core import binned as binmod
+        bplan = binmod.BinnedPlan(sim.cfg)
+        if mode == "interpret":
+            assert sim.cfg.qed_plan.rates_in_kernel, \
+                "photon kernel rates not active"
+        else:
+            assert not sim.cfg.qed_plan.rates_in_kernel
+        st = sim.state
+        names = [s.name for s in sim.cfg.species]
+        iph = names.index("Photon")
+        ph = st.species[iph]
+        e_ph = 4000.0 * const.m0 * const.c ** 2
+        w = jnp.zeros_like(ph.w).at[0].set(1.0e3)
+        p = jnp.zeros_like(ph.p).at[0, 0].set(
+            jnp.where(w[0] > 0, e_ph / const.c, 0.0))
+        i_od = bplan.aux_idx["opdepth"]
+        aux = ph.aux.at[i_od].set(jnp.where(w > 0, 5.0, 0.0))
+        sp = list(st.species)
+        sp[iph] = ph._replace(w=w, p=p, aux=aux)
+        f = st.fields._replace(ey=jnp.full_like(st.fields.ey, 2.0e15))
+        st = st._replace(species=tuple(sp), fields=f)
+        st = sim.fns["step_a"](st)
+        b = st.species[iph]
+        al = np.asarray(b.w) > 0
+        return (np.asarray(b.aux[i_od])[al],
+                np.asarray(b.aux[bplan.aux_idx["qed_eta"]])[al]
+                if mode == "interpret" else None)
+
+    od_k, chi_k = run("interpret")
+    od_x, _ = run("0")
+    # same photons, same field: identical chi => decrement within the
+    # T(chi) fit tolerance (2e-3) of the table-interp path
+    d_k = 5.0 - np.sort(od_k)
+    d_x = 5.0 - np.sort(od_x)
+    assert d_x.max() > 1e-3, "decrement inactive - test not probing rates"
+    np.testing.assert_allclose(d_k, d_x, rtol=5e-3)
+    # kernel-stored chi matches the analytic formula for a +x photon in
+    # a pure Ey field: chi = 0.5*part_e*Ey/E_S
+    from epoch_tpu.physics.qed import E_S
+    part_e = 4000.0
+    chi_ref = 0.5 * part_e * 2.0e15 / E_S
+    np.testing.assert_allclose(chi_k, chi_ref, rtol=1e-4)
