@@ -306,7 +306,12 @@ class SubsetBlock:
     name: str = ""
     include_species: list = dfield(default_factory=list)
     random_fraction: float = 1.0
+    # per-axis grid-variable strides (deck `skip = n` → stride n+1,
+    # deck_subset_block.F90:292-311); () ⇒ no striding
     skip: tuple = ()
+    # dumpmask bit this subset's name contributes in io-block variable
+    # masks (`ex = always + <subset>`); 0 when never referenced
+    mask_bit: int = 0
     space_box: dict = dfield(default_factory=dict)   # axis → (lo, hi)
     ranges: dict = dfield(default_factory=dict)      # var → (lo, hi)
     restriction: Optional[Expression] = None

@@ -191,6 +191,11 @@ class DeckParser:
             return int(const.IOType.NEVER)
         ctx = {k: float(v) for k, v in DUMPMASK_WORDS.items()}
         ctx.update(self._ctx)
+        # subset names act as dumpmask bits (deck_io_block.F90 routes
+        # them into iodumpmask(io+1, :); diagnostics write_field then
+        # emits Core_/Reduced_ variants for flagged variables)
+        for nm, bit in getattr(self, "_subset_bits", {}).items():
+            ctx.setdefault(nm, float(bit))
         return int(self.expr(value)(ctx))
 
     def pair(self, value: str):
@@ -217,6 +222,20 @@ class DeckParser:
             elif blk.name == "boundaries":
                 self._handle_boundaries(blk)
         self._update_ctx()
+        # subset names claim dumpmask bits BEFORE the io blocks parse:
+        # the reference's io-block variable dumpmasks name subsets
+        # (`ex = always + <subset>`, deck_io_block.F90 via io_list
+        # lookup) and subset blocks may follow the output block in the
+        # deck — same reason the reference reads in two passes
+        self._subset_bits = {}
+        for blk in raw:
+            if blk.name == "subset":
+                for el, val in blk.elements:
+                    if el.strip().lower() == "name":
+                        nm = val.strip()
+                        if nm not in self._subset_bits:
+                            self._subset_bits[nm] = 1 << (
+                                12 + len(self._subset_bits))
         # pass 2: everything else, in deck order
         for blk in raw:
             handler = getattr(self, f"_handle_{blk.name}", None)
@@ -781,6 +800,14 @@ class DeckParser:
                 s.persist_start_step = self.integer(val)
             elif el == "dumpmask":
                 s.dumpmask = self.dumpmask(val)
+            elif el == "skip":
+                # deck `skip = n` means every (n+1)-th point
+                # (deck_subset_block.F90:292-311 stores skip_dir = n+1)
+                s.skip = (self.integer(val) + 1,) * 3
+            elif el in ("skip_x", "skip_y", "skip_z"):
+                strides = list(s.skip) if s.skip else [1, 1, 1]
+                strides["xyz".index(el[-1])] = self.integer(val) + 1
+                s.skip = tuple(strides)
             else:
                 m = re.match(r"(x|y|z)_(min|max)$", el)
                 if m:
@@ -791,6 +818,7 @@ class DeckParser:
                 if m:
                     rng = s.ranges.setdefault(m.group(1), [None, None])
                     rng[0 if m.group(2) == "min" else 1] = self.num(val)
+        s.mask_bit = self._subset_bits.get(s.name, 0)
         self.cfg.subsets.append(s)
 
     def _handle_injector(self, blk: RawBlock):

@@ -729,6 +729,8 @@ class OutputManager:
         axes = [grid.nodes(d) for d in range(grid.ndims)]
         axes[0] = axes[0] + window_off(cfg, state)
         w.write_plain_mesh("grid", "Grid/Grid", axes)
+        self._dump_axes = axes
+        self._dump_subset_grids = {}
 
         species_names = [s.name for s in cfg.species]
         for var, mask in mask_map.items():
@@ -737,7 +739,7 @@ class OutputManager:
             if var in FIELD_VARS:
                 bid, name, units = FIELD_VARS[var]
                 arr = np.asarray(grid.interior(getattr(state.fields, bid)))
-                w.write_plain_variable(bid, name, arr, "grid", units)
+                self._write_grid_var(w, bid, name, units, arr, mask)
                 if mask & int(IOType.AVERAGE):
                     # time-averaged variant (diagnostics.F90 averaged vars)
                     for st in self.blocks:
@@ -753,13 +755,13 @@ class OutputManager:
                             and not key.startswith("poynt"):
                         for i, sname in enumerate(species_names):
                             arr = derived_variable(key, cfg, state, i)
-                            w.write_plain_variable(f"{key}/{sname}",
-                                                   f"{name}/{sname}", arr,
-                                                   "grid", units)
+                            self._write_grid_var(
+                                w, f"{key}/{sname}", f"{name}/{sname}",
+                                units, arr, mask)
                     if not (mask & int(IOType.NO_SUM)):
                         arr = derived_variable(key, cfg, state)
-                        w.write_plain_variable(key, name, arr, "grid",
-                                               units)
+                        self._write_grid_var(w, key, name, units, arr,
+                                             mask)
             elif var == "distribution_functions":
                 self._write_dist_fns(w, state)
             elif var == "total_energy_sum":
@@ -842,6 +844,76 @@ class OutputManager:
         self.file_list.append(fname)
         self.dump_index += 1
         self._update_visit()
+
+    def _write_grid_var(self, w, bid, name, units, arr, mask):
+        """write_field analogue (diagnostics.F90:1732-1909): besides the
+        plain full-grid dump, emit subset variants for every subset named
+        in this variable's dumpmask — Reduced_<sub> (strided sampling,
+        ``skip``) or Core_<sub> (trimmed to the subset's spatial box).  A
+        Reduced dump suppresses the full-grid copy exactly as the
+        reference's dump_skipped logic (:1894-1900); Core dumps do not."""
+        grid = self.cfg.grid
+        nd = grid.ndims
+        dump_skipped = False
+        for sub in self.deck.subsets:
+            if not sub.mask_bit or not (mask & sub.mask_bit):
+                continue
+            strides = tuple(sub.skip[:nd]) if sub.skip else (1,) * nd
+            if any(s > 1 for s in strides):
+                mesh_id = self._subset_grid_mesh(w, sub, strides=strides)
+                red = arr[tuple(slice(None, None, s) for s in strides)]
+                w.write_plain_variable(f"{bid}/r_{sub.name}",
+                                       f"{name}/Reduced_{sub.name}",
+                                       red, mesh_id, units)
+                dump_skipped = True
+            elif sub.space_box:
+                rngs = self._subset_cell_ranges(sub)
+                if any(hi <= lo for lo, hi in rngs):
+                    continue        # empty range (reference CYCLEs)
+                mesh_id = self._subset_grid_mesh(w, sub, ranges=rngs)
+                trimmed = arr[tuple(slice(lo, hi) for lo, hi in rngs)]
+                w.write_plain_variable(f"{bid}/c_{sub.name}",
+                                       f"{name}/Core_{sub.name}",
+                                       trimmed, mesh_id, units)
+        if not dump_skipped:
+            w.write_plain_variable(bid, name, arr, "grid", units)
+
+    def _subset_cell_ranges(self, sub):
+        """Subset spatial box → per-axis [lo, hi) cell-index ranges
+        (cell_global_ranges, diagnostics.F90)."""
+        grid = self.cfg.grid
+        out = []
+        for d in range(grid.ndims):
+            lo_i, hi_i = 0, grid.n[d]
+            box = sub.space_box.get("xyz"[d])
+            if box is not None:
+                nodes = self._dump_axes[d]
+                if box[0] is not None:
+                    lo_i = int(np.searchsorted(nodes, box[0], "left"))
+                if box[1] is not None:
+                    hi_i = int(np.searchsorted(nodes, box[1], "right")) - 1
+                lo_i = max(0, min(lo_i, grid.n[d]))
+                hi_i = max(0, min(hi_i, grid.n[d]))
+            out.append((lo_i, hi_i))
+        return out
+
+    def _subset_grid_mesh(self, w, sub, strides=None, ranges=None):
+        """Write the subset's node mesh once per dump (grid/r_<name> for
+        strided sets, grid/<name> for trimmed sets) and return its id."""
+        key = ("r_" if strides else "") + sub.name
+        if key in self._dump_subset_grids:
+            return self._dump_subset_grids[key]
+        if strides is not None:
+            mesh_id = f"grid/r_{sub.name}"
+            axes = [self._dump_axes[d][::strides[d]]
+                    for d in range(self.cfg.grid.ndims)]
+        else:
+            mesh_id = f"grid/{sub.name}"
+            axes = [self._dump_axes[d][lo:hi + 1]
+                    for d, (lo, hi) in enumerate(ranges)]
+        w.write_plain_mesh(mesh_id, f"Grid/{sub.name}", axes)
+        self._dump_subset_grids[key] = mesh_id
+        return mesh_id
 
     def _write_subset(self, w, state, sub):
         cfg = self.cfg
