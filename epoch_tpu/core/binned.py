@@ -217,7 +217,12 @@ def bin_from_arrays(x, p, w, grid, K, n_aux: int = 0,
     np.cumsum(counts, out=starts[1:])
     pos_sorted = np.arange(x.shape[0]) - starts[flat_cell[order]]
     keep = pos_sorted < K
+    # clamp host-side f64 staging to the device dtype: jnp.asarray
+    # silently truncates arrays but jnp.zeros warns (and future-errors)
+    # on an unavailable explicit f64 request
     dtype = np.asarray(p).dtype
+    if dtype == np.float64 and not jax.config.jax_enable_x64:
+        dtype = np.dtype(np.float32)
     xi_g = np.zeros((nd, K, C), dtype)
     p_g = np.zeros((3, K, C), dtype)
     w_g = np.zeros((K, C), dtype)

@@ -150,6 +150,16 @@ class SimConfig:
 
     @property
     def fng(self) -> int:
+        # the lehe stencil reaches one extra cell; the reference forces
+        # fng = 2 for it regardless of field_order
+        # (deck_control_block.F90:114-116) — this offsets the cpml_laser
+        # source row (boundary.F90:896) and the outflow anchor cells
+        # (setup.F90:369-370)
+        if self.maxwell_solver in (const.MaxwellSolver.LEHE,
+                                   const.MaxwellSolver.LEHE_X,
+                                   const.MaxwellSolver.LEHE_Y,
+                                   const.MaxwellSolver.LEHE_Z):
+            return max(self.field_order // 2, 2)
         return self.field_order // 2
 
     def lasers_on(self, bd: int):

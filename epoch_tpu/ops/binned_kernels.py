@@ -914,8 +914,14 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                 uq = _hash_u01(qon[1], i, 301 + r0, w.shape, w.dtype)
                 od_q = jnp.where(od_q <= 0.0,
                                  -jnp.log(1.0 - 0.999999 * uq), od_q)
+                # pair-eligibility gate in-kernel (photons.F90: only
+                # photons with E > 2·m0·c² can pair-produce): ineligible
+                # photons keep od > 0, so the XLA-side fire mask needs
+                # no dense |p| recomputation (which forced full-array
+                # layout copies around the custom call)
                 exo_ref[QED_IOD, r0:r1] = od_q - jnp.where(
-                    alive & (qon[0] > 0) & (mag > 0), d_od, 0.0)
+                    alive & (qon[0] > 0) & (mag > 0) & (part_e > 2.0),
+                    d_od, 0.0)
                 exo_ref[ETA_ROW, r0:r1] = jnp.where(alive, chi_q, 0.0)
             ok = alive & (mag > 0)
             faci = float(const.c * plan.dt) / jnp.where(mag > 0, mag, 1.0)

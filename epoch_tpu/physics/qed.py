@@ -333,7 +333,11 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
                                    jnp.log10(jnp.maximum(eta, 1e-30)))
             d_od = dt * eta * const.alpha_fine * math.sqrt(3.0) * h \
                 / (2.0 * math.pi * TAU_C * gamma)
-            od = od - jnp.where(alive & active, d_od, 0.0)
+            # f64 constants (TAU_C) promote under x64 configs; od is
+            # scattered back into the f32 aux rows — pin the dtype
+            od = (od - jnp.where(alive & active, d_od, 0.0)) \
+                .astype(b.aux.dtype)
+            eta = eta.astype(b.aux.dtype)
             fire = alive & active & (od <= 0.0)
 
         # --- sparse emission, fire-gated.  Fires are rare; the old dense
@@ -357,14 +361,20 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
         with_photons = plan.produce_photons and plan.photon_species >= 0
         ph0 = species[plan.photon_species] if with_photons else None
 
-        def _emit_tail(ops):
-            pin, ph = ops
-            # native-layout sparse extraction: flat reshapes of the big
-            # (…, K, *grid) arrays forced XLA layout copies (~1.5 ms/step
-            # of T(4,128) round-trips at bench shapes, plus re-copies to
-            # the kernel's stripe layout).  Flatten only the small
-            # (grid,) fired-cell map for the top_k; gather/scatter
-            # everything else through unravelled cell indices.
+        Kc = int(os.environ.get("EPOCH_TPU_EMIT_RANK_CAP", 4))
+        nd_ = bplan.nd
+
+        def _emit_tail(_):
+            # LAYOUT DISCIPLINE (the cascade profile's top cost was NOT
+            # compute): any gather/scatter whose operand or result is a
+            # full (…, K, *grid) slot array makes XLA re-lay it out
+            # (T(8,128) row-major → T(4,128) dim-shuffled and back,
+            # ~0.4 ms per direction per array at bench shapes).  The
+            # cond therefore returns only SMALL arrays — fired-cell
+            # indices, per-slot recoil ratios (Kp, kc) and the
+            # compressed (Kc, grid) candidate payloads — and every
+            # full-array write happens OUTSIDE as an elementwise op in
+            # the kernel's native layout.
             fire_cell = jnp.any(fire, axis=0)
             cvals, cidx = jax.lax.top_k(
                 fire_cell.reshape(-1).astype(jnp.float32), kc)
@@ -376,73 +386,92 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
             over_fires = (jnp.sum(fire)
                           - jnp.sum(fire_c)).astype(jnp.int32)
             eta_c = eta[i2]
-            p_c = pin[i3]
+            p_c = b.p[i3]
             mag_c = jnp.sqrt(p_c[0] ** 2 + p_c[1] ** 2 + p_c[2] ** 2)
             gam_c = jnp.sqrt((mag_c / mc0) ** 2 + 1.0)
-            dir_c = p_c / jnp.where(mag_c > 0, mag_c, 1.0)[None]
+            msafe_c = jnp.where(mag_c > 0, mag_c, 1.0)
+            dir_c = p_c / msafe_c[None]
             r_c = jax.random.uniform(k2, (Kp, kc), b.w.dtype)
             chi_c = _invert_cdf_rows(
                 tab.log_eta, tab.log_chi, tab.p_photon,
                 eta_c.reshape(-1), r_c.reshape(-1)).reshape(Kp, kc)
-            e_ph_c = (2.0 * chi_c / jnp.maximum(eta_c, 1e-30)) * gam_c \
-                * const.m0 * const.c ** 2
-            if plan.use_radiation_reaction:
-                new_mag = jnp.where(fire_c, jnp.maximum(
-                    mag_c - e_ph_c / const.c, 0.0), mag_c)
-                newp = pin.at[i3].set(dir_c * new_mag[None])
-            else:
-                newp = pin
-            if not with_photons:
-                return newp, ph, over_fires
-            # COMPRESSED candidate grid: rank fired slots within their
-            # cells (a K-deep cumsum, no sort) and keep ≤ Kc per cell,
-            # so the append costs Kc K-deep selects instead of the dense
-            # merge's multi-payload lax.sort (6.5 ms/step at bench
-            # shapes)
-            Kc = int(os.environ.get("EPOCH_TPU_EMIT_RANK_CAP", 4))
-            nd_ = bplan.nd
-            keep_c = fire_c & (e_ph_c > plan.photon_energy_min)
-            rank_c = jnp.cumsum(keep_c.astype(jnp.int32), axis=0) - 1
-            over_rank = jnp.sum(keep_c
-                                & (rank_c >= Kc)).astype(jnp.int32)
-            xi_c = b.xi[i3]
-            p_ph_c = dir_c * (e_ph_c / const.c)[None]
-            w_c = b.w[i2]
+            # float64 constants promote under x64 configs — pin to the
+            # state dtype (the cond's branches must agree, and the
+            # cand_p .at[].set would otherwise warn on the downcast)
+            e_ph_c = ((2.0 * chi_c / jnp.maximum(eta_c, 1e-30)) * gam_c
+                      * const.m0 * const.c ** 2).astype(b.w.dtype)
+            # recoil as a |p| ratio, applied outside as p * scale
+            scale_c = jnp.where(
+                fire_c,
+                jnp.maximum(mag_c - e_ph_c / const.c, 0.0) / msafe_c,
+                1.0).astype(b.w.dtype)
             cand_w = jnp.zeros((Kc,) + gshape, b.w.dtype)
             cand_xi = jnp.zeros((nd_, Kc) + gshape, b.xi.dtype)
             cand_p = jnp.zeros((3, Kc) + gshape, b.p.dtype)
-            for r in range(Kc):
-                sel = keep_c & (rank_c == r)
-                wv = jnp.sum(jnp.where(sel, w_c, 0.0), axis=0)
-                cand_w = cand_w.at[(r,) + uc].set(
-                    jnp.where(cok, wv, 0.0), mode="drop")
-                xv = jnp.sum(jnp.where(sel[None], xi_c, 0.0), axis=1)
-                cand_xi = cand_xi.at[(slice(None), r) + uc].set(
-                    xv, mode="drop")
-                pv = jnp.sum(jnp.where(sel[None], p_ph_c, 0.0), axis=1)
-                cand_p = cand_p.at[(slice(None), r) + uc].set(
-                    pv, mode="drop")
-            ph = binmod.append_compressed(ph, cand_xi, cand_p, cand_w,
-                                          bplan)
+            over_rank = jnp.zeros((), jnp.int32)
+            if with_photons:
+                # COMPRESSED candidate grid: rank fired slots within
+                # their cells (a K-deep cumsum, no sort); the append is
+                # Kc K-deep selects instead of the dense merge's
+                # multi-payload lax.sort (6.5 ms/step at bench shapes)
+                keep_c = fire_c & (e_ph_c > plan.photon_energy_min)
+                rank_c = jnp.cumsum(keep_c.astype(jnp.int32), axis=0) - 1
+                over_rank = jnp.sum(keep_c
+                                    & (rank_c >= Kc)).astype(jnp.int32)
+                xi_c = b.xi[i3]
+                p_ph_c = dir_c * (e_ph_c / const.c)[None]
+                w_c = b.w[i2]
+                for r in range(Kc):
+                    sel = keep_c & (rank_c == r)
+                    wv = jnp.sum(jnp.where(sel, w_c, 0.0), axis=0)
+                    cand_w = cand_w.at[(r,) + uc].set(
+                        jnp.where(cok, wv, 0.0), mode="drop")
+                    xv = jnp.sum(jnp.where(sel[None], xi_c, 0.0), axis=1)
+                    cand_xi = cand_xi.at[(slice(None), r) + uc].set(
+                        xv, mode="drop")
+                    pv = jnp.sum(jnp.where(sel[None], p_ph_c, 0.0),
+                                 axis=1)
+                    cand_p = cand_p.at[(slice(None), r) + uc].set(
+                        pv, mode="drop")
             # fires beyond the fired-cell cap / per-cell rank cap are
             # dropped photons — counted like every other overflow
-            return newp, ph._replace(
-                n_dropped=ph.n_dropped + over_fires + over_rank), \
-                over_fires
+            return (cidx, scale_c, cand_w, cand_xi, cand_p,
+                    over_fires + over_rank)
 
-        def _no_fire(ops):
-            pin, ph = ops
-            return pin, ph, jnp.zeros((), jnp.int32)
+        def _no_fire(_):
+            return (jnp.zeros((kc,), jnp.int32),
+                    jnp.ones((Kp, kc), b.w.dtype),
+                    jnp.zeros((Kc,) + gshape, b.w.dtype),
+                    jnp.zeros((nd_, Kc) + gshape, b.xi.dtype),
+                    jnp.zeros((3, Kc) + gshape, b.p.dtype),
+                    jnp.zeros((), jnp.int32))
 
         if os.environ.get("EPOCH_TPU_QED_GATE", "1") == "0":
             # debug/profiling: run the tail unconditionally so its ops
             # show up flat in a device trace (a lax.cond hides them)
-            newp, ph_new, _ = _emit_tail((b.p, ph0))
+            cidx, scale_c, cand_w, cand_xi, cand_p, over = \
+                _emit_tail(None)
         else:
-            newp, ph_new, _ = jax.lax.cond(jnp.any(fire), _emit_tail,
-                                           _no_fire, (b.p, ph0))
+            cidx, scale_c, cand_w, cand_xi, cand_p, over = jax.lax.cond(
+                jnp.any(fire), _emit_tail, _no_fire, None)
+        if plan.use_radiation_reaction:
+            # dense recoil scale: ones with the fired ratios scattered
+            # in at the (distinct) fired cells, then an elementwise
+            # multiply — p itself never passes through a gather/scatter,
+            # so it stays in the kernel's native layout (no-fire steps
+            # scatter 1.0s into cell 0, a harmless duplicate write)
+            scale = jnp.ones((Kp, C), b.w.dtype).at[:, cidx].set(
+                scale_c).reshape(fshape)
+            newp = b.p * scale[None]
+        else:
+            newp = b.p
         if with_photons:
-            species[plan.photon_species] = ph_new
+            species[plan.photon_species] = binmod.append_compressed(
+                ph0, cand_xi, cand_p, cand_w, bplan)
+            species[plan.photon_species] = \
+                species[plan.photon_species]._replace(
+                    n_dropped=species[plan.photon_species].n_dropped
+                    + over)
         if plan.rates_in_kernel.get(i):
             # od lives in aux untouched here (the kernel maintains it):
             # skip the .at[].set, which forced a full aux copy per step
@@ -467,7 +496,8 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
                              / mc0 ** 2 + 1.0)
             d_odt = dt * eta * const.alpha_fine ** 2 * 0.64 * omega_hat \
                 / (2.0 * math.pi * TAU_C * gam_t)
-            odt = odt - jnp.where(alive & active, d_odt, 0.0)
+            odt = (odt - jnp.where(alive & active, d_odt, 0.0)) \
+                .astype(b.aux.dtype)
             fire_t = alive & active & (odt <= 0.0)
             p_zero = jnp.zeros_like(b.p)
             cand_w = jnp.where(fire_t, b.w, 0.0)
@@ -486,25 +516,24 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
         b = species[iph]
         sp_cfg = cfg.species[iph]
         key, k1, k2 = jax.random.split(key, 3)
-        mag_p = jnp.sqrt(b.p[0] ** 2 + b.p[1] ** 2 + b.p[2] ** 2)
-        mag_safe = jnp.where(mag_p > 0, mag_p, 1.0)
-        e_photon = const.c * mag_p
-        part_e = e_photon / (const.m0 * const.c ** 2)
-        dirv = b.p / mag_safe[None]
         alive = b.w > 0
         if plan.rates_in_kernel.get(iph):
             # the fused photon kernel decremented the pair optical depth
-            # in-kernel (chi from its own gathered fields): od <= 0
-            # flags a fire — no gather/table interp here.  chi > 0
-            # excludes photons created THIS step by the emission append
-            # (aux rows zero until their first kernel pass — od = 0
-            # would otherwise read as an instant fire).
+            # in-kernel (chi from its own gathered fields, and only for
+            # pair-eligible photons, E > 2·m0·c²): od <= 0 flags a fire
+            # — no gather/table interp and no dense |p| recomputation
+            # here.  chi > 0 excludes photons created THIS step by the
+            # emission append (aux rows zero until their first kernel
+            # pass — od = 0 would otherwise read as an instant fire).
             od = b.aux[i_od]
             chi_row = b.aux[bplan.aux_idx["qed_eta"]]
-            fire = alive & active & (od <= 0.0) & (part_e > 2.0) \
-                & (chi_row > 0.0)
+            fire = alive & active & (od <= 0.0) & (chi_row > 0.0)
             set_od = None
         else:
+            mag_p = jnp.sqrt(b.p[0] ** 2 + b.p[1] ** 2 + b.p[2] ** 2)
+            mag_safe = jnp.where(mag_p > 0, mag_p, 1.0)
+            part_e = const.c * mag_p / (const.m0 * const.c ** 2)
+            dirv = b.p / mag_safe[None]
             fl = binmod.gather_fields_binned_shifted(state.fields, grid,
                                                      b.xi, bplan)
             chi = _chi_photon((fl["ex"], fl["ey"], fl["ez"]),
@@ -520,7 +549,8 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
                 jnp.log10(jnp.maximum(chi, 1e-30)))
             d_od = dt / TAU_C * const.alpha_fine \
                 / jnp.maximum(part_e, 1e-30) * chi * tpair
-            od = od - jnp.where(alive & active, d_od, 0.0)
+            od = (od - jnp.where(alive & active, d_od, 0.0)) \
+                .astype(b.aux.dtype)
             fire = alive & active & (od <= 0.0) & (part_e > 2.0)
             set_od = od
 
@@ -545,8 +575,14 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
                                       1e-30))[None, :],
                 (tab.log_chi2.shape[0], tab.epsilon_split.shape[0]))
 
-            def _pair_tail(ops):
-                ph_w, bwe, bwp = ops
+            Kc = int(os.environ.get("EPOCH_TPU_EMIT_RANK_CAP", 4))
+            nd_ = bplan.nd
+
+            def _pair_tail(_):
+                # same layout discipline as the emission tail: the cond
+                # returns only the compressed (Kc, grid) candidate
+                # payloads for the two pair species; the photon kill and
+                # the appends are elementwise ops outside
                 fire_cell = jnp.any(fire, axis=0)
                 cvals, cidx = jax.lax.top_k(
                     fire_cell.reshape(-1).astype(jnp.float32), kc)
@@ -557,8 +593,10 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
                 fire_c = fire[i2] & cok[None]
                 over_fires = (jnp.sum(fire)
                               - jnp.sum(fire_c)).astype(jnp.int32)
-                mag_c = mag_p[i2]
-                dir_c = dirv[i3]
+                p_c = b.p[i3]
+                mag_c = jnp.sqrt(p_c[0] ** 2 + p_c[1] ** 2
+                                 + p_c[2] ** 2)
+                dir_c = p_c / jnp.where(mag_c > 0, mag_c, 1.0)[None]
                 w_c = b.w[i2]
                 xi_c = b.xi[i3]
                 # chi at the fired subset: recompute from the aux eta
@@ -573,14 +611,12 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
                     tab.log_chi2, eps_axes, tab.p_energy,
                     chi_c.reshape(-1), r_c.reshape(-1)).reshape(Kp, kc)
                 frac_c = jnp.clip(frac_c, 0.0, 1.0)
-                Kc = int(os.environ.get("EPOCH_TPU_EMIT_RANK_CAP", 4))
-                nd_ = bplan.nd
                 rank_c = jnp.cumsum(fire_c.astype(jnp.int32), axis=0) - 1
                 over_rank = jnp.sum(fire_c
                                     & (rank_c >= Kc)).astype(jnp.int32)
-                outs = []
-                for tgt, fr in ((bwe, frac_c), (bwp, 1.0 - frac_c)):
-                    p_c = dir_c * (fr * mag_c)[None]
+                cands = []
+                for fr in (frac_c, 1.0 - frac_c):
+                    p_t = dir_c * (fr * mag_c)[None]
                     cand_w = jnp.zeros((Kc,) + gshape, b.w.dtype)
                     cand_xi = jnp.zeros((nd_, Kc) + gshape, b.xi.dtype)
                     cand_p = jnp.zeros((3, Kc) + gshape, b.p.dtype)
@@ -593,25 +629,29 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
                                      axis=1)
                         cand_xi = cand_xi.at[(slice(None), r) + uc].set(
                             xv, mode="drop")
-                        pv = jnp.sum(jnp.where(sel[None], p_c, 0.0),
+                        pv = jnp.sum(jnp.where(sel[None], p_t, 0.0),
                                      axis=1)
                         cand_p = cand_p.at[(slice(None), r) + uc].set(
                             pv, mode="drop")
-                    tgt = binmod.append_compressed(tgt, cand_xi, cand_p,
-                                                   cand_w, bplan)
-                    outs.append(tgt._replace(
-                        n_dropped=tgt.n_dropped + over_fires + over_rank))
-                ph_w = jnp.where(fire, 0.0, ph_w)
-                return ph_w, outs[0], outs[1]
+                    cands.extend([cand_w, cand_xi, cand_p])
+                return tuple(cands) + (over_fires + over_rank,)
 
-            def _no_pair(ops):
-                return ops
+            def _no_pair(_):
+                zw = jnp.zeros((Kc,) + gshape, b.w.dtype)
+                zxi = jnp.zeros((nd_, Kc) + gshape, b.xi.dtype)
+                zp = jnp.zeros((3, Kc) + gshape, b.p.dtype)
+                return (zw, zxi, zp, zw, zxi, zp,
+                        jnp.zeros((), jnp.int32))
 
-            ph_w, bwe1, bwp1 = jax.lax.cond(
-                jnp.any(fire), _pair_tail, _no_pair,
-                (b.w, bwe0, bwp0))
-            species[plan.bw_electron] = bwe1
-            species[plan.bw_positron] = bwp1
+            (ew, exi, ep, pw, pxi, pp, over) = jax.lax.cond(
+                jnp.any(fire), _pair_tail, _no_pair, None)
+            bwe1 = binmod.append_compressed(bwe0, exi, ep, ew, bplan)
+            bwp1 = binmod.append_compressed(bwp0, pxi, pp, pw, bplan)
+            species[plan.bw_electron] = bwe1._replace(
+                n_dropped=bwe1.n_dropped + over)
+            species[plan.bw_positron] = bwp1._replace(
+                n_dropped=bwp1.n_dropped + over)
+            ph_w = jnp.where(fire, 0.0, b.w)
         else:
             ph_w = jnp.where(fire, 0.0, b.w)
         if set_od is None:

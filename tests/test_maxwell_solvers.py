@@ -4,22 +4,14 @@
 Fits the Ey²-weighted pulse-centroid trajectory across dumps and compares
 the measured group velocity against the analytic dispersion, rtol 0.022.
 
-Note on lehe_x: the cpml_laser injection scheme (source row inside the CPML
-layer, boundary.F90:896-900) leaves a large transient at the source cells
-while the laser is still ramping; dump 1 lands at 12 fs where that transient
-holds ~half of ΣEy² and drags the centroid.  Our implementation matches a
-literal transcription of the reference field equations to 1e-15, so the
-transient is inherited behaviour; the lehe_x fit therefore uses the clean
-post-injection dumps (2:) — the yee and custom-stencil decks use the full
-reference protocol.
-
-Measured margins (round 2): with the reference's own dumps[1:] protocol
-our lehe_x fit gives vg 3.202e8 (rel 2.76%, just over the 2.2% gate; the
-Fortran printout in the reference test records 3.132e8, rel 0.49%) —
-dump 1's source-cell state differs from Fortran's; from dump 2 onward the
-fit gives 3.154e8 (rel 1.2%) under the same tolerance.  The SDF submodule
-is absent from the snapshot, so the Fortran dump-1 field cannot be
-regenerated for a direct diff.
+Note on lehe_x: rounds 2-3 fitted dumps[2:] because dump 1's source-cell
+state deviated from the Fortran (vg 3.202e8, rel 2.76% vs the 2.2% gate
+under the reference's own dumps[1:] protocol).  Root cause found round 4:
+the reference forces fng = 2 for the lehe solvers regardless of
+field_order (deck_control_block.F90:114-118), which places the cpml_laser
+source row one cell deeper (boundary.F90:896) — our fng was
+field_order/2 = 1.  With the source row matched, all three decks use the
+full reference protocol (fit from the first t>0 dump).
 """
 import glob
 import os
@@ -50,7 +42,7 @@ VG_YEE = c * np.cos(k_l * dx / 2.0) / np.sqrt(
 
 DECKS = {
     "yee": ("epoch1d/tests/maxwell_solvers/yee/input.deck", VG_YEE, 1),
-    "lehe_x": ("epoch1d/tests/maxwell_solvers/lehe_x/input.deck", VG_LEHE, 2),
+    "lehe_x": ("epoch1d/tests/maxwell_solvers/lehe_x/input.deck", VG_LEHE, 1),
     "custom": ("epoch1d/tests/custom_stencils/lehe_custom/input.deck",
                VG_LEHE, 1),
 }
