@@ -267,21 +267,27 @@ def encode_ids(ids, dtype):
 
 
 def as_slab(binned: BinnedSpecies, grid, periodic=None,
-            aux_names=()) -> ParticleSlab:
-    """Flat ParticleSlab view for diagnostics / IO (host-side)."""
-    x, p, w, alive = to_flat(binned, grid, periodic=periodic)
+            aux_names=(), xsl=None) -> ParticleSlab:
+    """Flat ParticleSlab view for diagnostics / IO (host-side).
+
+    ``xsl=(x0, x1)`` restricts the view to grid-x columns [x0, x1) —
+    the paged-dump iterator's unit (io/iterators.F90 analogue: bounded
+    host memory per page instead of materialising the whole slab)."""
+    x, p, w, alive = to_flat(binned, grid, periodic=periodic, xsl=xsl)
     n = x.shape[0]
     od = {nm: jnp.zeros(n, x.dtype)
           for nm in ("opdepth", "opdepth_brem", "opdepth_tri")}
     ids = None
     if binned.aux is not None:
-        crop = tuple(slice(0, gn) for gn in grid.n)
+        x0, x1 = xsl if xsl is not None else (0, grid.n[0])
+        crop = (slice(x0, x1),) + tuple(slice(0, gn) for gn in grid.n[1:])
         for i, nm in enumerate(aux_names):
             if nm in od:
                 od[nm] = jnp.asarray(
-                    np.asarray(binned.aux[i])[(slice(None),) + crop]
+                    np.asarray(binned.aux[i][(slice(None),) + crop])
                     .reshape(-1))
-        cropped = np.asarray(binned.aux)[(slice(None), slice(None)) + crop]
+        cropped = np.asarray(
+            binned.aux[(slice(None), slice(None)) + crop])
         cropped = cropped.reshape(cropped.shape[0], -1)
         ids = decode_ids(cropped, aux_names)
     return ParticleSlab(
@@ -295,25 +301,31 @@ def as_slab(binned: BinnedSpecies, grid, periodic=None,
     )
 
 
-def to_flat(binned: BinnedSpecies, grid, periodic=None):
+def to_flat(binned: BinnedSpecies, grid, periodic=None, xsl=None):
     """Flat (host) view for diagnostics: absolute positions, p, w, alive.
 
     ξ may overhang the bin by up to one CFL step between rebins; periodic
     axes wrap the absolute position into [lo, hi) to match the scatter
     engine's particle_bcs convention (boundary.F90:1074-1096).
+    ``xsl=(x0, x1)``: restrict to grid-x columns [x0, x1) — the device
+    slice happens BEFORE the host pull, so paged dumps transfer and
+    materialise only the page.
     """
     nd = grid.ndims
     n = grid.n
     K = binned.K
+    x0, x1 = xsl if xsl is not None else (0, n[0])
     # strip slot-grid pad columns (BinnedPlan.ns) down to the real cells
-    crop = tuple(slice(0, n[d]) for d in range(nd))
-    C = int(np.prod(n))
-    xi = np.asarray(binned.xi)[(slice(None), slice(None)) + crop] \
+    crop = (slice(x0, x1),) + tuple(slice(0, n[d]) for d in range(1, nd))
+    nloc = (x1 - x0,) + tuple(n[1:])
+    C = int(np.prod(nloc))
+    xi = np.asarray(binned.xi[(slice(None), slice(None)) + crop]) \
         .reshape(nd, K, C)
-    w = np.asarray(binned.w)[(slice(None),) + crop].reshape(K, C)
-    p = np.asarray(binned.p)[(slice(None), slice(None)) + crop] \
+    w = np.asarray(binned.w[(slice(None),) + crop]).reshape(K, C)
+    p = np.asarray(binned.p[(slice(None), slice(None)) + crop]) \
         .reshape(3, K, C)
-    cells = np.indices(n).reshape(nd, C)       # (nd, C)
+    cells = np.indices(nloc).reshape(nd, C)    # (nd, C)
+    cells[0] += x0
     x = np.zeros((nd, K, C))
     for d in range(nd):
         x[d] = grid.grid_min(d) + (cells[d][None, :] + xi[d]) * grid.delta[d]

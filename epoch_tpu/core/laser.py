@@ -55,6 +55,13 @@ def laser_sources(cfg, bd, time, phases, dtype, ctx_coords):
         t_env = las.amp
         if las.t_profile is not None:
             t_env = t_env * las.t_profile(ctx, xp=jnp)
+        else:
+            # no deck t_profile: the user custom hook is the fallback,
+            # exactly the reference's dispatch (laser.f90:191-197 →
+            # custom_laser.f90 custom_laser_time_profile, default 1)
+            from ..extensions import LASER_TIME_PROFILE
+            for hook in LASER_TIME_PROFILE:
+                t_env = t_env * hook(las, ctx, jnp)
         profile = 1.0
         if las.profile is not None:
             profile = las.profile(ctx, xp=jnp)
@@ -252,6 +259,10 @@ def absorption_increments(f: Fields, cfg, state, dt, time, axis, hi, dtype):
         t_env = 1.0
         if las.t_profile is not None:
             t_env = las.t_profile(ctx, xp=jnp)
+        else:
+            from ..extensions import LASER_TIME_PROFILE
+            for hook in LASER_TIME_PROFILE:
+                t_env = t_env * hook(las, ctx, jnp)
         profile = jnp.asarray(1.0, dtype)
         if las.profile is not None:
             profile = las.profile(ctx, xp=jnp) * jnp.ones_like(e1)

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 
 import numpy as np
 import jax
@@ -702,6 +703,8 @@ class Simulation:
         the available devices (parallel.sharding.auto_mesh), the
         analogue of the reference decomposing every run
         (mpi_routines.F90:44-172)."""
+        from .. import extensions as ext
+        ext.load_plugin(os.path.dirname(os.path.abspath(deck_path)))
         self.deck = load_deck(deck_path)
         cfg = build_config(self.deck)
         if mesh == "auto":
@@ -726,6 +729,12 @@ class Simulation:
         st = self.fns["init_b_boundaries"](st)
         st = self.fns["prime_sides"](st)
         self.state = st
+        # user manual-load hooks (ic_module.f90:29): run once after the
+        # auto-load + init boundary sequence, free to replace state
+        for hook in ext.MANUAL_LOAD:
+            new = hook(self)
+            if new is not None:
+                self.state = new
 
     @property
     def dt(self):

@@ -8,6 +8,7 @@ The deck format is preserved verbatim so existing EPOCH decks run unchanged.
 """
 from __future__ import annotations
 
+import logging
 import os
 import re
 from dataclasses import dataclass, field as dfield
@@ -242,10 +243,24 @@ class DeckParser:
             if blk.name in ("constant", "control", "boundaries"):
                 continue
             if handler is None:
-                # unknown block: tolerated like custom_deck hooks
+                # unknown block: offered to user extension handlers
+                # (custom_deck.f90 custom_blocks_handle_element), else
+                # warned about loudly
+                from ..extensions import DECK_BLOCKS
+                hook = DECK_BLOCKS.get(blk.name)
+                for el, val in blk.elements:
+                    if hook is not None and hook(el, val, self):
+                        continue
+                    logging.getLogger("epoch_tpu").warning(
+                        "deck block %r: key %r not recognised (no "
+                        "handler and no registered extension) — ignored",
+                        blk.name, el)
                 continue
             handler(blk)
         self._finalise()
+        from ..extensions import DECK_CHECKS
+        for chk in DECK_CHECKS:
+            chk(self.cfg)
         return self.cfg
 
     def _update_ctx(self):

@@ -237,7 +237,9 @@ def parse_to_rpn(
         elif kind == "name":
             nxt = toks[i + 1] if i + 1 < len(toks) else None
             low = tok.lower()
-            if low in FUNCTIONS and nxt == ("op", "("):
+            from ..extensions import EXPR_CONSTANTS, EXPR_FUNCTIONS
+            if (low in FUNCTIONS or low in EXPR_FUNCTIONS) \
+                    and nxt == ("op", "("):
                 stack.append(("func", low))
                 prev_kind = "op"
             elif tok in user_constants:
@@ -245,6 +247,11 @@ def parse_to_rpn(
                 prev_kind = "value"
             elif low in _CONSTANTS:
                 out.append(Op("num", _CONSTANTS[low]))
+                prev_kind = "value"
+            elif low in EXPR_CONSTANTS:
+                # user-registered constants (custom_parser.f90
+                # custom_constant analogue)
+                out.append(Op("num", EXPR_CONSTANTS[low]))
                 prev_kind = "value"
             elif low in CONTEXT_VARS:
                 out.append(Op("var", low))
@@ -266,8 +273,13 @@ def parse_to_rpn(
             stack.pop()  # paren
             if stack and stack[-1][0] == "func":
                 fname = stack.pop()[1]
-                # variadic arg counts are patched by parse(); mark with -1
-                nargs = -1 if fname_uses_argc(fname) else FUNCTIONS[fname]
+                if fname not in FUNCTIONS:
+                    from ..extensions import EXPR_FUNCTIONS
+                    nargs = EXPR_FUNCTIONS[fname][1]
+                else:
+                    # variadic arg counts are patched by parse(); -1 marks
+                    nargs = -1 if fname_uses_argc(fname) \
+                        else FUNCTIONS[fname]
                 out.append(Op("func", fname, nargs=nargs))
             prev_kind = "value"
         elif kind == "op" and tok == ",":
@@ -428,6 +440,13 @@ def evaluate(rpn: list[Op], ctx: dict[str, Any], xp=None):
                 raise DeckExprError(f"bad op {op.val}")
         else:  # func
             f = op.val
+            from ..extensions import EXPR_FUNCTIONS
+            if f in EXPR_FUNCTIONS and f not in FUNCTIONS:
+                # user-registered function (custom_parser.f90
+                # custom_function analogue)
+                fn, nargs = EXPR_FUNCTIONS[f]
+                st.append(fn(*pop(nargs)))
+                continue
             if f in _SPECIES_FUNCS:
                 # argument is a species "variable" pushed as a name string
                 arg = pop(op.nargs)[0]

@@ -38,6 +38,47 @@ def get_slab(cfg, state, i):
     return sp
 
 
+def iter_slab_pages(cfg, state, i, page_bytes=None):
+    """Yield bounded-size ParticleSlab pages for species ``i`` — the
+    dump-time streaming iterator (io/iterators.F90:31-474 analogue).
+
+    The binned engine pages over grid-x column chunks (the device slice
+    happens before the host pull, so peak host memory per variable pass
+    is bounded by the page, not the 10^7–10^8-particle slab); scatter
+    slabs page over particle rows.  ``page_bytes`` bounds the raw slot
+    payload per page (default 256 MiB, EPOCH_TPU_DUMP_PAGE_MB)."""
+    if page_bytes is None:
+        page_bytes = int(os.environ.get("EPOCH_TPU_DUMP_PAGE_MB",
+                                        256)) * 2 ** 20
+    sp = state.species[i]
+    if hasattr(sp, "xi"):          # BinnedSpecies
+        from ..core.binned import as_slab
+        grid = cfg.grid
+        periodic = tuple(
+            cfg.bc_particle[2 * d] == const.BC.PERIODIC
+            for d in range(cfg.ndims))
+        naux = 0 if sp.aux is None else sp.aux.shape[0]
+        rest = int(np.prod(grid.n[1:])) if cfg.ndims > 1 else 1
+        bytes_per_col = sp.K * rest * (cfg.ndims + 4 + naux) \
+            * sp.w.dtype.itemsize
+        cols = max(1, min(grid.n[0], page_bytes // max(bytes_per_col, 1)))
+        for x0 in range(0, grid.n[0], cols):
+            yield as_slab(sp, grid, periodic=periodic,
+                          aux_names=getattr(cfg, "binned_aux", ()),
+                          xsl=(x0, min(grid.n[0], x0 + cols)))
+        return
+    n = sp.x.shape[0]
+    bytes_per_row = (cfg.ndims + 8) * sp.x.dtype.itemsize
+    rows = max(1, min(n, page_bytes // max(bytes_per_row, 1)))
+    for r0 in range(0, max(n, 1), rows):
+        sl = slice(r0, min(n, r0 + rows))
+        yield sp._replace(
+            x=sp.x[sl], p=sp.p[sl], weight=sp.weight[sl],
+            alive=sp.alive[sl], id=sp.id[sl],
+            opdepth=sp.opdepth[sl], opdepth_brem=sp.opdepth_brem[sl],
+            opdepth_tri=sp.opdepth_tri[sl], pvol=sp.pvol[sl])
+
+
 def window_off(cfg, state) -> float:
     """Moving-window x offset: absolute coordinate = grid-relative + off
     (the engines keep positions relative to the static grid; see
@@ -985,22 +1026,58 @@ class OutputManager:
                 np.asarray(slab.weight)[keep], mesh_id, "")
 
     def _write_particles(self, w, state, part_vars, mask_map):
+        """Particle output, paged: the dump never materialises more
+        than one page of the slab on the host (the reference streams
+        through its sdf iterators, io/iterators.F90:31-474; get_slab
+        would haul the whole 10^7–10^8-particle slab per variable)."""
         cfg = self.cfg
+        woff = window_off(cfg, state)
+        nd = cfg.ndims
         for i, sp in enumerate(cfg.species):
-            slab = get_slab(cfg, state, i)
-            alive = np.asarray(slab.alive)
-            coords = np.asarray(slab.x)[alive].copy()
-            coords[:, 0] += window_off(cfg, state)
+            # pass 0: alive count + coordinate extents (+ dtype probes)
+            npart = 0
+            mins = [np.inf] * nd
+            maxs = [-np.inf] * nd
+            first_page = None
+            for pg in iter_slab_pages(cfg, state, i):
+                if first_page is None:
+                    first_page = pg
+                al = np.asarray(pg.alive)
+                npart += int(al.sum())
+                if al.any():
+                    x = np.asarray(pg.x)[al]
+                    for d in range(nd):
+                        mins[d] = min(mins[d], float(x[:, d].min()))
+                        maxs[d] = max(maxs[d], float(x[:, d].max()))
+            if npart:
+                mins[0] += woff
+                maxs[0] += woff
+            else:
+                mins = [0.0] * nd
+                maxs = [0.0] * nd
             mesh_id = f"grid/{sp.name}"
-            w.write_point_mesh(mesh_id, f"Grid/Particles/{sp.name}", coords)
+
+            def coord_pages(i=i):
+                for pg in iter_slab_pages(cfg, state, i):
+                    al = np.asarray(pg.alive)
+                    c = np.asarray(pg.x, np.float64)[al]
+                    c[:, 0] += woff
+                    yield c
+            w.write_point_mesh_paged(mesh_id, f"Grid/Particles/{sp.name}",
+                                     coord_pages, npart, nd, mins, maxs)
             for var in part_vars:
                 if var == "particles":
                     continue
                 bid, name, units, getter = PARTICLE_VARS[var]
-                data = np.asarray(getter(slab, sp))[alive]
-                w.write_point_variable(f"{bid}/{sp.name}",
-                                       f"{name}/{sp.name}", data,
-                                       mesh_id, units)
+                probe = np.asarray(getter(first_page, sp))
+
+                def var_pages(getter=getter, i=i, sp=sp):
+                    for pg in iter_slab_pages(cfg, state, i):
+                        al = np.asarray(pg.alive)
+                        yield np.asarray(getter(pg, sp))[al]
+                w.write_point_variable_paged(
+                    f"{bid}/{sp.name}", f"{name}/{sp.name}", var_pages,
+                    npart, mesh_id, units, dtype=probe.dtype)
 
     def _write_dist_fns(self, w, state):
         cfg = self.cfg

@@ -202,6 +202,66 @@ class SDFWriter:
         meta += struct.pack("<q", arr.shape[0])
         self._add(bid, name, BT_POINT_VARIABLE, dt, 1, meta, arr.tobytes())
 
+    # -- paged point writers (streamed at close(); the dump never holds
+    # more than one page of particle data — io/iterators.F90 analogue) --
+    def write_point_mesh_paged(self, bid, name, pages_fn, npart, nd,
+                               mins, maxs, labels=None, units=None,
+                               geometry=1):
+        """``pages_fn()`` → iterator of (n_page, nd) float arrays whose
+        row total is ``npart``; invoked once per dimension at close()."""
+        labels = labels or ["X", "Y", "Z"][:nd]
+        units = units or ["m"] * nd
+        meta = b"".join(struct.pack("<d", 1.0) for _ in range(nd))
+        meta += b"".join(_pad(l, ID_LENGTH) for l in labels)
+        meta += b"".join(_pad(u, ID_LENGTH) for u in units)
+        meta += struct.pack("<i", geometry)
+        if npart:
+            meta += b"".join(struct.pack("<d", float(m)) for m in mins)
+            meta += b"".join(struct.pack("<d", float(m)) for m in maxs)
+        else:
+            meta += b"\x00" * (16 * nd)
+        meta += struct.pack("<q", int(npart))
+
+        def chunks():
+            for d in range(nd):
+                got = 0
+                for page in pages_fn():
+                    page = np.asarray(page)
+                    got += page.shape[0]
+                    yield np.ascontiguousarray(
+                        page[:, d], np.float64).tobytes()
+                if got != npart:
+                    raise ValueError(
+                        f"paged point mesh {bid!r}: pages totalled "
+                        f"{got} rows, expected {npart}")
+        self._add(bid, name, BT_POINT_MESH, DT_REAL8, nd, meta,
+                  ("paged", 8 * int(npart) * nd, chunks))
+
+    def write_point_variable_paged(self, bid, name, pages_fn, npart,
+                                   mesh_id, units="", mult=1.0,
+                                   dtype=np.float64):
+        """``pages_fn()`` → iterator of 1d arrays totalling ``npart``."""
+        dt = _NP2DT.get(np.dtype(dtype), DT_REAL8)
+        npdt = _DT2NP[dt]
+        meta = struct.pack("<d", mult)
+        meta += _pad(units, ID_LENGTH)
+        meta += _pad(mesh_id, ID_LENGTH)
+        meta += struct.pack("<q", int(npart))
+
+        def chunks():
+            got = 0
+            for page in pages_fn():
+                page = np.asarray(page)
+                got += page.shape[0]
+                yield np.ascontiguousarray(page, npdt).tobytes()
+            if got != npart:
+                raise ValueError(
+                    f"paged point variable {bid!r}: pages totalled "
+                    f"{got} rows, expected {npart}")
+        self._add(bid, name, BT_POINT_VARIABLE, dt, 1, meta,
+                  ("paged", np.dtype(npdt).itemsize * int(npart),
+                   chunks))
+
     def write_constant(self, bid, name, value):
         if isinstance(value, (int, np.integer)):
             dt, data = DT_INTEGER8, struct.pack("<q", int(value))
@@ -261,20 +321,32 @@ class SDFWriter:
             for e in self._block_entries:
                 meta = e["metadata"]
                 data = e["data"]
+                paged = isinstance(data, tuple) and data[0] == "paged"
+                data_len = data[1] if paged else len(data)
                 header_len = block_header_length + len(meta)
                 data_location = pos + header_len
-                next_block = data_location + len(data)
+                next_block = data_location + data_len
                 bh = struct.pack("<q", next_block)
                 bh += struct.pack("<q", data_location)
                 bh += _pad(e["id"], ID_LENGTH)
-                bh += struct.pack("<q", len(data))
+                bh += struct.pack("<q", data_len)
                 bh += struct.pack("<i", e["blocktype"])
                 bh += struct.pack("<i", e["datatype"])
                 bh += struct.pack("<i", e["ndims"])
                 bh += _pad(e["name"], STRING_LENGTH)
                 f.write(bh)
                 f.write(meta)
-                f.write(data)
+                if paged:
+                    written = 0
+                    for chunk in data[2]():
+                        written += len(chunk)
+                        f.write(chunk)
+                    if written != data_len:
+                        raise ValueError(
+                            f"paged block {e['id']!r}: streamed "
+                            f"{written} bytes, declared {data_len}")
+                else:
+                    f.write(data)
                 pos = next_block
 
 

