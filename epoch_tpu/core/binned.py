@@ -779,7 +779,12 @@ def window_pending_capable(cfg):
         # pending relabel.
         if cfg.qed_plan.produce_pairs:
             ph = cfg.qed_plan.photon_species
+            # under a mesh the photon kernel runs without in-kernel
+            # rates (no qed_on plumbing through the shard body): the
+            # XLA-side chi gather would be one-cell-stale under a
+            # pending relabel — keep the rolled window path there
             rates_ok = (ph >= 0 and not cfg.species[ph].immobile
+                        and cfg.mesh is None
                         and cfg.binned_aux
                         and cfg.binned_aux[-1] == "qed_eta")
             if not rates_ok:
@@ -826,6 +831,34 @@ def sides_carry_capable(cfg):
         # the rolled window path shifts the slot arrays XLA-side
         return False
     return True
+
+
+def species_uses_aux(cfg, si):
+    """True when species ``si`` ever reads or writes any binned_aux row.
+
+    Aux rows are global (every species' slot state carries them so the
+    pytree stays uniform), but only some species USE them: QED optical
+    depths belong to emitters + the photon species, brems depths to
+    electrons, id rows to everyone.  Non-users can skip the kernel's
+    extra-payload rebin routing entirely — their rows stay all-zero and
+    never need to follow the particles (~2 extra routed payloads on a
+    6-payload rebin cost ~25%% of a bench proton kernel)."""
+    names = getattr(cfg, "binned_aux", ())
+    if not names:
+        return False
+    if "id_lo" in names:
+        return True
+    qp = cfg.qed_plan
+    if qp is not None and si in qp.emitters:
+        return True
+    if qp is not None and si == qp.photon_species and qp.produce_pairs:
+        # pair optical depth + chi rows; without pair production the
+        # photon species never reads its depth rows
+        return True
+    bp = cfg.brem_plan
+    if bp is not None and si in getattr(bp, "electrons", ()):
+        return True
+    return False
 
 
 def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
@@ -891,10 +924,12 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
             # gather/Boris/deposit — the XLA push_photons_binned ran the
             # slot-sort rebin every step even on near-vacuum photon
             # grids (a QED LWFA deck paid ~5x the bare deck for it).
-            # Not composed with shard_map yet (spmd keeps the XLA path).
-            if spmd_axis is not None or any(
-                    bc not in kernel_bcs or bc in TH
-                    for bc in sp.bc_particle[:2 * plan.nd]):
+            # Composes with shard_map like the massive kernels (window
+            # staging then stays XLA-side; in-kernel pair rates need the
+            # qed_on plumbing the shard body doesn't carry, so chi falls
+            # back to the XLA gather under a mesh).
+            if any(bc not in kernel_bcs or bc in TH
+                   for bc in sp.bc_particle[:2 * plan.nd]):
                 out.append(None)
             else:
                 ph_window = window_pending_capable(cfg)
@@ -908,9 +943,11 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                 # no per-slot gather or table interp outside the kernel
                 qp = cfg.qed_plan
                 ph_qed = None
-                n_ph_route = plan.n_aux
+                n_ph_route = plan.n_aux \
+                    if species_uses_aux(cfg, si) else 0
                 if qp is not None and qp.produce_pairs \
                         and si == qp.photon_species and not sp.immobile \
+                        and spmd_axis is None \
                         and "qed_eta" in plan.aux_idx \
                         and plan.aux_idx["qed_eta"] == plan.n_aux - 1:
                     n_ph_route = plan.n_aux - 1
@@ -928,6 +965,7 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                     with_window=ph_window, n_extra=n_ph_route,
                     photon=True, move=not sp.immobile,
                     clear_rcol=ph_stage,
+                    spmd_axis=spmd_axis, mesh_n=mesh_n,
                     sides_out=carry and plan.n_aux == 0,
                     cull_lo=(cfg.grid.cpml_thickness if ph_stage
                              else 0),
@@ -950,7 +988,9 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                     and wplan["density"] is not None)
                 out.append(PallasBinned(
                     plan, sp, cfg, interpret=interpret,
-                    with_window=True, n_extra=plan.n_aux,
+                    with_window=True,
+                    n_extra=(plan.n_aux if species_uses_aux(cfg, si)
+                             else 0),
                     photon=True, move=False, clear_rcol=im_stage,
                     with_refill=im_refill,
                     sides_out=carry and plan.n_aux == 0,
@@ -975,7 +1015,7 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
             # appended fresh by the kernel
             qp = cfg.qed_plan
             qed_args = None
-            n_route = plan.n_aux
+            n_route = plan.n_aux if species_uses_aux(cfg, si) else 0
             if qp is not None and si in qp.emitters \
                     and spmd_axis is None \
                     and "qed_eta" in plan.aux_idx \
@@ -986,10 +1026,6 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                             float(qp.h_fit_lo), float(qp.h_fit_hi),
                             float(qp.c1_per_dt * plan.dt),
                             float(qp.c_eta))
-            if spmd_axis is not None and probe_specs:
-                # probe capture not composed with the shard_map push yet
-                out.append(None)
-                continue
             # pending-shift refill/cull ride the kernel on the single-
             # device path (the sharded path keeps XLA-side staging);
             # requires the provably-single-shift window (the kernel
@@ -1100,7 +1136,7 @@ def _make_pallas_engines_3d(cfg, plan, interpret, mode):
         return [None] * n_sp
     kernel_bcs = (const.BC.PERIODIC, const.BC.OPEN, const.BC.REFLECT)
     out = []
-    for sp in cfg.species:
+    for si, sp in enumerate(cfg.species):
         if sp.immobile or sp.species_type == const.SpeciesType.PHOTON:
             if not sp.immobile or cfg.move_window:
                 log.info("species %s: 3D fused kernel has no photon/"
@@ -1112,8 +1148,10 @@ def _make_pallas_engines_3d(cfg, plan, interpret, mode):
                         sp.name)
             out.append(None)
         else:
-            out.append(PallasBinned3D(plan, sp, cfg, interpret=interpret,
-                                      n_extra=plan.n_aux))
+            out.append(PallasBinned3D(
+                plan, sp, cfg, interpret=interpret,
+                n_extra=(plan.n_aux if species_uses_aux(cfg, si)
+                         else 0)))
     return out
 
 
@@ -1129,10 +1167,12 @@ def push_deposit_pallas(engine, fwin, binned, plan, sp=None, shift=None,
     push_deposit_binned."""
     n_aux = 0 if binned.aux is None else binned.aux.shape[0]
     qed_en = getattr(engine, "qed_enabled", False)
-    # in-kernel QED rates: the LAST aux row (qed_eta) is written fresh
-    # by the kernel (appended as the final output row) and excluded
-    # from the rebin routing
-    n_route = n_aux - 1 if qed_en else n_aux
+    # routed rows are what the engine was built with: n_aux for aux-using
+    # species (minus the kernel-fresh qed_eta LAST row under in-kernel
+    # QED rates), 0 for species that never touch their aux rows
+    # (species_uses_aux — their rows stay zero and skip the rebin
+    # routing entirely)
+    n_route = engine.n_extra - getattr(engine, "n_probes", 0)
     alias_extras = getattr(engine, "alias_extras", False) and not probes
     if alias_extras:
         # grown-output aliasing: pass the FULL aux (the stale eta row is
@@ -1154,7 +1194,7 @@ def push_deposit_pallas(engine, fwin, binned, plan, sp=None, shift=None,
                                    qed_on=qed_on, sides=sides)
     probe_recs = None
     if extra_out is not None:
-        if n_aux:
+        if n_aux and (n_route or qed_en):
             if alias_extras:
                 # output row order [routed aux… | eta] matches the aux
                 # row order exactly — adopt the donated buffer whole
@@ -1166,34 +1206,45 @@ def push_deposit_pallas(engine, fwin, binned, plan, sp=None, shift=None,
                                               axis=0)
             out = out._replace(aux=aux_new)
         if probes:
-            npb = len(probes)
-            dinit_r = extra_out[n_route:n_route + npb]
-            dfin = extra_out[n_route + npb:n_route + 2 * npb]
-            prew = extra_out[n_route + 2 * npb]   # pre-BC weight
-            nd = plan.nd
-            dtype = out.w.dtype
-            mass = sp.mass
-            u = [out.p[c] * (1.0 / (const.c * mass)) for c in range(3)]
-            u2 = u[0] ** 2 + u[1] ** 2 + u[2] ** 2
-            gamma = jnp.sqrt(u2 + 1.0)
-            ek = u2 / (gamma + 1.0) * mass * const.c ** 2
-            cells = [jax.lax.broadcasted_iota(jnp.int32, out.w.shape,
-                                              1 + d).astype(dtype)
-                     for d in range(nd)]
-            # post-BC position: identical to pre-BC for open-killed
-            # particles (only w is zeroed); reflected wall-crossers
-            # record the reflected position — a one-cell-edge deviation
-            xf = [plan.grid_min[d] + (cells[d] + out.xi[d]) * plan.delta[d]
-                  for d in range(nd)]
-            probe_recs = []
-            for pi, pb in enumerate(probes):
-                fire = (prew > 0) & (ek > pb.ek_min) & (ek < pb.ek_max) \
-                    & (dfin[pi] < 0.0) & (dinit_r[pi] >= 0.0)
-                probe_recs.append(probe_topk(fire, xf, out.p, prew, nd,
-                                             dtype))
+            probe_recs = probe_records_from_rows(out, extra_out, n_route,
+                                                 probes, sp, plan)
     if probes is not None:
         return out, jpart, probe_recs
     return out, jpart
+
+
+def probe_records_from_rows(out, extra_out, n_route, probes, sp, plan):
+    """Probe crossing detection on the fused kernel's output payload
+    rows (particles.F90:518-557): rows [n_route : n_route+npb] are the
+    echoed entry distances, the next npb the final distances, then the
+    pre-BC weight.  Shared by the single-device path and the shard_map
+    path (which runs it on the reassembled global outputs)."""
+    npb = len(probes)
+    dinit_r = extra_out[n_route:n_route + npb]
+    dfin = extra_out[n_route + npb:n_route + 2 * npb]
+    prew = extra_out[n_route + 2 * npb]   # pre-BC weight
+    nd = plan.nd
+    dtype = out.w.dtype
+    mass = sp.mass
+    u = [out.p[c] * (1.0 / (const.c * mass)) for c in range(3)]
+    u2 = u[0] ** 2 + u[1] ** 2 + u[2] ** 2
+    gamma = jnp.sqrt(u2 + 1.0)
+    ek = u2 / (gamma + 1.0) * mass * const.c ** 2
+    cells = [jax.lax.broadcasted_iota(jnp.int32, out.w.shape,
+                                      1 + d).astype(dtype)
+             for d in range(nd)]
+    # post-BC position: identical to pre-BC for open-killed
+    # particles (only w is zeroed); reflected wall-crossers
+    # record the reflected position — a one-cell-edge deviation
+    xf = [plan.grid_min[d] + (cells[d] + out.xi[d]) * plan.delta[d]
+          for d in range(nd)]
+    probe_recs = []
+    for pi, pb in enumerate(probes):
+        fire = (prew > 0) & (ek > pb.ek_min) & (ek < pb.ek_max) \
+            & (dfin[pi] < 0.0) & (dinit_r[pi] >= 0.0)
+        probe_recs.append(probe_topk(fire, xf, out.p, prew, nd,
+                                     dtype))
+    return probe_recs
 
 
 def apply_axis_bcs(xi, p, w, plan, d, bc_lo, bc_hi, key=None, sp=None):

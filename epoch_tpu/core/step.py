@@ -302,12 +302,24 @@ def make_step_functions(cfg):
                      and pallas_engines[si].any_thermal
                      else jnp.zeros((), jnp.int32)
                      for si in range(len(cfg.species))]
-            spmd_new, spmd_jpad, _ = spmd_push(fpad, list(state.species),
-                                               shift, seeds)
+            spmd_new, spmd_jpad, _, spmd_probe_rows = spmd_push(
+                fpad, list(state.species), shift, seeds)
             jpad_sum = spmd_jpad
         for si, (sp_cfg, b) in enumerate(zip(cfg.species, state.species)):
             key = keys[si]
             if spmd_new is not None and si in spmd_new:
+                if si in spmd_probe_rows:
+                    # probe payload rows came back through the shard_map
+                    # (reassembled global): same detection as the
+                    # single-device fused path
+                    sp_probes = [(pi, pp) for pi, pp in
+                                 enumerate(cfg.probe_plans)
+                                 if si in pp.species]
+                    recs = binmod.probe_records_from_rows(
+                        spmd_new[si], spmd_probe_rows[si], 0,
+                        [pp for _, pp in sp_probes], sp_cfg, bplan)
+                    probes, probe_dropped = _append_probe_recs(
+                        probes, probe_dropped, sp_probes, recs)
                 new_species.append(spmd_new[si])
                 continue
             if sp_cfg.immobile:

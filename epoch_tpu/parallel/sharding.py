@@ -187,6 +187,7 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "x"):
         # staged refill columns are transverse-only (small): replicate
         window_refill=jax.tree.map(lambda _: repl, state.window_refill),
         probes=jax.tree.map(lambda _: repl, state.probes),
+        probe_dropped=jax.tree.map(lambda _: repl, state.probe_dropped),
         ejected=jax.tree.map(lambda _: repl, state.ejected),
         fluid_grids=tuple(
             NamedSharding(mesh, P(None, *divisible(g.shape, offset=1)))

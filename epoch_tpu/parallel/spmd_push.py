@@ -13,7 +13,12 @@ pinned shardings of parallel/sharding.py.
 
 Scope: 1-D mesh over grid-x (mesh y-extent must be 1 for the fused
 kernel — grid-y is the kernel's lane axis).  Probe-instrumented species
-fall back to the XLA slot path (step.py selects per species).
+ride the kernel payload rows through the shard body (entry/final plane
+distances reassemble globally; step.py runs the detection on the
+reassembled outputs), and photon species run their fused ballistic
+kernel per shard.  In-kernel QED rates stay single-device (the shard
+body carries no qed_on seed plumbing): emitter optical depths route as
+ordinary aux rows and the XLA-side physics package maintains them.
 """
 from __future__ import annotations
 
@@ -122,19 +127,24 @@ def make_spmd_push(cfg, plan, engines, mesh, with_window, axis="x"):
         ndrops = []
         bi = 0
         for (si, eng) in idx_engines:
-            w, xi, p, aux = binned_flat[4 * bi:4 * bi + 4]
+            w, xi, p, extra_in = binned_flat[4 * bi:4 * bi + 4]
             bi += 1
             from ..core.binned import BinnedSpecies
             b = BinnedSpecies(xi=xi, p=p, w=w,
                               n_dropped=jnp.zeros((), jnp.int32),
-                              aux=aux if plan.n_aux else None)
+                              aux=None)
             seed = seeds[si] if eng.any_thermal else None
             sh = shift if eng.with_window else None
-            b2, jpart, extra_out = eng(fwin, b, shift=sh,
-                                       extra=b.aux, seed=seed)
-            aux_out = extra_out[:plan.n_aux] if plan.n_aux \
-                else jnp.zeros((0,) + w.shape, w.dtype)
-            outs.append((b2.w, b2.xi, b2.p, aux_out))
+            b2, jpart, extra_out = eng(
+                fwin, b, shift=sh,
+                extra=extra_in if eng.n_extra else None, seed=seed)
+            # engines for aux-skipping species (species_uses_aux False)
+            # route nothing: their rows stay zero and pass through;
+            # probe payload rows (entry/final distances + pre-BC weight)
+            # ride behind the routed rows — see probe_records_from_rows
+            if extra_out is None:
+                extra_out = jnp.zeros((0,) + w.shape, w.dtype)
+            outs.append((b2.w, b2.xi, b2.p, extra_out))
             ndrops.append(jax.lax.psum(b2.n_dropped, axis))
             if not eng.sp.zero_current:
                 jpart_sum = jpart if jpart_sum is None \
@@ -176,7 +186,9 @@ def make_spmd_push(cfg, plan, engines, mesh, with_window, axis="x"):
         ``species_binned``: full per-species list (engine-None entries
         ignored); ``seeds``: per-species int32 seeds (or zeros).
         Returns (updated engine-species dict si→BinnedSpecies,
-        jpad_global, ndrop per engine-species)."""
+        jpad_global, ndrop per engine-species, probe_rows dict
+        si→(n_probes·2+1, K, nx, ny) kernel payload rows for
+        probe_records_from_rows)."""
         f6 = fpad[:, 2:-2]
         lghost = fpad[:, :2]
         rghost = fpad[:, -2:]
@@ -186,18 +198,31 @@ def make_spmd_push(cfg, plan, engines, mesh, with_window, axis="x"):
         dtype = fpad.dtype
         for (si, e) in idx_engines:
             b = species_binned[si]
-            aux = b.aux if b.aux is not None else \
+            n_route = e.n_extra - e.n_probes
+            extra = b.aux[:n_route] if n_route else \
                 jnp.zeros((0,) + b.w.shape, dtype)
-            args += [b.w, b.xi, b.p, aux]
+            if e.n_probes:
+                from ..core.binned import probe_entry_distances
+                pps = [pp for pp in cfg.probe_plans if si in pp.species]
+                dinit = probe_entry_distances(b, plan, pps)
+                extra = jnp.concatenate([extra, dinit], axis=0)
+            args += [b.w, b.xi, b.p, extra]
         res = sm(*args)
         k = 0
         new = {}
+        probe_rows = {}
         for (si, e) in idx_engines:
-            w, xi, p, aux = res[k:k + 4]
+            w, xi, p, extra_out = res[k:k + 4]
             k += 4
             b = species_binned[si]
-            new[si] = b._replace(w=w, xi=xi, p=p,
-                                 aux=aux if plan.n_aux else None)
+            n_route = e.n_extra - e.n_probes
+            if plan.n_aux and n_route:
+                aux_new = extra_out[:n_route]
+            else:
+                aux_new = b.aux      # non-routers: rows stay zero
+            new[si] = b._replace(w=w, xi=xi, p=p, aux=aux_new)
+            if e.n_probes:
+                probe_rows[si] = extra_out[n_route:]
         core, outer_l, outer_r = res[k:k + 3]
         k += 3
         ndrops = res[k:]
@@ -206,6 +231,6 @@ def make_spmd_push(cfg, plan, engines, mesh, with_window, axis="x"):
             new[si] = new[si]._replace(
                 n_dropped=species_binned[si].n_dropped
                 + ndrops[j].astype(jnp.int32))
-        return new, jpad, ndrops
+        return new, jpad, ndrops, probe_rows
 
     return push

@@ -344,11 +344,15 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
         # inversion gathered a (N, n_chi) CDF row per SLOT per STEP (GBs
         # materialised; TPU gathers serialise) and a slot-level top_k
         # was itself a multi-ms sort over N=2.6M.  Extract fired CELLS
-        # instead (an 18x smaller top_k), gather those columns, do
-        # everything per-(K, cell-subset) — and gate the WHOLE tail
-        # (top_k, CDF inversion, recoil scatter, candidate build and
-        # photon append) behind any(fire), so the common no-fire step
-        # pays one conditional join instead of the extraction pipeline.
+        # instead — sort-FREE: a cell-flat cumsum + searchsorted yields
+        # the first kc fired cell indices (top_k lowers to a full
+        # variadic sort on TPU, ~1 ms over 147k cells at bench shapes) —
+        # gather those columns, do everything per-(K, cell-subset), and
+        # gate the WHOLE tail behind any(fire).  The cond returns only
+        # SMALL arrays ((Kp|Kc, kc) payloads + the kc cell indices); the
+        # full-grid candidate/recoil arrays are built OUTSIDE by
+        # unique-index scatters in the kernel's native layout (large
+        # cond outputs forced ~14 MB of conditional join copies).
         Kp = b.w.shape[0]
         fshape = fire.shape
         gshape = fshape[1:]
@@ -365,21 +369,17 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
         nd_ = bplan.nd
 
         def _emit_tail(_):
-            # LAYOUT DISCIPLINE (the cascade profile's top cost was NOT
-            # compute): any gather/scatter whose operand or result is a
-            # full (…, K, *grid) slot array makes XLA re-lay it out
-            # (T(8,128) row-major → T(4,128) dim-shuffled and back,
-            # ~0.4 ms per direction per array at bench shapes).  The
-            # cond therefore returns only SMALL arrays — fired-cell
-            # indices, per-slot recoil ratios (Kp, kc) and the
-            # compressed (Kc, grid) candidate payloads — and every
-            # full-array write happens OUTSIDE as an elementwise op in
-            # the kernel's native layout.
-            fire_cell = jnp.any(fire, axis=0)
-            cvals, cidx = jax.lax.top_k(
-                fire_cell.reshape(-1).astype(jnp.float32), kc)
-            cok = cvals > 0
-            uc = jnp.unravel_index(cidx, gshape)
+            # cell extraction: cum[i] = #fired cells in [0..i]; the s-th
+            # fired cell is where cum first reaches s+1 — a vectorised
+            # binary search (kc·log2(C) gathers), no sort.  Unused slots
+            # saturate to C (out of range), the caller's drop marker.
+            fire_cell = jnp.any(fire, axis=0).reshape(-1)
+            cum = jnp.cumsum(fire_cell.astype(jnp.int32))
+            cidx = jnp.searchsorted(
+                cum, jnp.arange(1, kc + 1, dtype=cum.dtype)
+            ).astype(jnp.int32)
+            cok = cidx < C
+            uc = jnp.unravel_index(jnp.clip(cidx, 0, C - 1), gshape)
             i2 = (slice(None),) + uc            # (Kp, kc) selections
             i3 = (slice(None), slice(None)) + uc  # (lead, Kp, kc)
             fire_c = fire[i2] & cok[None]
@@ -405,15 +405,26 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
                 fire_c,
                 jnp.maximum(mag_c - e_ph_c / const.c, 0.0) / msafe_c,
                 1.0).astype(b.w.dtype)
-            cand_w = jnp.zeros((Kc,) + gshape, b.w.dtype)
-            cand_xi = jnp.zeros((nd_, Kc) + gshape, b.xi.dtype)
-            cand_p = jnp.zeros((3, Kc) + gshape, b.p.dtype)
+            cand_w = jnp.zeros((Kc, C), b.w.dtype)
+            cand_xi = jnp.zeros((nd_, Kc, C), b.xi.dtype)
+            cand_p = jnp.zeros((3, Kc, C), b.p.dtype)
             over_rank = jnp.zeros((), jnp.int32)
             if with_photons:
                 # COMPRESSED candidate grid: rank fired slots within
                 # their cells (a K-deep cumsum, no sort); the append is
                 # Kc K-deep selects instead of the dense merge's
-                # multi-payload lax.sort (6.5 ms/step at bench shapes)
+                # multi-payload lax.sort (6.5 ms/step at bench shapes).
+                # The dense (Kc, grid) grids are built HERE, inside the
+                # cond (fire steps only): building them outside from
+                # compressed cond outputs re-materialised the zero grids
+                # every step (measured +4 ms/step in the cascade bench).
+                # Scatters go at FLAT cell indices with invalid slots
+                # remapped to unique out-of-range fills (mode="drop"):
+                # clipping them to C-1 made a zero write COLLIDE with a
+                # genuine candidate whenever the last cell fired, and
+                # duplicate-index .set order is undefined (one photon
+                # silently vanished in the Breit-Wheeler weight-book
+                # test).  The flat->grid reshape is a row-major bitcast.
                 keep_c = fire_c & (e_ph_c > plan.photon_energy_min)
                 rank_c = jnp.cumsum(keep_c.astype(jnp.int32), axis=0) - 1
                 over_rank = jnp.sum(keep_c
@@ -421,25 +432,30 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
                 xi_c = b.xi[i3]
                 p_ph_c = dir_c * (e_ph_c / const.c)[None]
                 w_c = b.w[i2]
+                cu = jnp.where(cok, cidx,
+                               C + jnp.arange(kc, dtype=jnp.int32))
                 for r in range(Kc):
                     sel = keep_c & (rank_c == r)
                     wv = jnp.sum(jnp.where(sel, w_c, 0.0), axis=0)
-                    cand_w = cand_w.at[(r,) + uc].set(
-                        jnp.where(cok, wv, 0.0), mode="drop")
+                    cand_w = cand_w.at[r, cu].set(
+                        wv, mode="drop", unique_indices=True)
                     xv = jnp.sum(jnp.where(sel[None], xi_c, 0.0), axis=1)
-                    cand_xi = cand_xi.at[(slice(None), r) + uc].set(
-                        xv, mode="drop")
+                    cand_xi = cand_xi.at[:, r, cu].set(
+                        xv, mode="drop", unique_indices=True)
                     pv = jnp.sum(jnp.where(sel[None], p_ph_c, 0.0),
                                  axis=1)
-                    cand_p = cand_p.at[(slice(None), r) + uc].set(
-                        pv, mode="drop")
+                    cand_p = cand_p.at[:, r, cu].set(
+                        pv, mode="drop", unique_indices=True)
+            cand_w = cand_w.reshape((Kc,) + gshape)
+            cand_xi = cand_xi.reshape((nd_, Kc) + gshape)
+            cand_p = cand_p.reshape((3, Kc) + gshape)
             # fires beyond the fired-cell cap / per-cell rank cap are
             # dropped photons — counted like every other overflow
             return (cidx, scale_c, cand_w, cand_xi, cand_p,
                     over_fires + over_rank)
 
         def _no_fire(_):
-            return (jnp.zeros((kc,), jnp.int32),
+            return (jnp.full((kc,), C, jnp.int32),
                     jnp.ones((Kp, kc), b.w.dtype),
                     jnp.zeros((Kc,) + gshape, b.w.dtype),
                     jnp.zeros((nd_, Kc) + gshape, b.xi.dtype),
@@ -454,14 +470,18 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
         else:
             cidx, scale_c, cand_w, cand_xi, cand_p, over = jax.lax.cond(
                 jnp.any(fire), _emit_tail, _no_fire, None)
+        # out-of-range fills made unique so the scale scatter below can
+        # declare unique_indices (XLA otherwise serialises the updates)
+        cidx_u = jnp.where(cidx < C, cidx,
+                           C + jnp.arange(kc, dtype=jnp.int32))
         if plan.use_radiation_reaction:
             # dense recoil scale: ones with the fired ratios scattered
             # in at the (distinct) fired cells, then an elementwise
             # multiply — p itself never passes through a gather/scatter,
-            # so it stays in the kernel's native layout (no-fire steps
-            # scatter 1.0s into cell 0, a harmless duplicate write)
-            scale = jnp.ones((Kp, C), b.w.dtype).at[:, cidx].set(
-                scale_c).reshape(fshape)
+            # so it stays in the kernel's native layout
+            scale = jnp.ones((Kp, C), b.w.dtype).at[:, cidx_u].set(
+                scale_c, mode="drop",
+                unique_indices=True).reshape(fshape)
             newp = b.p * scale[None]
         else:
             newp = b.p
@@ -560,9 +580,10 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
             # tail above): the dense path inverted the energy-split CDF
             # for EVERY slot and ran two sort-based merge_candidates
             # every step — ~2x 7 ms at bench shapes with zero fires.
-            # Extract fired CELLS via top_k, do the inversion on the
-            # (K, kc) column subset, and append rank-compressed
-            # candidates; the whole tail sits behind any(fire).
+            # Extract fired CELLS (cumsum + searchsorted, sort-free), do
+            # the inversion on the (K, kc) column subset, and return
+            # only the compressed (Kc, kc) payloads from the cond; the
+            # appends decompress them by kc-sized unique-index scatters.
             Kp = b.w.shape[0]
             gshape = fire.shape[1:]
             C = fire.size // Kp
@@ -580,14 +601,16 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
 
             def _pair_tail(_):
                 # same layout discipline as the emission tail: the cond
-                # returns only the compressed (Kc, grid) candidate
+                # returns only the compressed (Kc, kc) candidate
                 # payloads for the two pair species; the photon kill and
                 # the appends are elementwise ops outside
-                fire_cell = jnp.any(fire, axis=0)
-                cvals, cidx = jax.lax.top_k(
-                    fire_cell.reshape(-1).astype(jnp.float32), kc)
-                cok = cvals > 0
-                uc = jnp.unravel_index(cidx, gshape)
+                fire_cell = jnp.any(fire, axis=0).reshape(-1)
+                cum = jnp.cumsum(fire_cell.astype(jnp.int32))
+                cidx = jnp.searchsorted(
+                    cum, jnp.arange(1, kc + 1, dtype=cum.dtype)
+                ).astype(jnp.int32)
+                cok = cidx < C
+                uc = jnp.unravel_index(jnp.clip(cidx, 0, C - 1), gshape)
                 i2 = (slice(None),) + uc
                 i3 = (slice(None), slice(None)) + uc
                 fire_c = fire[i2] & cok[None]
@@ -614,26 +637,34 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
                 rank_c = jnp.cumsum(fire_c.astype(jnp.int32), axis=0) - 1
                 over_rank = jnp.sum(fire_c
                                     & (rank_c >= Kc)).astype(jnp.int32)
+                # flat scatters at unique saturated indices (see the
+                # emission tail): clipped fills collided with a genuine
+                # candidate at the last cell and zeroed it
+                cu = jnp.where(cok, cidx,
+                               C + jnp.arange(kc, dtype=jnp.int32))
                 cands = []
                 for fr in (frac_c, 1.0 - frac_c):
                     p_t = dir_c * (fr * mag_c)[None]
-                    cand_w = jnp.zeros((Kc,) + gshape, b.w.dtype)
-                    cand_xi = jnp.zeros((nd_, Kc) + gshape, b.xi.dtype)
-                    cand_p = jnp.zeros((3, Kc) + gshape, b.p.dtype)
+                    cand_w = jnp.zeros((Kc, C), b.w.dtype)
+                    cand_xi = jnp.zeros((nd_, Kc, C), b.xi.dtype)
+                    cand_p = jnp.zeros((3, Kc, C), b.p.dtype)
                     for r in range(Kc):
                         sel = fire_c & (rank_c == r)
                         wv = jnp.sum(jnp.where(sel, w_c, 0.0), axis=0)
-                        cand_w = cand_w.at[(r,) + uc].set(
-                            jnp.where(cok, wv, 0.0), mode="drop")
+                        cand_w = cand_w.at[r, cu].set(
+                            wv, mode="drop", unique_indices=True)
                         xv = jnp.sum(jnp.where(sel[None], xi_c, 0.0),
                                      axis=1)
-                        cand_xi = cand_xi.at[(slice(None), r) + uc].set(
-                            xv, mode="drop")
+                        cand_xi = cand_xi.at[:, r, cu].set(
+                            xv, mode="drop", unique_indices=True)
                         pv = jnp.sum(jnp.where(sel[None], p_t, 0.0),
                                      axis=1)
-                        cand_p = cand_p.at[(slice(None), r) + uc].set(
-                            pv, mode="drop")
-                    cands.extend([cand_w, cand_xi, cand_p])
+                        cand_p = cand_p.at[:, r, cu].set(
+                            pv, mode="drop", unique_indices=True)
+                    cands.extend([
+                        cand_w.reshape((Kc,) + gshape),
+                        cand_xi.reshape((nd_, Kc) + gshape),
+                        cand_p.reshape((3, Kc) + gshape)])
                 return tuple(cands) + (over_fires + over_rank,)
 
             def _no_pair(_):

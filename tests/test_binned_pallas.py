@@ -29,7 +29,9 @@ def _setup(n=(16, 8), K=8, bc_x=const.BC.PERIODIC, n_aux=0):
                     bc_field=(const.BC.PERIODIC,) * 6,
                     bc_particle=(const.BC.PERIODIC,) * 6,
                     species=(sp,), lasers=(), dtype=np.float32)
-    aux_names = ("opdepth", "opdepth_brem")[:n_aux]
+    # id rows: every species routes them (species_uses_aux) — the names
+    # only matter for the routing-eligibility check, not the kernel
+    aux_names = ("id_lo", "id_hi")[:n_aux]
     cfg = dataclasses.replace(cfg, bin_k=K, binned_aux=aux_names)
     plan = binmod.BinnedPlan(cfg)
     rng = np.random.default_rng(3)
@@ -118,6 +120,31 @@ def test_pallas_aux_payload_routing():
                 np.asarray(jnp.where(live, b.aux[1], 0.0)),
                 np.asarray(jnp.where(live, -3.0 * b.w, 0.0)), rtol=1e-6)
         assert int(jnp.sum(b_x.w > 0)) == int(jnp.sum(b_p.w > 0))
+
+
+def test_pallas_aux_skip_for_non_users():
+    """A species that never reads its aux rows (species_uses_aux False —
+    e.g. ions in a QED deck) skips the extra-payload routing entirely:
+    its engine routes 0 rows and push_deposit_pallas passes the zero
+    rows through untouched."""
+    cfg, plan, sp, grid, bm, interior = _setup(n_aux=2)
+    import dataclasses as dc
+    cfg = dc.replace(cfg, binned_aux=("opdepth", "qed_eta"))
+    plan = binmod.BinnedPlan(cfg)
+    assert not binmod.species_uses_aux(cfg, 0)
+    engines = binmod.make_pallas_engines(cfg, plan, interpret=True)
+    eng = engines[0]
+    assert eng is not None and eng.n_extra == 0
+    names = ("ex", "ey", "ez", "bx", "by", "bz")
+    fstack = jnp.stack([interior[nm] for nm in names], axis=0)
+    fpad = jnp.pad(fstack, ((0, 0), (2, 2), (2, 2)), mode="wrap")
+    fwin = eng.make_fwin(fpad)
+    zaux = jnp.zeros_like(bm.aux)
+    b = bm._replace(aux=zaux)
+    for _ in range(3):
+        b, _ = binmod.push_deposit_pallas(eng, fwin, b, plan)
+    assert b.aux.shape == zaux.shape
+    assert float(jnp.abs(b.aux).max()) == 0.0
 
 
 PROBE_DECK_2D = """
