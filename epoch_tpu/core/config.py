@@ -92,6 +92,9 @@ class SimConfig:
     # Higuera-Cary momentum update instead of Boris (HC_PUSH define,
     # particles.F90:308-320)
     use_higuera_cary: bool = False
+    # WORK_DONE_INTEGRATED define -> runtime key (particles.F90:396-411):
+    # per-particle E-field work per direction, step + time-integrated
+    work_done_integrated: bool = False
     smooth_iterations: int = 1
     smooth_compensation: bool = False
     cpml_kappa_max: float = 20.0

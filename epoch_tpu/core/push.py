@@ -154,6 +154,7 @@ def push_species(fields: Fields, slab: ParticleSlab, sp, plan: PushPlan,
     u = [p[:, i] * ipart_mc for i in range(3)]
 
     gamma = jnp.sqrt(u[0] ** 2 + u[1] ** 2 + u[2] ** 2 + 1.0)
+    gamma0 = gamma        # γ(t) — first work term (particles.F90:250-258)
     root = plan.dtco2 / gamma
     for d in range(nd):
         rel[d] = rel[d] + u[d] * root
@@ -242,9 +243,32 @@ def push_species(fields: Fields, slab: ParticleSlab, sp, plan: PushPlan,
         [rel[d] + plan.grid_min[d] for d in range(nd)], axis=1)
     new_p = jnp.stack([ux, uy, uz], axis=1) * part_mc
 
+    new_work = slab.work
+    if new_work is not None:
+        # WORK_DONE_INTEGRATED (particles.F90:396-411): per-direction
+        # field work this step, trapezoidal in the velocity —
+        # E_part · (u(t)/γ(t) + u(t+dt)/γ(t+dt)) · q·dt/(2mc).  "Results
+        # correspond with the electron's gamma factor": Σ_c work_c over
+        # a step equals Δγ.  ex_p carries plan.fac and cm divides it
+        # back out, so the product matches the reference's raw
+        # ex_part·cmratio exactly.
+        ig0 = 1.0 / gamma0
+        ign = 1.0 / gamma
+        wx = ex_p * cm * (u[0] * ig0 + ux * ign)
+        wy = ey_p * cm * (u[1] * ig0 + uy * ign)
+        wz = ez_p * cm * (u[2] * ig0 + uz * ign)
+        live = slab.alive
+        wx = jnp.where(live, wx, 0.0)
+        wy = jnp.where(live, wy, 0.0)
+        wz = jnp.where(live, wz, 0.0)
+        new_work = jnp.stack(
+            [wx, wy, wz,
+             new_work[:, 3] + wx, new_work[:, 4] + wy,
+             new_work[:, 5] + wz], axis=1)
+
     # ---- current deposition at t+1.5dt (particles.F90:397-514) ----
     if sp.zero_current or sp.immobile:
-        return slab._replace(x=new_x, p=new_p), None
+        return slab._replace(x=new_x, p=new_p, work=new_work), None
 
     rel3 = [rel[d] + delta[d] for d in range(nd)]
     gw5, hw5, cells_w = [], [], []
@@ -326,7 +350,8 @@ def push_species(fields: Fields, slab: ParticleSlab, sp, plan: PushPlan,
         jzv = (-fjz[:, None, None, None] * jnp.cumsum(wz, axis=3)).reshape(N, -1)
         flat = _flat_index(cells_w, plan.strides)
 
-    return slab._replace(x=new_x, p=new_p), (flat, jxv, jyv, jzv)
+    return slab._replace(x=new_x, p=new_p, work=new_work), \
+        (flat, jxv, jyv, jzv)
 
 
 def push_photons(slab: ParticleSlab, plan: PushPlan):

@@ -263,6 +263,7 @@ def build_config(deck: DeckConfig) -> SimConfig:
         dtype=dtype,
         smooth_currents=deck.control.smooth_currents,
         use_higuera_cary=deck.control.use_higuera_cary,
+        work_done_integrated=deck.control.work_done_integrated,
         smooth_iterations=deck.control.smooth_iterations,
         smooth_compensation=deck.control.smooth_compensation,
         cpml_kappa_max=deck.boundaries.cpml_kappa_max,
@@ -393,6 +394,11 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
         why.append("delta-f species")
     if deck.control.use_migration:
         why.append("species migration")
+    if deck.control.work_done_integrated:
+        # the fused/binned push does not compute the per-direction work
+        # terms (WORK_DONE_INTEGRATED, particles.F90:396-411): the
+        # scatter Boris push carries them exactly
+        why.append("work_done_integrated diagnostics")
     # probes run on the binned engine (plane distances carried
     # through the rebin) except with a moving window (probe planes
     # are window-frame-fixed there) or photon species (photon push
@@ -565,6 +571,10 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
                 if "pvol" in arrs:
                     slab = slab._replace(
                         pvol=slab.pvol.at[:n].set(arrs["pvol"]))
+            if cfg.work_done_integrated:
+                # WORK_DONE_INTEGRATED storage (shared_data.F90:117-125)
+                slab = slab._replace(
+                    work=jnp.zeros((sp_cfg.cap, 6), dtype))
             slabs.append(slab)
 
     cpml = None

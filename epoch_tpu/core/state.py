@@ -63,6 +63,11 @@ class ParticleSlab(NamedTuple):
     # delta-f phase-space volume (particle%pvol, DELTAF_METHOD builds);
     # constant per particle after deltaf_load
     pvol: jax.Array           # (cap,)
+    # WORK_DONE_INTEGRATED builds (shared_data.F90:117-125): per-step and
+    # time-integrated field work per direction, columns
+    # [work_x, work_y, work_z, work_x_total, work_y_total, work_z_total].
+    # Allocated only when control work_done_integrated = T (None else).
+    work: jax.Array = None    # (cap, 6) or None
 
     @property
     def cap(self) -> int:

@@ -72,6 +72,9 @@ class ControlBlock:
     smooth_compensation: bool = False
     smooth_strides: tuple = ()
     use_higuera_cary: bool = False       # HC_PUSH define -> runtime key
+    # WORK_DONE_INTEGRATED define -> runtime key: per-particle field-work
+    # tracking (particles.F90:396-411)
+    work_done_integrated: bool = False
     use_balance: bool = False
     dlb_threshold: float = 0.0
     balance_first: bool = True

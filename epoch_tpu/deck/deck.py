@@ -321,6 +321,8 @@ class DeckParser:
                 c.smooth_currents = self.logical(val)
             elif el == "use_higuera_cary":
                 c.use_higuera_cary = self.logical(val)
+            elif el == "work_done_integrated":
+                c.work_done_integrated = self.logical(val)
             elif el == "smooth_iterations":
                 c.smooth_iterations = self.integer(val)
             elif el == "smooth_compensation":

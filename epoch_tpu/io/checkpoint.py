@@ -87,6 +87,11 @@ def write_restart(path, cfg, state: SimState, deck_text: str = "",
             w.write_plain_variable(f"restart/pvol/{sp.name}",
                                    f"Restart/Particles/pvol/{sp.name}",
                                    np.asarray(s.pvol), "grid")
+            if s.work is not None:
+                # WORK_DONE_INTEGRATED columns (shared_data.F90:117-125)
+                w.write_plain_variable(f"restart/work/{sp.name}",
+                                       f"Restart/Particles/work/{sp.name}",
+                                       np.asarray(s.work), "grid")
     # scalars + RNG + laser phases (setup.F90:1483-1573 analogues)
     w.write_constant("restart/time", "Restart/time", float(state.time))
     w.write_constant("restart/step", "Restart/step", int(state.step))
@@ -234,6 +239,9 @@ def read_restart(path, cfg, template: SimState) -> SimState:
                 if f"Restart/Particles/pvol/{sp.name}" in d:
                     extra["pvol"] = arr(
                         f"Restart/Particles/pvol/{sp.name}")
+                if f"Restart/Particles/work/{sp.name}" in d:
+                    extra["work"] = arr(
+                        f"Restart/Particles/work/{sp.name}")
             species.append(t._replace(
                 x=arr(f"Restart/Particles/x/{sp.name}"),
                 p=arr(f"Restart/Particles/p/{sp.name}"),

@@ -475,7 +475,11 @@ VAR_EXPANSIONS = {
     "poynt_flux": ("poynt_flux_x", "poynt_flux_y", "poynt_flux_z"),
     "poynting_flux": ("poynt_flux_x", "poynt_flux_y", "poynt_flux_z"),
     "current_density": ("current_x", "current_y", "current_z"),
-    "work_done_integrated": ("work_x", "work_y", "work_z"),
+    # convenience alias (the reference exposes the six work_* keys
+    # individually, deck_io_block.F90:593-610)
+    "work_done_integrated": ("work_x", "work_y", "work_z",
+                             "work_x_total", "work_y_total",
+                             "work_z_total"),
 }
 
 # non-variable keys maybe_dump/write_dump consume directly (the rest of
@@ -486,6 +490,10 @@ EXTRA_OUTPUT_KEYS = frozenset((
     "ejected_particles", "particle_probes", "species_id",
     "dump_input_decks", "dump_source_code",
 ))
+
+def _work_col(s, col):
+    return s.work[:, col] if s.work is not None else s.weight * 0.0
+
 
 def _gamma_of(s, sp):
     import jax.numpy as jnp
@@ -539,6 +547,20 @@ PARTICLE_VARS = {
     "bremsstrahlung_optical_depth": (
         "optical_depth_brem", "Particles/Bremsstrahlung Optical Depth", "",
         lambda s, sp: s.opdepth_brem),
+    # WORK_DONE_INTEGRATED variables (diagnostics.F90:669-690); zeros
+    # when the run didn't enable control work_done_integrated
+    "work_x": ("work_x", "Particles/Work_x_direction", "J",
+               lambda s, sp: _work_col(s, 0)),
+    "work_y": ("work_y", "Particles/Work_y_direction", "J",
+               lambda s, sp: _work_col(s, 1)),
+    "work_z": ("work_z", "Particles/Work_z_direction", "J",
+               lambda s, sp: _work_col(s, 2)),
+    "work_x_total": ("work_x_total", "Particles/Time_Integrated_Work_x",
+                     "J", lambda s, sp: _work_col(s, 3)),
+    "work_y_total": ("work_y_total", "Particles/Time_Integrated_Work_y",
+                     "J", lambda s, sp: _work_col(s, 4)),
+    "work_z_total": ("work_z_total", "Particles/Time_Integrated_Work_z",
+                     "J", lambda s, sp: _work_col(s, 5)),
 }
 
 
@@ -791,6 +813,8 @@ class OutputManager:
                             break
             elif var in DERIVED_VARS or var in VAR_EXPANSIONS:
                 for sub in VAR_EXPANSIONS.get(var, (var,)):
+                    if sub not in DERIVED_VARS:
+                        continue   # particle-side expansion (work_x…)
                     key, name, units = DERIVED_VARS[sub]
                     if mask & int(IOType.SPECIES) \
                             and not key.startswith("poynt"):
@@ -823,9 +847,19 @@ class OutputManager:
             w.write_constant("abs_frac",
                              "Absorption/Fraction of Laser Energy "
                              "Absorbed (%)", frac)
-        # particle data
-        part_vars = [v for v in mask_map
-                     if v in PARTICLE_VARS and self._fires(mask_map[v])]
+        # particle data (VAR_EXPANSIONS may alias a deck key to particle
+        # variables: work_done_integrated -> work_x/y/z + totals)
+        part_vars = []
+        expand_masks = {}
+        for v, m in mask_map.items():
+            if not self._fires(m):
+                continue
+            for sub in VAR_EXPANSIONS.get(v, (v,)):
+                if sub in PARTICLE_VARS and sub not in part_vars:
+                    part_vars.append(sub)
+                    expand_masks.setdefault(sub, m)
+        for sub, m in expand_masks.items():
+            mask_map.setdefault(sub, m)
         if part_vars:
             self._write_particles(w, state, part_vars, mask_map)
         # ejected particles: dumped like a species named ejected_<name>

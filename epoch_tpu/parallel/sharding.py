@@ -170,7 +170,8 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "x"):
             return ParticleSlab(
                 x=part, p=part, weight=part, alive=part, id=part,
                 opdepth=part, opdepth_brem=part, opdepth_tri=part,
-                pvol=part)
+                pvol=part,
+                work=part if slab.work is not None else None)
         return jax.tree.map(lambda _: repl, slab)
 
     species = tuple(slab_sharding(s) for s in state.species)

@@ -29,6 +29,7 @@ DEF_PARTICLE_ID = 1 << 14
 DEF_PHOTONS = 1 << 15
 DEF_TRIDENT_PHOTONS = 1 << 16
 DEF_DELTAF_METHOD = 1 << 20
+DEF_WORK_DONE_INTEGRATED = 1 << 22
 DEF_HC_PUSH = 1 << 23
 DEF_BREMSSTRAHLUNG = 1 << 26
 
@@ -75,5 +76,7 @@ def defines_bitmask(cfg) -> int:
         mask |= DEF_DELTAF_METHOD
     if cfg.use_higuera_cary:
         mask |= DEF_HC_PUSH
+    if getattr(cfg, "work_done_integrated", False):
+        mask |= DEF_WORK_DONE_INTEGRATED
     mask |= DEF_PARTICLE_ID               # lazy int64 ids always available
     return mask
