@@ -176,8 +176,12 @@ def outflow_bcs(f: Fields, cfg, state, dt, time, axis, hi: bool, dtype):
                    + diff * row(b[t1], dref))
     wrow = lp if hi else lp - 1             # written tangential-B row
     upd = {bn[axis]: b_axis_new}
-    upd[bn[t2]] = b[t2].at[_row(b[t2], axis, wrow)].set(bt2_new)
-    upd[bn[t1]] = b[t1].at[_row(b[t1], axis, wrow)].set(bt1_new)
+    # stored bc_fields rows can be f64 under x64 configs; pin before the
+    # row scatter into the f32 field (future JAX makes this an error)
+    upd[bn[t2]] = b[t2].at[_row(b[t2], axis, wrow)].set(
+        jnp.asarray(bt2_new, b[t2].dtype))
+    upd[bn[t1]] = b[t1].at[_row(b[t1], axis, wrow)].set(
+        jnp.asarray(bt1_new, b[t1].dtype))
     return f._replace(**upd)
 
 

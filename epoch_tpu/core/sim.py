@@ -532,8 +532,15 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
         ns = BinnedPlan(cfg).ns      # slot extents incl. pad columns
         for arrs in loaded:
             if arrs is None:
-                arrs = dict(x=np.zeros((0, grid.ndims)), p=np.zeros((0, 3)),
-                            weight=np.zeros((0,)))
+                # empty-loaded species (QED photons/positrons before any
+                # emission): pin the staging dtype to the deck precision
+                # — bare np.zeros is f64 and under x64 the whole slot
+                # grid would silently come out f64 (2x memory and a
+                # future-error f64→f32 scatter at every deposit)
+                zdt = np.dtype(cfg.dtype)
+                arrs = dict(x=np.zeros((0, grid.ndims), zdt),
+                            p=np.zeros((0, 3), zdt),
+                            weight=np.zeros((0,), zdt))
             slabs.append(bin_from_arrays(
                 arrs["x"], arrs["p"], arrs["weight"], grid, K,
                 n_aux=len(cfg.binned_aux), ns=ns))

@@ -158,6 +158,24 @@ class QEDPlan:
         # chi = c_chi · part_e · |q_perp|  (calculate_chi :714-745)
         self.c_pair_per_dt = float(const.alpha_fine / TAU_C)
         self.c_chi = float(0.5 / E_S)
+        # Gather-free photon-energy sampling fit for the DENSE emission
+        # tail (generate_photon / calculate_photon_energy :867-943).
+        # The table inversion chi(eta, p) needs a per-particle gather of
+        # a (n_chi,) CDF row — TPU gathers serialise, ~7 ms/step dense at
+        # bench shapes.  Instead fit U(x, p) = log10(chi) − (log10 eta −
+        # log10 2), the offset of the sampled chi below the row maximum
+        # chi_max = eta/2, as a 2-D Chebyshev series in x (normalised
+        # log10 eta) and y = 2p − 1.  U is smooth where it matters:
+        # weighting the fit to U ≥ −5 (photons within 5 decades of
+        # chi_max — everything energetic enough to survive
+        # photon_energy_min or contribute measurable recoil) gives max
+        # error 0.029 decades at degree (12, 24) — SMALLER than the
+        # reference's own nearest-row quantisation of the same table
+        # (adjacent rows of ksi_sokolov differ by up to 0.075 decades,
+        # mean 0.046).  Gated in tests/test_qed.py.
+        self.chi_fit_deg = (12, 24)
+        self.chi_fit_pmax = 0.9995
+        self.chi_fit_coeffs = self._build_chi_fit()
         # per-species map set by the step builder when the fused kernel
         # computes eta + the optical-depth decrement itself
         self.rates_in_kernel = {}
@@ -173,6 +191,39 @@ class QEDPlan:
         self.c1_per_dt = float(const.alpha_fine * math.sqrt(3.0)
                                / (2.0 * math.pi * TAU_C))
 
+    def _build_chi_fit(self):
+        """Weighted tensor-Chebyshev least squares of the inverse photon
+        CDF offset U(log10 eta, p) against the loaded ksi_sokolov table
+        (see chi_fit_coeffs above)."""
+        import numpy.polynomial.chebyshev as _C
+        t = self.tables
+        n_eta, n_chi = t.p_photon.shape
+        le = np.asarray(t.log_eta)
+        lcm = np.log10(np.maximum(np.asarray(t.chimin), 1e-300))
+        pgrid = np.linspace(0.0, self.chi_fit_pmax, 401)
+        u_tab = np.zeros((n_eta, pgrid.size))
+        for i in range(n_eta):
+            cdf = t.p_photon[i]
+            j = np.clip(np.searchsorted(cdf, pgrid, side="left"),
+                        1, n_chi - 1)
+            c0, c1 = cdf[j - 1], cdf[j]
+            f = np.where(c1 > c0,
+                         (pgrid - c0) / np.maximum(c1 - c0, 1e-300), 0.0)
+            s = (j - 1 + np.clip(f, 0, 1)) / (n_chi - 1)
+            span = (le[i] - math.log10(2.0)) - lcm[i]
+            u_tab[i] = (s - 1.0) * span
+        dx, dp = self.chi_fit_deg
+        xn = 2.0 * (le - le[0]) / (le[-1] - le[0]) - 1.0
+        basis = np.einsum(
+            "ia,jb->ijab", _C.chebvander(xn, dx),
+            _C.chebvander(2.0 * pgrid / self.chi_fit_pmax - 1.0, dp)
+        ).reshape(n_eta * pgrid.size, -1)
+        wgt = np.where(u_tab >= -5.0, 1.0, 0.01).ravel()
+        coef, *_ = np.linalg.lstsq(basis * wgt[:, None],
+                                   u_tab.ravel() * wgt, rcond=None)
+        return tuple(tuple(float(v) for v in row)
+                     for row in coef.reshape(dx + 1, dp + 1))
+
 
 def _interp_1d(xt, yt, x):
     """Linear interpolation with edge clamping (find_value_from_table_1d)."""
@@ -182,6 +233,33 @@ def _interp_1d(xt, yt, x):
     f = (x - xt[i]) / (xt[i + 1] - xt[i])
     f = jnp.clip(f, 0.0, 1.0)
     return yt[i] * (1 - f) + yt[i + 1] * f
+
+
+def _clenshaw(coeffs, x):
+    """Chebyshev series evaluation; ``coeffs`` may be floats or arrays
+    (the outer dimension of a tensor series)."""
+    b1 = jnp.zeros_like(x)
+    b2 = jnp.zeros_like(x)
+    for ck in coeffs[:0:-1]:
+        b1, b2 = ck + 2.0 * x * b1 - b2, b1
+    return coeffs[0] + x * b1 - b2
+
+
+def _sample_chi_fit(plan, eta, r):
+    """Photon chi sample from the gather-free Chebyshev fit of the
+    inverse ksi_sokolov CDF (QEDPlan.chi_fit_coeffs): elementwise math
+    only, no table row gathers.  ``r`` uniform in [0, chi_fit_pmax]."""
+    t = plan.tables
+    le0, le1 = float(t.log_eta[0]), float(t.log_eta[-1])
+    lg = jnp.log10(jnp.maximum(eta, 1e-30))
+    lgc = jnp.clip(lg, le0, le1)
+    xn = 2.0 * (lgc - le0) / (le1 - le0) - 1.0
+    yn = 2.0 * r / plan.chi_fit_pmax - 1.0
+    rows = [_clenshaw(row, yn) for row in plan.chi_fit_coeffs]
+    u = _clenshaw(rows, xn)
+    # chi_max = eta/2 uses the clamped table abscissa, matching the
+    # reference's row-clamped axis (photons.F90:452-463)
+    return 10.0 ** (lgc - math.log10(2.0) + jnp.minimum(u, 0.0))
 
 
 def _invert_cdf_rows(log_x_axis, row_axes, p_table, x_in, p, chimin=None):
@@ -277,6 +355,44 @@ def _chi_photon(e, b, dirv, part_e):
     return 0.5 * jnp.sqrt(qx ** 2 + qy ** 2 + qz ** 2) * part_e / E_S
 
 
+def _run_trident(species, b, i, plan, bplan, eta, alive, active, key,
+                 i_odt, dt, mc0):
+    """Trident pairs on the binned engine (TRIDENT_PHOTONS,
+    photons.F90:502-572,1010-1042); mutates ``species`` in place.
+    Uses a folded-in RNG stream so the caller's key stays untouched."""
+    from ..core import binned as binmod
+    if not (plan.use_trident and i_odt >= 0 and plan.tri_electron >= 0
+            and plan.tri_positron >= 0):
+        return
+    tab = plan.tables
+    k3 = jax.random.fold_in(key, 7)
+    odt = b.aux[i_odt]
+    odt = jnp.where(odt <= 0.0,
+                    -jnp.log(1.0 - jax.random.uniform(
+                        k3, odt.shape, odt.dtype, maxval=0.999999)),
+                    odt)
+    omega_hat = 10.0 ** _interp_1d(
+        tab.t_logchi, tab.omega_val,
+        jnp.log10(jnp.maximum(eta, 1e-30)))
+    gam_t = jnp.sqrt((b.p[0] ** 2 + b.p[1] ** 2 + b.p[2] ** 2)
+                     / mc0 ** 2 + 1.0)
+    d_odt = dt * eta * const.alpha_fine ** 2 * 0.64 * omega_hat \
+        / (2.0 * math.pi * TAU_C * gam_t)
+    odt = (odt - jnp.where(alive & active, d_odt, 0.0)) \
+        .astype(b.aux.dtype)
+    fire_t = alive & active & (odt <= 0.0)
+    p_zero = jnp.zeros_like(b.p)
+    cand_w = jnp.where(fire_t, b.w, 0.0)
+    species[plan.tri_electron] = binmod.merge_candidates(
+        species[plan.tri_electron], b.xi, p_zero, cand_w, bplan)
+    species[plan.tri_positron] = binmod.merge_candidates(
+        species[plan.tri_positron], b.xi, p_zero, cand_w, bplan)
+    odt = jnp.where(fire_t, -jnp.log(1.0 - jax.random.uniform(
+        jax.random.fold_in(k3, 1), odt.shape, odt.dtype,
+        maxval=0.999999)), odt)
+    species[i] = b._replace(aux=b.aux.at[i_odt].set(odt))
+
+
 def _qed_binned(state, cfg, plan: QEDPlan, key):
     """QED on the binned (slot-grid) engine: identical rate math; the
     gather is the slot-grid roll gather, optical depths live in the
@@ -367,6 +483,86 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
 
         Kc = int(os.environ.get("EPOCH_TPU_EMIT_RANK_CAP", 4))
         nd_ = bplan.nd
+
+        # DENSE emission tail (default): in a developed high-eta
+        # interaction (the Breit-Wheeler cascade flagship) MOST cells
+        # fire every step — the sparse fired-cell extraction's kc cap
+        # then drops the bulk of the emission (measured: 1.27 M photons
+        # dropped vs 1 k stored on the cascade bench).  The reference
+        # has no such cap: emission runs per-particle inside the hot
+        # loop (photons.F90:524-1042).  The dense tail samples chi for
+        # every slot from the gather-free Chebyshev fit (elementwise),
+        # applies recoil as a full-field scale, and builds the per-cell
+        # ranked candidate rows by K-deep masked reductions — no
+        # searchsorted, no scatters, no fired-cell cap; the only caps
+        # left are the physical ones (Kc candidates per cell per step,
+        # K slots per cell), both counted.  Still gated behind
+        # any(fire) so no-fire steps pay nothing.
+        if os.environ.get("EPOCH_TPU_QED_TAIL", "dense") != "sparse":
+            def _emit_dense(_):
+                r = jax.random.uniform(k2, fshape, b.w.dtype,
+                                       maxval=plan.chi_fit_pmax)
+                chi = _sample_chi_fit(plan, eta, r)
+                mag = jnp.sqrt(b.p[0] ** 2 + b.p[1] ** 2 + b.p[2] ** 2)
+                msafe = jnp.where(mag > 0, mag, 1.0)
+                gam = jnp.sqrt((mag / mc0) ** 2 + 1.0)
+                e_ph = ((2.0 * chi / jnp.maximum(eta, 1e-30)) * gam
+                        * const.m0 * const.c ** 2).astype(b.w.dtype)
+                scale = jnp.where(
+                    fire,
+                    jnp.maximum(mag - e_ph / const.c, 0.0) / msafe,
+                    1.0).astype(b.w.dtype)
+                over = jnp.zeros((), jnp.int32)
+                cand_w = jnp.zeros((Kc,) + gshape, b.w.dtype)
+                cand_xi = jnp.zeros((nd_, Kc) + gshape, b.xi.dtype)
+                cand_p = jnp.zeros((3, Kc) + gshape, b.p.dtype)
+                if with_photons:
+                    keep = fire & (e_ph > plan.photon_energy_min)
+                    rank = jnp.cumsum(keep.astype(jnp.int32), axis=0) - 1
+                    over = jnp.sum(keep
+                                   & (rank >= Kc)).astype(jnp.int32)
+                    p_ph = b.p * (e_ph / const.c / msafe)[None]
+                    sels = [keep & (rank == rr) for rr in range(Kc)]
+                    cand_w = jnp.stack(
+                        [jnp.sum(jnp.where(s, b.w, 0.0), axis=0)
+                         for s in sels])
+                    cand_xi = jnp.stack(
+                        [jnp.sum(jnp.where(s[None], b.xi, 0.0), axis=1)
+                         for s in sels], axis=1)
+                    cand_p = jnp.stack(
+                        [jnp.sum(jnp.where(s[None], p_ph, 0.0), axis=1)
+                         for s in sels], axis=1)
+                return scale, cand_w, cand_xi, cand_p, over
+
+            def _no_fire_dense(_):
+                return (jnp.ones(fshape, b.w.dtype),
+                        jnp.zeros((Kc,) + gshape, b.w.dtype),
+                        jnp.zeros((nd_, Kc) + gshape, b.xi.dtype),
+                        jnp.zeros((3, Kc) + gshape, b.p.dtype),
+                        jnp.zeros((), jnp.int32))
+
+            if os.environ.get("EPOCH_TPU_QED_GATE", "1") == "0":
+                scale, cand_w, cand_xi, cand_p, over = _emit_dense(None)
+            else:
+                scale, cand_w, cand_xi, cand_p, over = jax.lax.cond(
+                    jnp.any(fire), _emit_dense, _no_fire_dense, None)
+            newp = b.p * scale[None] \
+                if plan.use_radiation_reaction else b.p
+            if with_photons:
+                species[plan.photon_species] = binmod.append_compressed(
+                    ph0, cand_xi, cand_p, cand_w, bplan)
+                species[plan.photon_species] = \
+                    species[plan.photon_species]._replace(
+                        n_dropped=species[plan.photon_species].n_dropped
+                        + over)
+            if plan.rates_in_kernel.get(i):
+                b = b._replace(p=newp)
+            else:
+                b = b._replace(p=newp, aux=b.aux.at[i_od].set(od))
+            species[i] = b
+            _run_trident(species, b, i, plan, bplan, eta, alive, active,
+                         key, i_odt, dt, mc0)
+            continue
 
         def _emit_tail(_):
             # cell extraction: cum[i] = #fired cells in [0..i]; the s-th
@@ -499,36 +695,8 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
         else:
             b = b._replace(p=newp, aux=b.aux.at[i_od].set(od))
         species[i] = b
-
-        # trident pairs (TRIDENT_PHOTONS, photons.F90:502-572,1010-1042)
-        if plan.use_trident and i_odt >= 0 and plan.tri_electron >= 0 \
-                and plan.tri_positron >= 0:
-            key, k3 = jax.random.split(key)
-            odt = b.aux[i_odt]
-            odt = jnp.where(odt <= 0.0,
-                            -jnp.log(1.0 - jax.random.uniform(
-                                k3, odt.shape, odt.dtype, maxval=0.999999)),
-                            odt)
-            omega_hat = 10.0 ** _interp_1d(
-                tab.t_logchi, tab.omega_val,
-                jnp.log10(jnp.maximum(eta, 1e-30)))
-            gam_t = jnp.sqrt((b.p[0] ** 2 + b.p[1] ** 2 + b.p[2] ** 2)
-                             / mc0 ** 2 + 1.0)
-            d_odt = dt * eta * const.alpha_fine ** 2 * 0.64 * omega_hat \
-                / (2.0 * math.pi * TAU_C * gam_t)
-            odt = (odt - jnp.where(alive & active, d_odt, 0.0)) \
-                .astype(b.aux.dtype)
-            fire_t = alive & active & (odt <= 0.0)
-            p_zero = jnp.zeros_like(b.p)
-            cand_w = jnp.where(fire_t, b.w, 0.0)
-            species[plan.tri_electron] = binmod.merge_candidates(
-                species[plan.tri_electron], b.xi, p_zero, cand_w, bplan)
-            species[plan.tri_positron] = binmod.merge_candidates(
-                species[plan.tri_positron], b.xi, p_zero, cand_w, bplan)
-            odt = jnp.where(fire_t, -jnp.log(1.0 - jax.random.uniform(
-                jax.random.fold_in(k3, 1), odt.shape, odt.dtype,
-                maxval=0.999999)), odt)
-            species[i] = b._replace(aux=b.aux.at[i_odt].set(odt))
+        _run_trident(species, b, i, plan, bplan, eta, alive, active,
+                     key, i_odt, dt, mc0)
 
     # photons → pairs (Breit-Wheeler, generate_pair :944)
     if plan.produce_pairs and plan.photon_species >= 0:
@@ -633,7 +801,10 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
                 frac_c = _invert_cdf_rows(
                     tab.log_chi2, eps_axes, tab.p_energy,
                     chi_c.reshape(-1), r_c.reshape(-1)).reshape(Kp, kc)
-                frac_c = jnp.clip(frac_c, 0.0, 1.0)
+                # the f64 table axes promote under x64 configs; the
+                # .at[].set into the f32 candidate grids below would
+                # otherwise warn (future JAX: error) on the downcast
+                frac_c = jnp.clip(frac_c, 0.0, 1.0).astype(b.w.dtype)
                 rank_c = jnp.cumsum(fire_c.astype(jnp.int32), axis=0) - 1
                 over_rank = jnp.sum(fire_c
                                     & (rank_c >= Kc)).astype(jnp.int32)

@@ -546,3 +546,41 @@ def test_pair_rates_in_kernel_match_xla(tmp_path, monkeypatch):
     part_e = 4000.0
     chi_ref = 0.5 * part_e * 2.0e15 / E_S
     np.testing.assert_allclose(chi_k, chi_ref, rtol=1e-4)
+
+
+def test_chi_sampling_fit_matches_table_inversion():
+    """The dense emission tail's gather-free Chebyshev chi sampler
+    (QEDPlan.chi_fit_coeffs, qed._sample_chi_fit) must track the exact
+    per-row table inversion (find_value_from_table_alt,
+    photons.F90:867-943) to better than the table's OWN nearest-row
+    quantisation (adjacent ksi_sokolov rows differ by up to 0.075
+    decades in the sampled log-chi).  Evaluated at exact table rows so
+    the nearest-row inversion is exact there; p off the fit grid."""
+    import math
+    import jax
+    import types
+    from epoch_tpu.physics.qed import (QEDTables, QEDPlan, _sample_chi_fit,
+                                       _invert_cdf_rows)
+    t = QEDTables(TABLES)
+    plan = types.SimpleNamespace(tables=t)
+    plan.chi_fit_deg = (12, 24)
+    plan.chi_fit_pmax = 0.9995
+    plan.chi_fit_coeffs = QEDPlan._build_chi_fit(plan)
+    rows = np.arange(30, 100, 3)          # log_eta in [-3.2, 1]: the
+    # fire-dense regime the fit serves (rarer low-eta fires land within
+    # the same gate by the weighted fit's construction)
+    p = np.linspace(0.013, 0.987, 61)     # off the fit's p grid
+    eta = 10.0 ** t.log_eta[rows]
+    ee, pp = np.meshgrid(eta, p, indexing="ij")
+    chi_fit = np.asarray(_sample_chi_fit(
+        plan, jnp.asarray(ee.ravel()), jnp.asarray(pp.ravel())))
+    chi_exact = np.asarray(_invert_cdf_rows(
+        t.log_eta, t.log_chi, t.p_photon,
+        jnp.asarray(ee.ravel()), jnp.asarray(pp.ravel())))
+    u_exact = np.log10(chi_exact) - (np.log10(ee.ravel())
+                                     - math.log10(2.0))
+    err = np.abs(np.log10(chi_fit) - np.log10(chi_exact))
+    rel = u_exact >= -3.0                 # within 3 decades of chi_max:
+    # everything that can pass photon_energy_min or carry recoil
+    assert err[rel].max() < 0.075, err[rel].max()
+    assert err[rel].mean() < 0.01, err[rel].mean()
