@@ -140,7 +140,7 @@ end:output
 DECK_RESE = """
 begin:control
   precision = single
-  bin_headroom = 2.0
+  bin_headroom = {headroom}
   nx = {nx}
   ny = {ny}
   t_end = 1.0
