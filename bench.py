@@ -362,9 +362,15 @@ def setup(mode=None):
             amp = os.environ.get(
                 "BENCH_QED_AMP",
                 "8.0e14" if mode == "qed_cascade" else "2.7e14")
+            # cascade populations grow (emission + pairs): leave extra
+            # slot-grid headroom so rebins don't overflow mid-bench
+            headroom = os.environ.get(
+                "BENCH_BIN_HEADROOM",
+                "3.0" if mode == "qed_cascade" else "2.0")
             text = DECK_RESE.format(nx=nx, ny=ny, ppc=ppc,
                                     lx=lx, ly=ly, yc=0.5 * ly,
-                                    w0=0.25 * ly, amp=amp)
+                                    w0=0.25 * ly, amp=amp,
+                                    headroom=headroom)
             tables = os.environ.get(
                 "EPOCH_QED_TABLES",
                 "/root/reference/epoch1d/src/physics_packages/TABLES")

@@ -29,7 +29,9 @@ def _setup(n=(8, 8, 8), K=8, bc_x=const.BC.PERIODIC, n_aux=0):
                     bc_field=(const.BC.PERIODIC,) * 6,
                     bc_particle=(const.BC.PERIODIC,) * 6,
                     species=(sp,), lasers=(), dtype=np.float32)
-    aux_names = ("opdepth", "opdepth_brem")[:n_aux]
+    # id rows: every species routes them (species_uses_aux) — the names
+    # matter for routing eligibility, the VALUES here are arbitrary
+    aux_names = ("id_lo", "id_hi")[:n_aux]
     cfg = dataclasses.replace(cfg, bin_k=K, binned_aux=aux_names)
     plan = binmod.BinnedPlan(cfg)
     rng = np.random.default_rng(3)
