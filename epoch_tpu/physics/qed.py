@@ -248,13 +248,18 @@ def _clenshaw(coeffs, x):
 def _sample_chi_fit(plan, eta, r):
     """Photon chi sample from the gather-free Chebyshev fit of the
     inverse ksi_sokolov CDF (QEDPlan.chi_fit_coeffs): elementwise math
-    only, no table row gathers.  ``r`` uniform in [0, chi_fit_pmax]."""
+    only, no table row gathers.  ``r`` uniform in [0, 1); values above
+    chi_fit_pmax evaluate at the fit endpoint (the chi_max cap)."""
     t = plan.tables
     le0, le1 = float(t.log_eta[0]), float(t.log_eta[-1])
     lg = jnp.log10(jnp.maximum(eta, 1e-30))
     lgc = jnp.clip(lg, le0, le1)
     xn = 2.0 * (lgc - le0) / (le1 - le0) - 1.0
-    yn = 2.0 * r / plan.chi_fit_pmax - 1.0
+    # r may be uniform in [0,1); the fit domain is [0, chi_fit_pmax] —
+    # clamp only for the evaluation, so the top (1-pmax) quantile maps
+    # to the fit endpoint (chi -> chi_max) instead of never being drawn
+    yn = 2.0 * jnp.minimum(r, plan.chi_fit_pmax) / plan.chi_fit_pmax \
+        - 1.0
     rows = [_clenshaw(row, yn) for row in plan.chi_fit_coeffs]
     u = _clenshaw(rows, xn)
     # chi_max = eta/2 uses the clamped table abscissa, matching the
@@ -359,7 +364,11 @@ def _run_trident(species, b, i, plan, bplan, eta, alive, active, key,
                  i_odt, dt, mc0):
     """Trident pairs on the binned engine (TRIDENT_PHOTONS,
     photons.F90:502-572,1010-1042); mutates ``species`` in place.
-    Uses a folded-in RNG stream so the caller's key stays untouched."""
+    Uses a folded-in RNG stream so the caller's key stays untouched.
+    NOTE: pre-round-4 builds consumed a split here, so seeded runs
+    draw a different (equally valid) stream than those versions —
+    a bit-exact mismatch against old outputs is not a physics
+    regression."""
     from ..core import binned as binmod
     if not (plan.use_trident and i_odt >= 0 and plan.tri_electron >= 0
             and plan.tri_positron >= 0):
@@ -500,8 +509,10 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
         # any(fire) so no-fire steps pay nothing.
         if os.environ.get("EPOCH_TPU_QED_TAIL", "dense") != "sparse":
             def _emit_dense(_):
-                r = jax.random.uniform(k2, fshape, b.w.dtype,
-                                       maxval=plan.chi_fit_pmax)
+                # full-range uniform: the reference samples (0,1)
+                # (photons.F90 generate_photon); _sample_chi_fit clamps
+                # to the fit domain internally
+                r = jax.random.uniform(k2, fshape, b.w.dtype)
                 chi = _sample_chi_fit(plan, eta, r)
                 mag = jnp.sqrt(b.p[0] ** 2 + b.p[1] ** 2 + b.p[2] ** 2)
                 msafe = jnp.where(mag > 0, mag, 1.0)

@@ -566,9 +566,11 @@ def test_chi_sampling_fit_matches_table_inversion():
     plan.chi_fit_deg = (12, 24)
     plan.chi_fit_pmax = 0.9995
     plan.chi_fit_coeffs = QEDPlan._build_chi_fit(plan)
-    rows = np.arange(30, 100, 3)          # log_eta in [-3.2, 1]: the
-    # fire-dense regime the fit serves (rarer low-eta fires land within
-    # the same gate by the weighted fit's construction)
+    rows = np.arange(0, len(t.log_eta), 3)  # ALL rows, log_eta in
+    # [-5, 1]: the fire-dense regime (>= -3.2) and the rare low-eta
+    # fires both gate below (measured: u>=-3 max err 0.0099 decades
+    # across every row; only the soft-photon u<-3 region, down-weighted
+    # 100x in the fit build, reaches 0.114)
     p = np.linspace(0.013, 0.987, 61)     # off the fit's p grid
     eta = 10.0 ** t.log_eta[rows]
     ee, pp = np.meshgrid(eta, p, indexing="ij")
@@ -584,3 +586,7 @@ def test_chi_sampling_fit_matches_table_inversion():
     # everything that can pass photon_energy_min or carry recoil
     assert err[rel].max() < 0.075, err[rel].max()
     assert err[rel].mean() < 0.01, err[rel].mean()
+    # soft photons (u < -3, below any energy threshold, negligible
+    # recoil): down-weighted 100x in the least-squares build — hold a
+    # looser bound so a table/fit change that degrades them is caught
+    assert err[~rel].max() < 0.15, err[~rel].max()
