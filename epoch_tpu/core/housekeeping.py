@@ -211,9 +211,17 @@ def init_fluid_grids(cfg, state, plan: MigrationPlan):
     """Initial fluid Te/ne grids (initialise_migration :370-381)."""
     grids = []
     for si in plan.fluid_species:
-        grids.append(_temp_dens_grid(cfg, state.species[si],
-                                     cfg.species[si]))
+        grids.append(_temp_dens_any(cfg, state.species[si],
+                                    cfg.species[si]))
     return state._replace(fluid_grids=tuple(grids))
+
+
+def _temp_dens_any(cfg, s, sp):
+    """Engine dispatch for the fluid Te/ne deposit."""
+    if hasattr(s, "xi"):
+        from . import binned as binmod
+        return _temp_dens_grid_binned(cfg, s, sp, binmod.BinnedPlan(cfg))
+    return _temp_dens_grid(cfg, s, sp)
 
 
 def _temp_dens_grid(cfg, slab, sp):
@@ -241,9 +249,122 @@ def _temp_dens_grid(cfg, slab, sp):
     return jnp.stack(out)
 
 
+def _temp_dens_grid_binned(cfg, b, sp, bplan):
+    """_temp_dens_grid on the slot grid: shape-weighted deposits are
+    native binned reductions (deposit_scalar_binned) — same formula and
+    fold order as the scatter version, so the fluid grids agree across
+    engines to round-off.  Requires post-rebin ξ (callers rebin)."""
+    from . import binned as binmod
+    grid = cfg.grid
+    live_w = jnp.where(b.w > 0, b.w, 0.0)
+
+    def dep(vals):
+        spad = binmod.deposit_scalar_binned(vals, b.xi, bplan)
+        return binmod.scalar_pad_to_padded(spad, bplan, grid)
+
+    w = dep(live_w)
+    p2 = b.p[0] ** 2 + b.p[1] ** 2 + b.p[2] ** 2
+    sum_p2 = dep(live_w * p2)
+    mean_sub = 0.0
+    for c in range(3):
+        spc = dep(live_w * b.p[c])
+        mean_sub = mean_sub + jnp.where(
+            w > 0, spc ** 2 / jnp.maximum(w, 1e-300), 0.0)
+    temp = jnp.where(w > 0, (sum_p2 - mean_sub)
+                     / jnp.maximum(w, 1e-300), 0.0) \
+        / (3.0 * sp.mass * const.kb)
+    dens = w / grid.cell_volume
+    out = []
+    for arr in (temp, dens):
+        arr = bnd.current_summation_bcs(arr, "", cfg)
+        arr = bnd.field_bc(arr, "jz", cfg)
+        out.append(arr)
+    return jnp.stack(out)
+
+
+def _migrate_binned(state, cfg, plan: MigrationPlan):
+    """Migration on the slot grid (particle_migration.F90:33-57): the
+    fluid lookups are cell-centred binned gathers
+    (gather_centred_binned, the fluid-grid lookup :144-153), moves are
+    cell-local candidate merges (merge_candidates) — the migrated
+    particle lands in its own cell of the destination species with its
+    momentum and aux rows (ids, optical depths) intact; candidates
+    beyond the destination cell's free slots are counted drops."""
+    from . import binned as binmod
+    bplan = binmod.BinnedPlan(cfg)
+    alpha = 0.25
+    species = list(state.species)
+
+    def rebinned(idx):
+        b = binmod.rebin(
+            species[idx], bplan,
+            bc=cfg.species[idx].bc_particle[:2 * cfg.ndims])
+        species[idx] = b
+        return b
+
+    involved = set(plan.fluid_species)
+    for si in plan.order:
+        involved.add(si)
+        if plan.promote_to[si] >= 0:
+            involved.add(plan.promote_to[si])
+        if plan.demote_to[si] >= 0:
+            involved.add(plan.demote_to[si])
+    for si in sorted(involved):
+        rebinned(si)
+
+    grids = list(state.fluid_grids)
+    for k, si in enumerate(plan.fluid_species):
+        fresh = _temp_dens_grid_binned(cfg, species[si], cfg.species[si],
+                                       bplan)
+        grids[k] = alpha * fresh + (1.0 - alpha) * grids[k]
+    state = state._replace(fluid_grids=tuple(grids))
+
+    def fluid_at(slot, b):
+        te2 = binmod.ghost2_slice(grids[slot][0], cfg.grid)
+        ne2 = binmod.ghost2_slice(grids[slot][1], cfg.grid)
+        return (binmod.gather_centred_binned(te2, b.xi, bplan),
+                binmod.gather_centred_binned(ne2, b.xi, bplan))
+
+    def move(src_i, dst_i, mask):
+        src = species[src_i]
+        cand_w = jnp.where(mask, src.w, 0.0)
+        cand_aux = None
+        if src.aux is not None:
+            cand_aux = jnp.where(mask[None], src.aux, 0.0)
+        species[dst_i] = binmod.merge_candidates(
+            species[dst_i], src.xi, src.p, cand_w, bplan,
+            cand_aux=cand_aux)
+        species[src_i] = src._replace(
+            w=jnp.where(mask, 0.0, src.w))
+
+    for si in plan.order:
+        b = species[si]
+        sp = cfg.species[si]
+        alive = b.w > 0
+        ke = (b.p[0] ** 2 + b.p[1] ** 2 + b.p[2] ** 2) / sp.mass
+        if plan.promote_to[si] >= 0:
+            te, ne = fluid_at(plan.fluid_slot[si], b)
+            mask = alive \
+                & (ke > plan.promote_mult[si] * 3.0 * const.kb * te) \
+                & (ne < plan.promote_density[si])
+            move(si, plan.promote_to[si], mask)
+            b = species[si]
+            alive = b.w > 0
+        if plan.demote_to[si] >= 0:
+            dst = plan.demote_to[si]
+            te, ne = fluid_at(plan.fluid_slot[dst], b)
+            mask = alive \
+                & (ke < plan.demote_mult[si] * 3.0 * const.kb * te) \
+                & (ne >= plan.demote_density[si])
+            move(si, dst, mask)
+    return state._replace(species=tuple(species))
+
+
 def migrate_particles(state, cfg, plan: MigrationPlan):
     """One migration event (EMA grid refresh + promotion/demotion
     chains), to be gated on step % interval by the caller."""
+    if cfg.species and hasattr(state.species[0], "xi"):
+        return _migrate_binned(state, cfg, plan)
     # refresh fluid grids with alpha = 0.25 (update_fluid_energy :95)
     alpha = 0.25
     grids = list(state.fluid_grids)

@@ -327,10 +327,6 @@ def build_config(deck: DeckConfig) -> SimConfig:
         plan = MigrationPlan(cfg, deck)
         if plan.any_active:
             cfg = dataclasses.replace(cfg, migration_plan=plan)
-    if cfg.migration_plan is not None and cfg.engine == "binned":
-        raise NotImplementedError(
-            "species migration requires the scatter engine "
-            "(set pusher = scatter)")
     if any("ejected_particles" in o.variables for o in deck.outputs) \
             and cfg.engine != "binned":
         cfg = dataclasses.replace(cfg, track_ejected=True)
@@ -371,8 +367,9 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
     engine independent), the moving window, injectors, probes, splitting,
     the triangle shape, photon species and the particle-creating physics
     packages (field/collisional ionisation, QED, bremsstrahlung —
-    cell-local candidate merges, binned.merge_candidates).  Migration and
-    delta-f stay on scatter (explicit deck-time errors below)."""
+    cell-local candidate merges, binned.merge_candidates) and species
+    migration (cell-local moves, housekeeping._migrate_binned).
+    Delta-f stays on scatter (explicit downgrade below)."""
     choice = deck.control.pusher
     if choice == "scatter":
         return "scatter"
@@ -392,8 +389,6 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
         why.append("no species")
     if any(getattr(sb, "density_back", 0.0) for sb in deck.species):
         why.append("delta-f species")
-    if deck.control.use_migration:
-        why.append("species migration")
     if deck.control.work_done_integrated:
         # the fused/binned push does not compute the per-direction work
         # terms (WORK_DONE_INTEGRATED, particles.F90:396-411): the

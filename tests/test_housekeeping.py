@@ -211,3 +211,76 @@ def test_migration_demotes(tmp_path):
     st = run(st, 1)
     assert int(st.species[1].alive.sum()) == 0
     assert int(st.species[0].alive.sum()) == 256 + n_ins
+
+
+MIGRATE_DECK_BINNED = MIGRATE_DECK.replace("  pusher = scatter\n", "")
+
+
+def test_migration_promotes_binned(tmp_path):
+    """Migration on the binned engine (housekeeping._migrate_binned):
+    boosted particles promote via cell-local candidate merges; weight
+    and count books balance."""
+    p = tmp_path / "input.deck"
+    p.write_text(MIGRATE_DECK_BINNED)
+    sim = Simulation(str(p), seed=7)
+    cfg = sim.cfg
+    assert cfg.engine == "binned"
+    assert cfg.migration_plan is not None
+    st = sim.state
+    cold = st.species[0]
+    assert hasattr(cold, "xi")
+    n_cold0 = int((cold.w > 0).sum())
+    assert n_cold0 == 256 and int((st.species[1].w > 0).sum()) == 0
+
+    kT = const.q0 * 1.0
+    p_th = math.sqrt(3.0 * kT * const.m0)
+    pm = np.array(cold.p)
+    live = np.argwhere(np.asarray(cold.w) > 0)
+    boost = live[:40]
+    pm[(np.zeros(40, int),) + tuple(boost.T)] = 30.0 * p_th
+    st = st._replace(species=(cold._replace(p=jnp.asarray(pm)),)
+                     + st.species[1:])
+
+    w0 = float(jnp.sum(jnp.where(cold.w > 0, cold.w, 0.0)))
+    run = make_full_step(cfg)
+    st = run(st, 1)
+    n_hot = int((st.species[1].w > 0).sum())
+    n_cold = int((st.species[0].w > 0).sum())
+    assert n_hot == 40, n_hot
+    assert n_cold == n_cold0 - 40
+    assert int(st.species[1].n_dropped) == 0
+    w1 = sum(float(jnp.sum(jnp.where(s.w > 0, s.w, 0.0)))
+             for s in st.species)
+    assert abs(w1 - w0) < 1e-6 * w0
+
+
+def test_migration_demotes_binned(tmp_path):
+    """A stationary hot-species particle demotes back to cold on the
+    binned engine."""
+    p = tmp_path / "input.deck"
+    p.write_text(MIGRATE_DECK_BINNED)
+    sim = Simulation(str(p), seed=7)
+    cfg = sim.cfg
+    st = sim.state
+    cold, hot = st.species[0], st.species[1]
+    # clone 5 cold slot positions into the hot species at rest
+    n_ins = 5
+    live = np.argwhere(np.asarray(cold.w) > 0)[:n_ins]
+    hot_xi = np.array(hot.xi)
+    hot_p = np.array(hot.p)
+    hot_w = np.array(hot.w)
+    for r, idx in enumerate(live):
+        sl = (r,) + tuple(idx[1:])
+        hot_w[sl] = 1.0
+        for d in range(hot_xi.shape[0]):
+            hot_xi[(d,) + sl] = np.asarray(cold.xi)[(d,) + tuple(idx)]
+        for c in range(3):
+            hot_p[(c,) + sl] = 0.0
+    st = st._replace(species=(cold, hot._replace(
+        xi=jnp.asarray(hot_xi), p=jnp.asarray(hot_p),
+        w=jnp.asarray(hot_w))))
+
+    run = make_full_step(cfg)
+    st = run(st, 1)
+    assert int((st.species[1].w > 0).sum()) == 0
+    assert int((st.species[0].w > 0).sum()) == 256 + n_ins
