@@ -193,11 +193,14 @@ class BinnedPlan:
 # ---------------------------------------------------------------------------
 
 def bin_from_arrays(x, p, w, grid, K, n_aux: int = 0,
-                    ns=None) -> BinnedSpecies:
+                    ns=None, aux_vals=None) -> BinnedSpecies:
     """Host-side: place flat particle arrays into the slot grid.
 
     ``ns``: slot-grid extents (BinnedPlan.ns) — ≥ grid.n, with dead
-    pad columns beyond the real cells (see BinnedPlan)."""
+    pad columns beyond the real cells (see BinnedPlan).
+    ``aux_vals``: optional {aux_row_index: (N,) per-particle values}
+    scattered into the aux rows alongside the particles (delta-f
+    phase-space volumes; everything else lazily re-samples from 0)."""
     nd = grid.ndims
     n = ns if ns is not None else grid.n
     x = np.asarray(x)
@@ -235,12 +238,18 @@ def bin_from_arrays(x, p, w, grid, K, n_aux: int = 0,
         p_g[i, idx_slot, idx_cell] = np.asarray(p)[idx_part, i]
     w_g[idx_slot, idx_cell] = np.asarray(w)[idx_part]
     g = tuple(n)
+    aux = None
+    if n_aux:
+        aux_g = np.zeros((n_aux, K, C), dtype)
+        for row, vals in (aux_vals or {}).items():
+            aux_g[row, idx_slot, idx_cell] = np.asarray(vals)[idx_part]
+        aux = jnp.asarray(aux_g.reshape((n_aux, K) + g))
     return BinnedSpecies(
         xi=jnp.asarray(xi_g.reshape((nd, K) + g)),
         p=jnp.asarray(p_g.reshape((3, K) + g)),
         w=jnp.asarray(w_g.reshape((K,) + g)),
         n_dropped=jnp.asarray(ndrop, jnp.int32),
-        aux=(jnp.zeros((n_aux, K) + g, dtype) if n_aux else None),
+        aux=aux,
     )
 
 
@@ -276,7 +285,7 @@ def as_slab(binned: BinnedSpecies, grid, periodic=None,
     x, p, w, alive = to_flat(binned, grid, periodic=periodic, xsl=xsl)
     n = x.shape[0]
     od = {nm: jnp.zeros(n, x.dtype)
-          for nm in ("opdepth", "opdepth_brem", "opdepth_tri")}
+          for nm in ("opdepth", "opdepth_brem", "opdepth_tri", "pvol")}
     ids = None
     if binned.aux is not None:
         x0, x1 = xsl if xsl is not None else (0, grid.n[0])
@@ -297,7 +306,7 @@ def as_slab(binned: BinnedSpecies, grid, periodic=None,
         opdepth=od["opdepth"],
         opdepth_brem=od["opdepth_brem"],
         opdepth_tri=od["opdepth_tri"],
-        pvol=jnp.zeros(n, x.dtype),
+        pvol=od["pvol"],
     )
 
 
@@ -590,7 +599,24 @@ def push_deposit_binned(fpad, binned: BinnedSpecies, sp, plan, bc=None,
     # ---- deposition at t+1.5dt (particles.F90:397-514) ----
     currents = None
     if not (sp.zero_current or sp.immobile):
-        live_w = jnp.where(alive, w, 0.0)
+        w_dep = w
+        if getattr(sp, "deltaf", None) is not None \
+                and "pvol" in plan.aux_idx:
+            # delta-f: subtract the static background f0 from the
+            # deposited current (particles.F90:405-408; f0 :521-553) —
+            # pvol rides the slot grid as a routed aux row
+            import math as _math
+            dens_b, temp_b, drift_b = sp.deltaf
+            two_kb_mass = 2.0 * const.kb * mass
+            tb = [max(t, 1e-300) for t in temp_b]
+            expo = ((new_p[0] - drift_b[0]) ** 2 / tb[0]
+                    + (new_p[1] - drift_b[1]) ** 2 / tb[1]
+                    + (new_p[2] - drift_b[2]) ** 2 / tb[2]) / two_kb_mass
+            norm = dens_b / _math.sqrt(
+                (_math.pi * two_kb_mass) ** 3 * tb[0] * tb[1] * tb[2])
+            pvol = binned.aux[plan.aux_idx["pvol"]]
+            w_dep = w - pvol * norm * jnp.exp(-expo)
+        live_w = jnp.where(alive, w_dep, 0.0)
         xi_dep = [xi_new[d] + delta[d] for d in range(nd)]
         # c3 ∈ {-1,0,1}: |ξ_dep| < 0.5 + one full CFL step < 1.5 (clip is a
         # pure safety net for CFL-violating inputs)
@@ -848,6 +874,11 @@ def species_uses_aux(cfg, si):
         return False
     if "id_lo" in names:
         return True
+    if "pvol" in names \
+            and getattr(cfg.species[si], "deltaf", None) is not None:
+        # delta-f phase-space volumes follow the particles to every
+        # deposit (push_deposit_binned's f0 subtraction)
+        return True
     qp = cfg.qed_plan
     if qp is not None and si in qp.emitters:
         return True
@@ -1001,6 +1032,14 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
         elif any(bc not in kernel_bcs
                  for bc in sp.bc_particle[:2 * plan.nd]):
             out.append(None)
+        elif getattr(sp, "deltaf", None) is not None:
+            # the fused kernel deposits the full marker weight; the
+            # delta-f f0 subtraction lives in push_deposit_binned only
+            import logging
+            logging.getLogger("epoch_tpu").info(
+                "species %s: delta-f rides the XLA slot path (fused "
+                "kernel deposits full-f)", sp.name)
+            out.append(None)
         else:
             # aux rows (QED/brems/trident optical depths) and probe
             # entry distances ride the kernel's extra-payload routing
@@ -1146,6 +1185,10 @@ def _make_pallas_engines_3d(cfg, plan, interpret, mode):
             log.warning("species %s: 3D fused kernel supports periodic/"
                         "open/reflect particle BCs only — XLA slot path",
                         sp.name)
+            out.append(None)
+        elif getattr(sp, "deltaf", None) is not None:
+            log.info("species %s: delta-f rides the XLA slot path "
+                     "(fused kernel deposits full-f)", sp.name)
             out.append(None)
         else:
             out.append(PallasBinned3D(

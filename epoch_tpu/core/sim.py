@@ -350,6 +350,11 @@ def build_config(deck: DeckConfig) -> SimConfig:
             or s.persist_start_step is not None for s in deck.subsets)
         if need_ids:
             aux_rows += ["id_lo", "id_hi"]
+        if any(getattr(s, "deltaf", None) is not None
+               for s in cfg.species):
+            # delta-f phase-space volumes (deltaf_loader.F90) ride the
+            # slot grid so the binned deposit can subtract f0
+            aux_rows.append("pvol")
         if deck.qed.use_qed:
             # per-particle eta written by the fused kernel (in-kernel
             # QED rates); MUST stay the LAST row — the kernel excludes
@@ -387,8 +392,6 @@ def _select_engine(deck: DeckConfig, cfg: SimConfig) -> str:
                    " (binned = triangle only)")
     if len(cfg.species) == 0:
         why.append("no species")
-    if any(getattr(sb, "density_back", 0.0) for sb in deck.species):
-        why.append("delta-f species")
     if deck.control.work_done_integrated:
         # the fused/binned push does not compute the per-direction work
         # terms (WORK_DONE_INTEGRATED, particles.F90:396-411): the
@@ -536,9 +539,12 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
                 arrs = dict(x=np.zeros((0, grid.ndims), zdt),
                             p=np.zeros((0, 3), zdt),
                             weight=np.zeros((0,), zdt))
+            aux_vals = None
+            if "pvol" in arrs and "pvol" in cfg.binned_aux:
+                aux_vals = {cfg.binned_aux.index("pvol"): arrs["pvol"]}
             slabs.append(bin_from_arrays(
                 arrs["x"], arrs["p"], arrs["weight"], grid, K,
-                n_aux=len(cfg.binned_aux), ns=ns))
+                n_aux=len(cfg.binned_aux), ns=ns, aux_vals=aux_vals))
     else:
         # ionisation products need capacity headroom scaled by their sources
         ion_levels = []

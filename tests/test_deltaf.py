@@ -80,3 +80,36 @@ def test_deltaf_noise_reduction():
     noise_df, sim = _field_noise(DECK.format(back=BACK))
     assert sim.cfg.engine == "scatter"
     assert noise_df < 1e-6 * noise_full, (noise_df, noise_full)
+
+
+DECK_BINNED = DECK.replace("  pusher = scatter\n", "")
+
+
+def test_deltaf_binned_engine_selected():
+    """Delta-f decks stay on the binned engine: pvol rides a routed aux
+    row and the slot deposit subtracts f0 (push_deposit_binned)."""
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "input.deck"), "w") as f:
+        f.write(DECK_BINNED.format(back=BACK))
+    sim = Simulation(os.path.join(d, "input.deck"), seed=3)
+    assert sim.cfg.engine == "binned"
+    assert "pvol" in sim.cfg.binned_aux
+    b = sim.state.species[0]
+    assert hasattr(b, "xi")
+    # pvol loaded alongside the particles (nonzero on live slots)
+    i_pv = sim.cfg.binned_aux.index("pvol")
+    pv = np.asarray(b.aux[i_pv])
+    live = np.asarray(b.w) > 0
+    assert (pv[live] > 0).all()
+    assert (pv[~live] == 0).all()
+
+
+def test_deltaf_noise_reduction_binned():
+    """Same noise-collapse oracle as the scatter test, on the binned
+    engine: with f0 matching the load, the deposited current (and so
+    the driven Ex) vanishes to round-off."""
+    noise_full, _ = _field_noise(DECK_BINNED.format(back=""))
+    noise_df, sim = _field_noise(DECK_BINNED.format(back=BACK))
+    assert sim.cfg.engine == "binned"
+    assert noise_df < 1e-6 * noise_full, (noise_df, noise_full)
