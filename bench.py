@@ -180,13 +180,17 @@ begin:species
   number_density = den
   nparticles_per_cell = {ppc}
   temperature_ev = 10
+  bin_headroom = {headroom}
 end:species
 begin:species
+  # static background: fixed ion inertia, never a creation target —
+  # per-species slot sizing (bin_k_sp) keeps its kernel cheap
   name = ion
   identify:proton
   number_density = den
   nparticles_per_cell = {ppc}
   temperature_ev = 1
+  bin_headroom = 1.25
 end:species
 begin:output
   dt_snapshot = 1
@@ -362,11 +366,9 @@ def setup(mode=None):
             amp = os.environ.get(
                 "BENCH_QED_AMP",
                 "8.0e14" if mode == "qed_cascade" else "2.7e14")
-            # cascade populations grow (emission + pairs): leave extra
-            # slot-grid headroom so rebins don't overflow mid-bench
-            headroom = os.environ.get(
-                "BENCH_BIN_HEADROOM",
-                "3.0" if mode == "qed_cascade" else "2.0")
+            # growth headroom lives on the per-species bin_headroom keys
+            # (photons 3.0, positrons 1.0); the bulk species stay at 2.0
+            headroom = os.environ.get("BENCH_BIN_HEADROOM", "2.0")
             text = DECK_RESE.format(nx=nx, ny=ny, ppc=ppc,
                                     lx=lx, ly=ly, yc=0.5 * ly,
                                     w0=0.25 * ly, amp=amp,
@@ -374,6 +376,10 @@ def setup(mode=None):
             tables = os.environ.get(
                 "EPOCH_QED_TABLES",
                 "/root/reference/epoch1d/src/physics_packages/TABLES")
+            # per-species slot sizing: photons ACCUMULATE over the run
+            # (no absorption) — 1.5x the emitter inheritance; positrons
+            # stay a small population at these amplitudes/durations —
+            # re-based to ~1 source-cell load.  Drops are counted.
             if mode == "qed_cascade":
                 text += ("begin:qed\n  use_qed = T\n"
                          "  qed_start_time = 0\n  produce_photons = T\n"
@@ -382,9 +388,11 @@ def setup(mode=None):
                          "  produce_pairs = T\n"
                          "  photon_dynamics = T\nend:qed\n"
                          "begin:species\n  name = Photon\n"
-                         "  identify:photon\nend:species\n"
+                         "  identify:photon\n"
+                         "  bin_headroom = 3.0\nend:species\n"
                          "begin:species\n  name = Positron\n"
-                         "  identify:positron\nend:species\n")
+                         "  identify:positron\n"
+                         "  bin_headroom = 1.0\nend:species\n")
             elif mode == "qed":
                 text += ("begin:qed\n  use_qed = T\n"
                          "  qed_start_time = 0\n  produce_photons = T\n"
@@ -392,7 +400,8 @@ def setup(mode=None):
                          "  photon_energy_min = 50 * kev\n"
                          "  photon_dynamics = F\nend:qed\n"
                          "begin:species\n  name = Photon\n"
-                         "  identify:photon\nend:species\n")
+                         "  identify:photon\n"
+                         "  bin_headroom = 3.0\nend:species\n")
             f.write(text)
         elif mode in ("lwfa", "lwfa_mesh1"):
             # default 372 user cells/axis: CPML extends every axis by

@@ -922,6 +922,9 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
         return [None] * len(cfg.species)
     from ..ops.binned_kernels import pick_bx, PallasBinned
 
+    def k_of(si):
+        return cfg.bin_k_sp[si] if cfg.bin_k_sp else None
+
     def bail(why):
         import logging
         logging.getLogger("epoch_tpu").warning(
@@ -1000,7 +1003,7 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                     sides_out=carry and plan.n_aux == 0,
                     cull_lo=(cfg.grid.cpml_thickness if ph_stage
                              else 0),
-                    qed=ph_qed))
+                    qed=ph_qed, k=k_of(si)))
         elif sp.immobile:
             # zero-drift rebin-only kernel under a moving window: exists
             # purely to consume the pending relabel + swept-boundary
@@ -1026,7 +1029,7 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                     with_refill=im_refill,
                     sides_out=carry and plan.n_aux == 0,
                     cull_lo=(cfg.grid.cpml_thickness if im_stage
-                             else 0)))
+                             else 0), k=k_of(si)))
             else:
                 out.append(None)
         elif any(bc not in kernel_bcs
@@ -1089,7 +1092,7 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                                     cull_lo=cull_lo,
                                     clear_rcol=in_kernel_stage,
                                     sides_out=carry and n_ex == 0,
-                                    qed=qed_args))
+                                    qed=qed_args, k=k_of(si)))
     return out
 
 
@@ -1194,7 +1197,8 @@ def _make_pallas_engines_3d(cfg, plan, interpret, mode):
             out.append(PallasBinned3D(
                 plan, sp, cfg, interpret=interpret,
                 n_extra=(plan.n_aux if species_uses_aux(cfg, si)
-                         else 0)))
+                         else 0),
+                k=(cfg.bin_k_sp[si] if cfg.bin_k_sp else None)))
     return out
 
 

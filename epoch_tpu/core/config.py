@@ -110,7 +110,8 @@ class SimConfig:
     # cell-slot grid — the TPU hot path, core/binned.py; see
     # sim._select_engine for the supported feature set)
     engine: str = "scatter"
-    bin_k: int = 0             # slots per cell for the binned engine
+    bin_k: int = 0             # max slots per cell (binned engine)
+    bin_k_sp: tuple = ()       # per-species K (kernel/tail cost ∝ K)
     # per-particle auxiliary rows on the binned engine (optical depths for
     # QED / bremsstrahlung / trident; subset of
     # ("opdepth", "opdepth_brem", "opdepth_tri"))

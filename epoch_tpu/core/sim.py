@@ -488,8 +488,22 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
     if cfg.engine == "binned":
         from .binned import bin_from_arrays
         n_cells = int(np.prod(grid.n))
-        kmax = 4
-        for arrs in loaded:
+        nsp = len(loaded)
+
+        # --- per-species slot counts (K): every kernel/tail pass over a
+        # species costs ∝ its K × grid, so static backgrounds (fixed
+        # ions) shouldn't pay the headroom a growing cascade photon
+        # population needs.  Collisions already pair at min(K_i, K_j);
+        # cross-species creation appends (merge_candidates) concatenate
+        # any K_src onto any K_dst.
+        def headroom_of(si):
+            h = getattr(deck.species[si], "bin_headroom", 0.0)
+            return h if h > 0 else deck.control.bin_headroom
+
+        explicit = [getattr(sb, "bin_headroom", 0.0) > 0
+                    for sb in deck.species]
+        ks = [4] * nsp
+        for si, arrs in enumerate(loaded):
             if arrs is not None:
                 # size K by the PEAK per-cell count of the actual load
                 # (bounded-support densities concentrate npart into few
@@ -510,25 +524,92 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
                 # headroom covers dynamic compression of the typical
                 # cell; the load-time peak (Poisson noise of npart-style
                 # loads) must fit outright
-                kmax = max(kmax, max(int(math.ceil(
-                    mean_occ * deck.control.bin_headroom)), peak) + 2)
+                ks[si] = max(ks[si], max(int(math.ceil(
+                    mean_occ * headroom_of(si))), peak) + 2)
         for inj in deck.injectors:
             # a steady injected stream fills the boundary cell to ~npc
             # (flux in = flux out); size the slots like a loaded species
+            si = deck.species_index(inj.species)
             npc = inj.npart_per_cell
             if npc <= 0:
-                si = deck.species_index(inj.species)
                 npc = max(deck.species[si].npart_per_cell, 1.0)
-            kmax = max(kmax, int(math.ceil(
-                npc * deck.control.bin_headroom)) + 2)
+            ks[si] = max(ks[si], int(math.ceil(
+                npc * headroom_of(si))) + 2)
+        for si, sb in enumerate(deck.species):
+            if sb.split:
+                # splitting doubles counts in cells at <= min_count
+                ks[si] = max(ks[si],
+                             2 * deck.control.npart_per_cell_min + 2)
+
+        # creation/migration TARGETS default to their sources' K (a cell
+        # can gain up to a source-cell's worth of particles).  An
+        # explicit species-block bin_headroom re-bases that inheritance:
+        # K = ceil(source base occupancy × own headroom) — a cascade
+        # deck can grow accumulating photons and shrink short-lived
+        # positrons independently (drops stay counted either way).
+        # Propagation is pure-max (cycle-safe: emitter→γ→pair-electron
+        # loops converge); the explicit re-basing runs once in between.
+        edges = []                   # (src, dst) creation/move pairs
+
+        def edge(src, dst):
+            if src is not None and dst is not None \
+                    and 0 <= src < nsp and 0 <= dst < nsp and src != dst:
+                edges.append((src, dst))
+
+        qp = cfg.qed_plan
+        if qp is not None:
+            for e in qp.emitters:
+                edge(e, qp.photon_species)
+                if getattr(qp, "use_trident", False):
+                    edge(e, qp.tri_electron)
+                    edge(e, qp.tri_positron)
+            if qp.produce_pairs and qp.photon_species >= 0:
+                edge(qp.photon_species, qp.bw_electron)
+                edge(qp.photon_species, qp.bw_positron)
+        bp = cfg.brem_plan
+        if bp is not None and bp.photon_species >= 0:
+            for e in bp.electrons:
+                edge(e, bp.photon_species)
+        if cfg.ionise_plan is not None:
+            for lv in cfg.ionise_plan.levels:
+                edge(lv["species"], lv["to"])
+                edge(lv["species"], lv["release"])
+        if cfg.collision_plan is not None:
+            for en in getattr(cfg.collision_plan, "ionise_entries", ()):
+                edge(en["ion"], en["to"])
+                edge(en["ion"], en["release"])
+        if cfg.migration_plan is not None:
+            mp = cfg.migration_plan
+            for si in range(nsp):
+                edge(si, mp.promote_to[si] if mp.promote_to[si] >= 0
+                     else None)
+                edge(si, mp.demote_to[si] if mp.demote_to[si] >= 0
+                     else None)
+
+        def propagate():
+            for _ in range(nsp):
+                for src, dst in edges:
+                    if not explicit[dst]:
+                        ks[dst] = max(ks[dst], ks[src])
+
+        propagate()
+        for dst in range(nsp):
+            if not explicit[dst]:
+                continue
+            srcs = [s for s, d in edges if d == dst]
+            if srcs:
+                base = max((ks[s] - 2) / max(headroom_of(s), 1e-9)
+                           for s in srcs)
+                ks[dst] = max(ks[dst], int(math.ceil(
+                    base * headroom_of(dst))) + 2)
+        propagate()
+
         # K is the leading (non-tiled) axis of every slot array: no lane
-        # alignment needed, and every kernel's VPU work scales ∝ K — use
-        # kmax directly (rounding up to 8 cost 25% at bench shapes)
-        K = kmax
-        cfg = dataclasses.replace(cfg, bin_k=K)
+        # alignment needed, and every kernel's VPU work scales ∝ K
+        cfg = dataclasses.replace(cfg, bin_k=max(ks), bin_k_sp=tuple(ks))
         from .binned import BinnedPlan
         ns = BinnedPlan(cfg).ns      # slot extents incl. pad columns
-        for arrs in loaded:
+        for si, arrs in enumerate(loaded):
             if arrs is None:
                 # empty-loaded species (QED photons/positrons before any
                 # emission): pin the staging dtype to the deck precision
@@ -543,7 +624,7 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
             if "pvol" in arrs and "pvol" in cfg.binned_aux:
                 aux_vals = {cfg.binned_aux.index("pvol"): arrs["pvol"]}
             slabs.append(bin_from_arrays(
-                arrs["x"], arrs["p"], arrs["weight"], grid, K,
+                arrs["x"], arrs["p"], arrs["weight"], grid, ks[si],
                 n_aux=len(cfg.binned_aux), ns=ns, aux_vals=aux_vals))
     else:
         # ionisation products need capacity headroom scaled by their sources
@@ -624,10 +705,10 @@ def build_state(cfg: SimConfig, seed: int = 0) -> SimState:
         # shift — harmless when the path is inactive (e.g. off-TPU)
         from .binned import window_pending_capable
         if window_pending_capable(cfg):
-            K = cfg.bin_k
             nt = tuple(grid.n[1:])
             refill = []
             for i, wp in enumerate(cfg.window_plans):
+                K = cfg.bin_k_sp[i] if cfg.bin_k_sp else cfg.bin_k
                 if wp["max_new"] > 0 and wp["density"] is not None:
                     refill.append((
                         jnp.zeros((K,) + nt, dtype),

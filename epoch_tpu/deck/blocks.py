@@ -156,6 +156,11 @@ class SpeciesBlock:
     drift_back: list = dfield(default_factory=lambda: [0.0, 0.0, 0.0])
     split: bool = False           # pseudo-particle splitting (split_particle.F90)
     npart_max: int = -1           # split cap on global particle count
+    # per-species slot-grid headroom (binned engine): overrides the
+    # control-level bin_headroom AND the growth-target sizing rule —
+    # lets a deck shrink static species (fixed ions) or grow
+    # accumulating ones (cascade photons) independently
+    bin_headroom: float = 0.0     # 0 = inherit control.bin_headroom
     migrate: bool = False
     promote_to: str = ""
     demote_to: str = ""

@@ -427,6 +427,8 @@ class DeckParser:
                 s.fraction = self.num(val)
             elif ell in ("npart_per_cell", "nparticles_per_cell"):
                 s.npart_per_cell = self.num(val)
+            elif ell == "bin_headroom":
+                s.bin_headroom = self.num(val)
             elif ell in ("density", "number_density", "rho"):
                 s.density = self.expr(val)
                 s.density_layers.append(s.density)

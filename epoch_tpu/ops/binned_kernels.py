@@ -1346,7 +1346,8 @@ class PallasBinned:
     def __init__(self, plan, sp, cfg, interpret=False, with_window=False,
                  n_extra=0, probe_specs=(), spmd_axis=None, mesh_n=1,
                  with_refill=False, cull_lo=0, clear_rcol=False,
-                 photon=False, move=True, qed=None, sides_out=False):
+                 photon=False, move=True, qed=None, sides_out=False,
+                 k=None):
         """``spmd_axis``: mesh axis name when running per-shard inside a
         shard_map over grid-x (parallel/spmd_push.py) — halo columns at
         shard edges then come from lax.ppermute ring exchanges, and the
@@ -1354,7 +1355,7 @@ class PallasBinned:
         boundary / window cell arithmetic stays global."""
         self.plan = plan
         self.sp = sp
-        self.K = cfg.bin_k
+        self.K = k if k else cfg.bin_k
         self.spmd_axis = spmd_axis
         self.mesh_n = mesh_n
         self.nx_global, self.ny = plan.ns     # slot-grid (padded) extents

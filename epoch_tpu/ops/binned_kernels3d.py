@@ -597,11 +597,12 @@ def pick_b(n, prefer):
 class PallasBinned3D:
     """Per-(species, config) fused 3D kernel + the XLA glue."""
 
-    def __init__(self, plan, sp, cfg, interpret=False, n_extra=0):
+    def __init__(self, plan, sp, cfg, interpret=False, n_extra=0,
+                 k=None):
         import os
         self.plan = plan
         self.sp = sp
-        self.K = cfg.bin_k
+        self.K = k if k else cfg.bin_k
         self.nx, self.ny, self.nz = plan.n
         envx = os.environ.get("EPOCH_TPU_BX3")
         envy = os.environ.get("EPOCH_TPU_BY3")

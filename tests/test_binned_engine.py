@@ -150,3 +150,100 @@ def test_higuera_cary_engines_agree():
     ps = np.sort(np.asarray(slab_h.p)[np.asarray(slab_h.alive), 0])
     pbs = np.sort(pb[al][:, 0])
     np.testing.assert_allclose(ps, pbs, rtol=1e-12, atol=1e-40)
+
+
+def test_per_species_bin_k(tmp_path):
+    """Per-species slot counts (SimConfig.bin_k_sp): an explicit
+    species-block bin_headroom shrinks a static background's K while
+    growth targets (QED photons/pairs) inherit their sources' K — and
+    cross-species creation/physics still book-balance across differing
+    K (merge_candidates concatenates any K_src onto any K_dst)."""
+    import epoch_tpu.constants as const
+    from epoch_tpu.core import Simulation
+    from epoch_tpu.core.step import make_full_step
+    deck = """
+begin:control
+  nx = 16
+  ny = 8
+  t_end = 1
+  x_min = 0
+  x_max = 1.6e-5
+  y_min = 0
+  y_max = 8e-6
+  bin_headroom = 2.0
+end:control
+begin:boundaries
+  bc_x_min = periodic
+  bc_x_max = periodic
+  bc_y_min = periodic
+  bc_y_max = periodic
+end:boundaries
+begin:qed
+  use_qed = T
+  qed_start_time = 0
+  produce_photons = T
+  produce_pairs = T
+  photon_dynamics = T
+  photon_energy_min = 1 * kev
+  qed_table_location = %s
+end:qed
+begin:species
+  name = electron
+  identify:electron
+  number_density = 1e20
+  nparticles_per_cell = 6
+  temperature_ev = 10
+end:species
+begin:species
+  name = ion
+  identify:proton
+  number_density = 1e20
+  nparticles_per_cell = 6
+  bin_headroom = 1.0
+end:species
+begin:species
+  name = Photon
+  identify:photon
+  bin_headroom = 3.0
+end:species
+begin:species
+  name = Positron
+  identify:positron
+end:species
+begin:output
+  dt_snapshot = 1
+end:output
+""" % "/root/reference/epoch1d/src/physics_packages/TABLES"
+    (tmp_path / "input.deck").write_text(deck)
+    sim = Simulation(str(tmp_path / "input.deck"), seed=5)
+    cfg = sim.cfg
+    assert cfg.engine == "binned"
+    ks = cfg.bin_k_sp
+    names = [s.name for s in cfg.species]
+    ie, ii = names.index("electron"), names.index("ion")
+    iph, ipos = names.index("Photon"), names.index("Positron")
+    # ion: explicit headroom 1.0 shrinks it (6 ppc + 2) well below the
+    # others.  Photon: explicit headroom 3.0 re-bases the emitter
+    # inheritance (electron base 6 ppc -> 6*3+2 = 20 > the electron's
+    # own 6*2+2 = 14).  Positron AND electron (both pair targets)
+    # inherit the Photon K in the final propagation — the emitter→γ→
+    # pair-electron cycle converges at the fixed point, it must not
+    # amplify (a scaled rule looped here once grew K by 1.5x/pass).
+    assert ks[ii] < ks[iph], ks
+    assert ks[iph] >= 20, ks
+    assert ks[ipos] == ks[iph] == ks[ie], ks
+    assert cfg.bin_k == max(ks)
+    assert [s.w.shape[0] for s in sim.state.species] == list(ks)
+    # physics across differing K: push + QED emission book-balance
+    st = sim.state
+    w0 = {n: float((jnp.where(st.species[i].w > 0, st.species[i].w, 0.0)
+                    ).sum()) for n, i in (("e", ie), ("i", ii))}
+    run = make_full_step(cfg)
+    st = run(st, 10)
+    for i, c in zip(range(len(names)), cfg.species):
+        s = st.species[i]
+        assert int(s.n_dropped) >= 0
+    # ion population static (no physics touches it)
+    w_i1 = float(jnp.where(st.species[ii].w > 0,
+                           st.species[ii].w, 0.0).sum())
+    np.testing.assert_allclose(w_i1, w0["i"], rtol=1e-6)
