@@ -141,6 +141,7 @@ DECK_RESE = """
 begin:control
   precision = single
   bin_headroom = {headroom}
+  bin_overflow = merge
   nx = {nx}
   ny = {ny}
   t_end = 1.0
@@ -363,9 +364,15 @@ def setup(mode=None):
             # synchrotron-only mode; a0 ~ 230 for the cascade mode (eta
             # ~ 0.5 at the standing-wave antinodes: pairs genuinely
             # fire, emission stays within the sparse-tail caps)
+            # 2.7e14 V/m = the reference deck's 1e22 W/cm^2 for the
+            # synchrotron modes; 4e15 (a0 ~ 1170) for the cascade mode:
+            # at the standing-wave antinodes eta >> 1 and photon chi is
+            # high enough that Breit-Wheeler pairs genuinely fire
+            # (measured: 17k+ positrons by the timed phase — at 8e14
+            # the pair rate's exp(-8/3chi) suppression produced zero)
             amp = os.environ.get(
                 "BENCH_QED_AMP",
-                "8.0e14" if mode == "qed_cascade" else "2.7e14")
+                "4.0e15" if mode == "qed_cascade" else "2.7e14")
             # growth headroom lives on the per-species bin_headroom keys
             # (photons 3.0, positrons 1.0); the bulk species stay at 2.0
             headroom = os.environ.get("BENCH_BIN_HEADROOM", "2.0")

@@ -131,6 +131,11 @@ class BinnedPlan:
         self.grid_min = tuple(float(grid.grid_min(d))
                               for d in range(self.nd))
         self.fac = float(shapes.FAC_1D[self.shape] ** self.nd)
+        # slot-overflow policy: merge folds beyond-K candidates into the
+        # cell's last slot (weight/charge/momentum-conserving) instead
+        # of dropping them (deck key bin_overflow)
+        self.merge_overflow = \
+            getattr(cfg, "bin_overflow", "drop") == "merge"
         self.dto2 = float(cfg.dt / 2.0)
         self.dtco2 = float(const.c * self.dto2)
         d = grid.delta
@@ -1143,6 +1148,11 @@ def _make_pallas_engines_3d(cfg, plan, interpret, mode):
         log.warning("3D fused Pallas path ineligible (particle probes): "
                     "falling back to the XLA slot engine")
         return [None] * n_sp
+    if plan.merge_overflow:
+        log.warning("3D fused Pallas path ineligible (bin_overflow = "
+                    "merge is 2D-kernel + XLA only): falling back to "
+                    "the XLA slot engine")
+        return [None] * n_sp
     # the moving window is fine here: 3D windows use the rolled shift
     # (window._shift_binned, XLA-side) which preserves the binning
     # invariant the kernel needs — window_pending_capable excludes 3D
@@ -1579,6 +1589,28 @@ def merge_candidates(binned: BinnedSpecies, cand_xi, cand_p, cand_w, plan,
     aux = jnp.stack([sorted_ops[4 + nd + i][:K] for i in range(na)]) \
         if na else binned.aux
     kept = jnp.sum(w > 0)
+    if plan.merge_overflow:
+        # fold overflow rows into slot K-1 (see rebin; bin_overflow)
+        nK = cw.shape[0]
+        ow = jnp.maximum(-sorted_ops[0][K:nK], 0.0)
+        over_w = jnp.sum(ow, axis=0)
+        tot = w[K - 1] + over_w
+        inv = jnp.where(tot > 0, 1.0 / jnp.maximum(tot, 1e-300), 0.0)
+
+        def fold(full, rows_over):
+            msum = jnp.sum(ow[None] * rows_over, axis=1)
+            mval = (w[K - 1][None] * full[:, K - 1] + msum) * inv
+            return full.at[:, K - 1].set(
+                jnp.where((over_w > 0)[None], mval, full[:, K - 1]))
+
+        xi = fold(xi, jnp.stack([sorted_ops[1 + i][K:nK]
+                                 for i in range(nd)]))
+        p = fold(p, jnp.stack([sorted_ops[1 + nd + i][K:nK]
+                               for i in range(3)]))
+        if na:
+            aux = fold(aux, jnp.stack([sorted_ops[4 + nd + i][K:nK]
+                                       for i in range(na)]))
+        w = w.at[K - 1].set(jnp.where(over_w > 0, tot, w[K - 1]))
     dropped = binned.n_dropped + (live_total - kept).astype(jnp.int32)
     return binned._replace(xi=xi, p=p, w=w, aux=aux, n_dropped=dropped)
 
@@ -1618,6 +1650,26 @@ def append_compressed(binned: BinnedSpecies, cand_xi, cand_p, cand_w,
             aux = jnp.where(sel[None], cand_aux[:, r][:, None], aux)
         dropped = dropped + jnp.sum(
             alive_c & (n_live + r >= K)).astype(jnp.int32)
+    if plan.merge_overflow:
+        # candidates that found no free row fold into slot K-1 instead
+        # (weighted-mean merge, bin_overflow = merge)
+        omask = [(cand_w[r] > 0) & (n_live + r >= K) for r in range(Kc)]
+        ow = [jnp.where(m, cand_w[r], 0.0) for r, m in enumerate(omask)]
+        over_w = sum(ow)
+        tot = w[K - 1] + over_w
+        inv = jnp.where(tot > 0, 1.0 / jnp.maximum(tot, 1e-300), 0.0)
+
+        def fold(full, cand):
+            msum = sum(ow[r][None] * cand[:, r] for r in range(Kc))
+            mval = (w[K - 1][None] * full[:, K - 1] + msum) * inv
+            return full.at[:, K - 1].set(
+                jnp.where((over_w > 0)[None], mval, full[:, K - 1]))
+
+        xi = fold(xi, cand_xi)
+        p = fold(p, cand_p)
+        if na:
+            aux = fold(aux, cand_aux)
+        w = w.at[K - 1].set(jnp.where(over_w > 0, tot, w[K - 1]))
     return binned._replace(w=w, xi=xi, p=p, aux=aux,
                            n_dropped=binned.n_dropped + dropped)
 
@@ -1714,5 +1766,29 @@ def rebin(binned: BinnedSpecies, plan, bc=None, key=None,
         if na:
             aux = jnp.stack([sorted_ops[4 + nd + i][:K] for i in range(na)])
         kept = jnp.sum(w > 0)
+        if plan.merge_overflow:
+            # overflow rows [K:] (live ones sort first): fold them into
+            # slot K-1 conserving Σw, Σw·ξ, Σw·p (weighted-mean merge —
+            # the cell had ≥K live slots whenever over_w > 0, so slot
+            # K-1 is live).  The counter records merged macro-particles.
+            ow = jnp.maximum(-sorted_ops[0][K:], 0.0)
+            over_w = jnp.sum(ow, axis=0)
+            tot = w[K - 1] + over_w
+            inv = jnp.where(tot > 0, 1.0 / jnp.maximum(tot, 1e-300), 0.0)
+
+            def fold(full, rows_over):
+                msum = jnp.sum(ow[None] * rows_over, axis=1)
+                mval = (w[K - 1][None] * full[:, K - 1] + msum) * inv
+                return full.at[:, K - 1].set(
+                    jnp.where((over_w > 0)[None], mval, full[:, K - 1]))
+
+            xi = fold(xi, jnp.stack([sorted_ops[1 + i][K:]
+                                     for i in range(nd)]))
+            p = fold(p, jnp.stack([sorted_ops[1 + nd + i][K:]
+                                   for i in range(3)]))
+            if na:
+                aux = fold(aux, jnp.stack([sorted_ops[4 + nd + i][K:]
+                                           for i in range(na)]))
+            w = w.at[K - 1].set(jnp.where(over_w > 0, tot, w[K - 1]))
         dropped = dropped + (live_total - kept).astype(jnp.int32)
     return binned._replace(xi=xi, p=p, w=w, aux=aux, n_dropped=dropped)

@@ -112,6 +112,7 @@ class SimConfig:
     engine: str = "scatter"
     bin_k: int = 0             # max slots per cell (binned engine)
     bin_k_sp: tuple = ()       # per-species K (kernel/tail cost ∝ K)
+    bin_overflow: str = "drop"  # slot-overflow policy: drop | merge
     # per-particle auxiliary rows on the binned engine (optical depths for
     # QED / bremsstrahlung / trident; subset of
     # ("opdepth", "opdepth_brem", "opdepth_tri"))

@@ -264,6 +264,7 @@ def build_config(deck: DeckConfig) -> SimConfig:
         smooth_currents=deck.control.smooth_currents,
         use_higuera_cary=deck.control.use_higuera_cary,
         work_done_integrated=deck.control.work_done_integrated,
+        bin_overflow=deck.control.bin_overflow,
         smooth_iterations=deck.control.smooth_iterations,
         smooth_compensation=deck.control.smooth_compensation,
         cpml_kappa_max=deck.boundaries.cpml_kappa_max,

@@ -108,6 +108,12 @@ class ControlBlock:
     n_zeros: int = 4
     pusher: str = "auto"               # 'auto' | 'binned' | 'scatter'
     bin_headroom: float = 2.0          # slot capacity / mean ppc (binned)
+    # slot-overflow policy (binned): "drop" counts & discards particles
+    # beyond a cell's K slots (the default; loud in the runner);
+    # "merge" folds them into the cell's last slot conserving weight,
+    # charge and momentum (weighted-mean position/momentum — standard
+    # PIC particle-merging, kinetic energy not conserved)
+    bin_overflow: str = "drop"
 
 
 @dataclass

@@ -382,6 +382,12 @@ class DeckParser:
                 c.pusher = val.strip().lower()
             elif el == "bin_headroom":
                 c.bin_headroom = self.num(val)
+            elif el == "bin_overflow":
+                v = val.strip().lower()
+                if v not in ("drop", "merge"):
+                    raise ValueError(
+                        f"bin_overflow must be drop|merge, got {v!r}")
+                c.bin_overflow = v
             # silently accept remaining legacy keys for now
         self._update_ctx()
 

@@ -203,7 +203,7 @@ def _compact(payloads, w, n_rows):
 
 
 def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop,
-                haloR2=None, shmask=None):
+                haloR2=None, shmask=None, merge=False):
     """One axis of the rebin: adjust ξ by dc, gather the 3 neighbour
     candidate sets along the slot axis and compact back to K slots.
 
@@ -301,9 +301,27 @@ def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop,
     else:
         cands, cand_w = _compact(cands, cand_w, 3 * K)
     w = cand_w[:K]
-    cands = [a[:K] for a in cands]
+    kept = [a[:K] for a in cands]
+    if merge:
+        # bin_overflow = merge: fold the live-compacted overflow rows
+        # [K:] into slot K-1, conserving Σw and Σw·payload (weighted-
+        # mean merge).  over_w > 0 ⇒ the cell had ≥ K live candidates,
+        # so slot K-1 is live (or a transient hole, handled by inv).
+        ow = cand_w[K:]
+        over_w = jnp.sum(ow, axis=0)
+        w_last = w[K - 1]
+        tot = w_last + over_w
+        inv = jnp.where(tot > 0, 1.0 / jnp.maximum(tot, 1e-30), 0.0)
+        iota = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+        is_last = (iota == K - 1) & (over_w > 0)[None]
+        kept = [jnp.where(
+            is_last,
+            ((w_last * a[K - 1]
+              + jnp.sum(ow * c[K:], axis=0)) * inv)[None],
+            a) for a, c in zip(kept, cands)]
+        w = jnp.where(is_last, tot[None], w)
     ndrop = ndrop + n_live - jnp.sum((w > 0).astype(jnp.int32))
-    return w, cands[0], cands[1], cands[2:], ndrop
+    return w, kept[0], kept[1], kept[2:], ndrop
 
 
 # ---------------------------------------------------------------------------
@@ -734,13 +752,15 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
             return (hw, hx0, hx1, *hp)
 
         ndrop = jnp.zeros((), jnp.int32)
+        merge_of = getattr(plan, "merge_overflow", False)
         if with_window:
             w, xi0, xi1, p, ndrop = _axis_rebin(
                 w, xi0, xi1, p, halo(0), halo(1), K, 0, ndrop,
-                haloR2=halo(2), shmask=sh > 0)
+                haloR2=halo(2), shmask=sh > 0, merge=merge_of)
         else:
             w, xi0, xi1, p, ndrop = _axis_rebin(
-                w, xi0, xi1, p, halo(0), halo(1), K, 0, ndrop)
+                w, xi0, xi1, p, halo(0), halo(1), K, 0, ndrop,
+                merge=merge_of)
         if bounded_y:
             gy = jax.lax.broadcasted_iota(jnp.int32, w.shape, 2)
             xis, p, w = _bc_axis([xi0, xi1], p, w, 1, bc[2], bc[3],
@@ -748,7 +768,7 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                                  thermal=_mk_thermal(1, sd, i))
             xi0, xi1 = xis
         w, xi0, xi1, p, ndrop = _axis_rebin(
-            w, xi0, xi1, p, None, None, K, 1, ndrop)
+            w, xi0, xi1, p, None, None, K, 1, ndrop, merge=merge_of)
         nd_ref[0, 0] = nd_ref[0, 0] + ndrop
         extras = p[3:]
         p = p[:3]

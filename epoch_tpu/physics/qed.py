@@ -168,12 +168,22 @@ class QEDPlan:
         # log10 eta) and y = 2p − 1.  U is smooth where it matters:
         # weighting the fit to U ≥ −5 (photons within 5 decades of
         # chi_max — everything energetic enough to survive
-        # photon_energy_min or contribute measurable recoil) gives max
-        # error 0.029 decades at degree (12, 24) — SMALLER than the
-        # reference's own nearest-row quantisation of the same table
-        # (adjacent rows of ksi_sokolov differ by up to 0.075 decades,
-        # mean 0.046).  Gated in tests/test_qed.py.
-        self.chi_fit_deg = (12, 24)
+        # photon_energy_min or contribute measurable recoil).  Degree
+        # picks the fidelity/cost point: the Clenshaw is the cascade
+        # bench's single hottest fusion (~1100 VPU flops/slot/step at
+        # (12,24), measured 1.28 ms/step at 2.65M slots — near VPU
+        # peak).  The default (8, 12) costs ~1/3 of that and keeps the
+        # hard-photon region (U ≥ −3: every stored photon + the
+        # dominant recoil) at max error 0.027 decades — SMALLER than
+        # the reference's own nearest-row quantisation of the same
+        # table (adjacent ksi_sokolov rows differ by up to 0.075
+        # decades, mean 0.046).  The soft tail (U < −3, photons below
+        # ~1e-3 of the particle energy: never stored at practical
+        # photon_energy_min, recoil < 0.1%) degrades to ≤ 0.6 decades.
+        # EPOCH_TPU_CHI_FIT_DEG=dx,dp overrides (12,24 reproduces the
+        # high-accuracy fit everywhere).  Gated in tests/test_qed.py.
+        deg_env = os.environ.get("EPOCH_TPU_CHI_FIT_DEG", "8,12")
+        self.chi_fit_deg = tuple(int(v) for v in deg_env.split(","))
         self.chi_fit_pmax = 0.9995
         self.chi_fit_coeffs = self._build_chi_fit()
         # per-species map set by the step builder when the fused kernel

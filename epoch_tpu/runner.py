@@ -188,9 +188,16 @@ class Runner:
             print(f" WARNING: {dropped} created particles were dropped by "
                   f"full species slabs — raise species capacity "
                   f"(bin_headroom / nparticles)", file=self.stdout)
+        merged = getattr(self.sim.cfg, "bin_overflow", "drop") == "merge"
         for sp_cfg, s in zip(self.sim.cfg.species, st.species):
             nd = int(getattr(s, "n_dropped", 0))
-            if nd > 0:
+            if nd > 0 and merged:
+                print(f" NOTE: species {sp_cfg.name}: {nd} macro-"
+                      f"particles merged by slot-grid overflow "
+                      f"(bin_overflow = merge conserves weight/charge/"
+                      f"momentum; raise bin_headroom to avoid merging)",
+                      file=self.stdout)
+            elif nd > 0:
                 print(f" WARNING: species {sp_cfg.name}: {nd} particles "
                       f"dropped by slot-grid overflow — raise "
                       f"bin_headroom", file=self.stdout)

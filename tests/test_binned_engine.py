@@ -247,3 +247,124 @@ end:output
     w_i1 = float(jnp.where(st.species[ii].w > 0,
                            st.species[ii].w, 0.0).sum())
     np.testing.assert_allclose(w_i1, w0["i"], rtol=1e-6)
+
+
+def test_overflow_merge_conserves_weight_and_momentum():
+    """bin_overflow = merge: slot-grid overflow folds into the cell's
+    last slot conserving total weight and momentum (weighted-mean
+    merge) instead of dropping — on the XLA rebin, the sort-based
+    candidate merge, and the compressed append."""
+    import dataclasses
+    import epoch_tpu.constants as const
+    from epoch_tpu.core.grid import Grid
+    from epoch_tpu.core.config import SimConfig, SpeciesConfig
+    from epoch_tpu.core import binned as binmod
+
+    nd = 2
+    n = (4, 4)
+    grid = Grid(ndims=nd, shape_fn=const.Shape.TRIANGLE, n=n,
+                cpml_thickness=0, cpml_active=(False,) * 4,
+                lo=(0.0, 0.0), hi=(4e-6, 4e-6))
+    sp = SpeciesConfig(name="e", charge=-const.q0, mass=const.m0,
+                       cap=64, bc_particle=(const.BC.PERIODIC,) * 6)
+    cfg = SimConfig(grid=grid, dt=1e-17, t_end=1.0, nsteps=-1,
+                    bc_field=(const.BC.PERIODIC,) * 4,
+                    bc_particle=(const.BC.PERIODIC,) * 4,
+                    species=(sp,), lasers=(), dtype=np.float64,
+                    bin_k=3, bin_overflow="merge")
+    plan = binmod.BinnedPlan(cfg)
+    assert plan.merge_overflow
+    K = 3
+    rng = np.random.default_rng(2)
+    # 8 particles all in cell (1,1): only K=3 slots -> 6 heading there
+    NP = 8
+    x0 = np.full((NP, 2), 1.5e-6) + rng.uniform(-4e-7, 4e-7, (NP, 2))
+    p0 = rng.normal(scale=1e-22, size=(NP, 3))
+    w0 = rng.uniform(1, 2, NP)
+    bm = binmod.bin_from_arrays(x0, p0, w0, grid, K)
+    kept = float(jnp.sum(jnp.where(bm.w > 0, bm.w, 0.0)))
+    assert kept < w0.sum() - 1e-12      # bin-time drop (host-side path)
+    # rebin-level merge: force all particles one cell right via xi
+    bm2 = bm._replace(xi=bm.xi.at[0].add(jnp.where(bm.w > 0, 1.0, 0.0)))
+    out = binmod.rebin(bm2, plan)
+    w_tot_in = kept
+    w_tot_out = float(jnp.sum(jnp.where(out.w > 0, out.w, 0.0)))
+    np.testing.assert_allclose(w_tot_out, w_tot_in, rtol=1e-12)
+    for c in range(3):
+        pin = float(jnp.sum(jnp.where(bm2.w > 0, bm2.w * bm2.p[c], 0.0)))
+        pout = float(jnp.sum(jnp.where(out.w > 0, out.w * out.p[c], 0.0)))
+        np.testing.assert_allclose(pout, pin, rtol=1e-12, atol=1e-40)
+    assert int(jnp.sum(out.w > 0)) <= K * 16
+    assert int(out.n_dropped) > 0       # counter records merged macros
+
+    # candidate-merge path (physics creation): K live + K candidates
+    cand_w = jnp.where(bm.w > 0, bm.w, 0.0)
+    m1 = binmod.merge_candidates(bm, bm.xi, bm.p, cand_w, plan)
+    np.testing.assert_allclose(
+        float(jnp.sum(jnp.where(m1.w > 0, m1.w, 0.0))), 2 * kept,
+        rtol=1e-12)
+
+    # compressed-append path (emission): Kc candidates into full cells
+    Kc = 2
+    g = bm.w.shape[1:]
+    cw = jnp.zeros((Kc,) + g, bm.w.dtype).at[:, 1, 1].set(0.5)
+    cxi = jnp.zeros((nd, Kc) + g, bm.xi.dtype)
+    cp = jnp.ones((3, Kc) + g, bm.p.dtype) * 1e-23
+    m2 = binmod.append_compressed(bm, cxi, cp, cw, plan)
+    np.testing.assert_allclose(
+        float(jnp.sum(jnp.where(m2.w > 0, m2.w, 0.0))), kept + 1.0,
+        rtol=1e-12)
+
+
+def test_overflow_merge_kernel_matches_conservation():
+    """The fused 2D kernel's in-rebin merge conserves weight and the
+    deposited current books under forced overflow (interpret mode)."""
+    import dataclasses
+    import epoch_tpu.constants as const
+    from epoch_tpu.core.grid import Grid
+    from epoch_tpu.core.config import SimConfig, SpeciesConfig
+    from epoch_tpu.core import binned as binmod
+
+    nd = 2
+    n = (16, 8)
+    K = 4
+    grid = Grid(ndims=nd, shape_fn=const.Shape.TRIANGLE, n=n,
+                cpml_thickness=0, cpml_active=(False,) * 4,
+                lo=(0.0, 0.0), hi=(16e-6, 8e-6))
+    dt = 0.9e-6 / (const.c * np.sqrt(2.0)) * 1e-0
+    sp = SpeciesConfig(name="e", charge=-const.q0, mass=const.m0,
+                       cap=2048, bc_particle=(const.BC.PERIODIC,) * 6)
+    cfg = SimConfig(grid=grid, dt=0.9 * 1e-6 / (const.c * np.sqrt(2)),
+                    t_end=1.0, nsteps=-1,
+                    bc_field=(const.BC.PERIODIC,) * 6,
+                    bc_particle=(const.BC.PERIODIC,) * 6,
+                    species=(sp,), lasers=(), dtype=np.float32,
+                    bin_k=K, bin_overflow="merge")
+    plan = binmod.BinnedPlan(cfg)
+    rng = np.random.default_rng(7)
+    # ~3 ppc mean with hot momenta: rebins overflow within a few steps
+    NP = 3 * 16 * 8
+    x0 = np.stack([rng.uniform(0, grid.hi[d], NP) for d in range(nd)], 1)
+    # strong +x beam: everyone crosses into the next cell every step,
+    # and a sinusoidal y-velocity focuses particles into bands
+    p0 = np.zeros((NP, 3))
+    p0[:, 0] = 1e-21
+    p0[:, 1] = 1e-21 * np.sin(2 * np.pi * x0[:, 0] / grid.hi[0])
+    w0 = rng.uniform(1, 2, NP)
+    bm = binmod.bin_from_arrays(x0.astype(np.float32),
+                                p0.astype(np.float32),
+                                w0.astype(np.float32), grid, K)
+    engines = binmod.make_pallas_engines(cfg, plan, interpret=True)
+    eng = engines[0]
+    assert eng is not None
+    names = ("ex", "ey", "ez", "bx", "by", "bz")
+    fstack = jnp.zeros((6,) + n, jnp.float32)
+    fpad = jnp.pad(fstack, ((0, 0), (2, 2), (2, 2)), mode="wrap")
+    fwin = eng.make_fwin(fpad)
+    w_in = float(jnp.sum(jnp.where(bm.w > 0, bm.w, 0.0)))
+    b = bm
+    for step in range(6):
+        b, jpart, _ = eng(fwin, b)
+    w_out = float(jnp.sum(jnp.where(b.w > 0, b.w, 0.0)))
+    assert int(b.n_dropped) > 0, "no overflow forced - test not probing"
+    np.testing.assert_allclose(w_out, w_in, rtol=1e-5)

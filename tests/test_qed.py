@@ -562,31 +562,33 @@ def test_chi_sampling_fit_matches_table_inversion():
     from epoch_tpu.physics.qed import (QEDTables, QEDPlan, _sample_chi_fit,
                                        _invert_cdf_rows)
     t = QEDTables(TABLES)
-    plan = types.SimpleNamespace(tables=t)
-    plan.chi_fit_deg = (12, 24)
-    plan.chi_fit_pmax = 0.9995
-    plan.chi_fit_coeffs = QEDPlan._build_chi_fit(plan)
     rows = np.arange(0, len(t.log_eta), 3)  # ALL rows, log_eta in
     # [-5, 1]: the fire-dense regime (>= -3.2) and the rare low-eta
-    # fires both gate below (measured: u>=-3 max err 0.0099 decades
-    # across every row; only the soft-photon u<-3 region, down-weighted
-    # 100x in the fit build, reaches 0.114)
+    # fires both gate identically (measured: u>=-3 max err well under
+    # the 0.075 quantisation across every row at both degrees)
     p = np.linspace(0.013, 0.987, 61)     # off the fit's p grid
     eta = 10.0 ** t.log_eta[rows]
     ee, pp = np.meshgrid(eta, p, indexing="ij")
-    chi_fit = np.asarray(_sample_chi_fit(
-        plan, jnp.asarray(ee.ravel()), jnp.asarray(pp.ravel())))
     chi_exact = np.asarray(_invert_cdf_rows(
         t.log_eta, t.log_chi, t.p_photon,
         jnp.asarray(ee.ravel()), jnp.asarray(pp.ravel())))
     u_exact = np.log10(chi_exact) - (np.log10(ee.ravel())
                                      - math.log10(2.0))
-    err = np.abs(np.log10(chi_fit) - np.log10(chi_exact))
     rel = u_exact >= -3.0                 # within 3 decades of chi_max:
     # everything that can pass photon_energy_min or carry recoil
-    assert err[rel].max() < 0.075, err[rel].max()
-    assert err[rel].mean() < 0.01, err[rel].mean()
-    # soft photons (u < -3, below any energy threshold, negligible
-    # recoil): down-weighted 100x in the least-squares build — hold a
-    # looser bound so a table/fit change that degrades them is caught
-    assert err[~rel].max() < 0.15, err[~rel].max()
+    # (default (8,12): the VPU-cheap fit; (12,24): the high-accuracy
+    # override — the soft-photon tail (recoil < 0.1%, never stored at
+    # practical photon_energy_min) is down-weighted 100x in the build
+    # and holds a looser, degree-dependent bound)
+    for deg, hard_max, hard_mean, soft_max in (
+            ((8, 12), 0.075, 0.01, 0.6), ((12, 24), 0.075, 0.01, 0.15)):
+        plan = types.SimpleNamespace(tables=t)
+        plan.chi_fit_deg = deg
+        plan.chi_fit_pmax = 0.9995
+        plan.chi_fit_coeffs = QEDPlan._build_chi_fit(plan)
+        chi_fit = np.asarray(_sample_chi_fit(
+            plan, jnp.asarray(ee.ravel()), jnp.asarray(pp.ravel())))
+        err = np.abs(np.log10(chi_fit) - np.log10(chi_exact))
+        assert err[rel].max() < hard_max, (deg, err[rel].max())
+        assert err[rel].mean() < hard_mean, (deg, err[rel].mean())
+        assert err[~rel].max() < soft_max, (deg, err[~rel].max())
