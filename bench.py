@@ -151,30 +151,23 @@ begin:control
   y_max = {ly}
 end:control
 begin:boundaries
-  bc_x_min = simple_laser
-  bc_x_max = simple_laser
+  bc_x_min = periodic
+  bc_x_max = periodic
   bc_y_min = periodic
   bc_y_max = periodic
 end:boundaries
 begin:constant
   lambda0 = 1.0e-6
-  omega0 = 2.0 * pi * c / lambda0
   den = 1.0e24
 end:constant
-begin:laser
-  boundary = x_min
-  amp = {amp}
-  omega = omega0
-  t_profile = gauss(time, 40e-15, 20e-15)
-  profile = gauss(y, {yc}, {w0})
-end:laser
-begin:laser
-  boundary = x_max
-  amp = {amp}
-  omega = omega0
-  t_profile = gauss(time, 40e-15, 20e-15)
-  profile = gauss(y, {yc}, {w0})
-end:laser
+begin:fields
+  # seeded standing wave (the canonical seeded-cascade configuration:
+  # two counter-propagating waves in a fully periodic box — the
+  # Ey-only seed splits into the pair and the standing wave forms
+  # within a quarter period; nothing leaves the box, so the timed
+  # phase measures a sustained interaction, not a blow-out transient)
+  ey = {amp} * sin(2 * pi * x / lambda0)
+end:fields
 begin:species
   name = electron
   identify:electron
@@ -377,8 +370,7 @@ def setup(mode=None):
             # (photons 3.0, positrons 1.0); the bulk species stay at 2.0
             headroom = os.environ.get("BENCH_BIN_HEADROOM", "2.0")
             text = DECK_RESE.format(nx=nx, ny=ny, ppc=ppc,
-                                    lx=lx, ly=ly, yc=0.5 * ly,
-                                    w0=0.25 * ly, amp=amp,
+                                    lx=lx, ly=ly, amp=amp,
                                     headroom=headroom)
             tables = os.environ.get(
                 "EPOCH_QED_TABLES",
@@ -452,11 +444,12 @@ def setup(mode=None):
     st = sim.state
     cfg_bench = sim.cfg
     if mode in ("rese", "qed", "qed_cascade"):
-        # untimed pre-phase: drive both lasers in until the standing
-        # wave fills the box and QED is active on the bulk (light
-        # crossing time ~ nx*cell/c ~ 570 steps) — the timed phase then
-        # measures the developed interaction, not the vacuum ramp
-        pre_steps = int(os.environ.get("BENCH_QED_PRESTEPS", 600))
+        # untimed pre-phase: let the seeded standing wave and the
+        # plasma response develop — the timed phase then measures the
+        # sustained interaction, not the cold start
+        # periodic standing-wave box: the wave pair forms within one
+        # wavelength transit; 200 steps reach the developed interaction
+        pre_steps = int(os.environ.get("BENCH_QED_PRESTEPS", 200))
         run_pre = make_full_step(cfg_bench)
         st = run_pre(st, pre_steps)
         jax.block_until_ready(st.fields.ex)

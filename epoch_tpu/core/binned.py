@@ -957,6 +957,54 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                   const.BC.THERMAL, const.BC.HEAT_BATH)
     out = []
     TH = (const.BC.THERMAL, const.BC.HEAT_BATH)
+
+    # ---- in-kernel QED emission group (photons born inside the
+    # emitter kernels, appended through the photon kernel's rebin) ----
+    # eligibility is mutual: the emitters sample chi + recoil in-kernel
+    # and publish e_ph in their last extras row; the photon kernel
+    # accepts the candidate block.  Single-device, trident off (the
+    # e_ph row repurposes eta, which trident reads), probe-free
+    # emitters, photon_dynamics on.
+    qp_all = cfg.qed_plan
+
+    def _has_probes(si):
+        return any(si in pp.species
+                   for pp in getattr(cfg, "probe_plans", ()))
+
+    def _emitter_kernel_ok(si):
+        spe = cfg.species[si]
+        return (not spe.immobile
+                and spe.species_type != const.SpeciesType.PHOTON
+                and all(b in kernel_bcs
+                        for b in spe.bc_particle[:2 * plan.nd])
+                and getattr(spe, "deltaf", None) is None
+                and not _has_probes(si))
+
+    emit_srcs = ()
+    if (qp_all is not None and qp_all.produce_photons
+            and qp_all.photon_species >= 0
+            and not cfg.species[qp_all.photon_species].immobile
+            and not getattr(qp_all, "use_trident", False)
+            and spmd_axis is None
+            and "qed_eta" in plan.aux_idx
+            and plan.aux_idx["qed_eta"] == plan.n_aux - 1
+            and not any(b not in kernel_bcs or b in TH
+                        for b in cfg.species[qp_all.photon_species]
+                        .bc_particle[:2 * plan.nd])
+            and os.environ.get("EPOCH_TPU_EMIT_IN_KERNEL", "1") != "0"):
+        emit_srcs = tuple(si for si in qp_all.emitters
+                          if _emitter_kernel_ok(si))
+    emit_k_total = sum((cfg.bin_k_sp[si] if cfg.bin_k_sp
+                        else cfg.bin_k) for si in emit_srcs)
+    qed_emit_tuple = None
+    if emit_srcs:
+        t_ = qp_all.tables
+        qed_emit_tuple = (
+            tuple(tuple(float(v) for v in row)
+                  for row in qp_all.chi_fit_coeffs),
+            float(t_.log_eta[0]), float(t_.log_eta[-1]),
+            float(qp_all.chi_fit_pmax),
+            bool(qp_all.use_radiation_reaction))
     for si, sp in enumerate(cfg.species):
         if sp.species_type == const.SpeciesType.PHOTON:
             # ballistic fused variant: rebin + full-dt drift, no
@@ -1008,7 +1056,10 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                     sides_out=carry and plan.n_aux == 0,
                     cull_lo=(cfg.grid.cpml_thickness if ph_stage
                              else 0),
-                    qed=ph_qed, k=k_of(si)))
+                    qed=ph_qed, k=k_of(si),
+                    emit_k=(emit_k_total
+                            if qp_all is not None
+                            and si == qp_all.photon_species else 0)))
         elif sp.immobile:
             # zero-drift rebin-only kernel under a moving window: exists
             # purely to consume the pending relabel + swept-boundary
@@ -1073,6 +1124,11 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                             float(qp.h_fit_lo), float(qp.h_fit_hi),
                             float(qp.c1_per_dt * plan.dt),
                             float(qp.c_eta))
+                if si in emit_srcs:
+                    # in-kernel emission: chi sample + recoil in this
+                    # kernel; e_ph published via the (repurposed) last
+                    # extras row for the photon kernel's candidate feed
+                    qed_args = qed_args + (qed_emit_tuple,)
             # pending-shift refill/cull ride the kernel on the single-
             # device path (the sharded path keeps XLA-side staging);
             # requires the provably-single-shift window (the kernel
@@ -1088,7 +1144,7 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                 and wplan["density"] is not None)
             cull_lo = cfg.grid.cpml_thickness if in_kernel_stage else 0
             n_ex = n_route + len(probe_specs)
-            out.append(PallasBinned(plan, sp, cfg, interpret=interpret,
+            eng_ = PallasBinned(plan, sp, cfg, interpret=interpret,
                                     with_window=with_window,
                                     n_extra=n_ex,
                                     probe_specs=probe_specs,
@@ -1097,7 +1153,10 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                                     cull_lo=cull_lo,
                                     clear_rcol=in_kernel_stage,
                                     sides_out=carry and n_ex == 0,
-                                    qed=qed_args, k=k_of(si)))
+                                    qed=qed_args, k=k_of(si))
+            eng_.emits_in_kernel = bool(
+                qed_args is not None and len(qed_args) > 6)
+            out.append(eng_)
     return out
 
 
@@ -1213,7 +1272,8 @@ def _make_pallas_engines_3d(cfg, plan, interpret, mode):
 
 
 def push_deposit_pallas(engine, fwin, binned, plan, sp=None, shift=None,
-                        probes=None, seed=None, refill=None, qed_on=None):
+                        probes=None, seed=None, refill=None, qed_on=None,
+                        emission=None):
     """Fused-kernel variant of push_deposit_binned; returns per-stripe
     partial currents (callers sum over species, then fold once).
 
@@ -1248,7 +1308,8 @@ def push_deposit_pallas(engine, fwin, binned, plan, sp=None, shift=None,
     sides = binned.sides if getattr(engine, "sides_out", False) else None
     out, jpart, extra_out = engine(fwin, binned, shift=shift, extra=extra,
                                    seed=seed, refill=refill,
-                                   qed_on=qed_on, sides=sides)
+                                   qed_on=qed_on, sides=sides,
+                                   emission=emission)
     probe_recs = None
     if extra_out is not None:
         if n_aux and (n_route or qed_en):

@@ -193,6 +193,18 @@ def make_step_functions(cfg):
             cfg.qed_plan.rates_in_kernel = {
                 si: True for si, e in enumerate(pallas_engines)
                 if e is not None and getattr(e, "qed_enabled", False)}
+            # emitters whose kernel ALSO samples chi + applies recoil
+            # and publishes e_ph for the photon kernel's candidate feed
+            # (qed.py skips their emission tail entirely)
+            ph_si = cfg.qed_plan.photon_species
+            ph_accepts = (0 <= ph_si < len(pallas_engines)
+                          and pallas_engines[ph_si] is not None
+                          and getattr(pallas_engines[ph_si],
+                                      "emit_k", 0) > 0)
+            cfg.qed_plan.emit_in_kernel = {
+                si: True for si, e in enumerate(pallas_engines)
+                if ph_accepts and e is not None
+                and getattr(e, "emits_in_kernel", False)}
         if cfg.mesh is not None and any(e is not None
                                         for e in pallas_engines):
             from ..parallel.spmd_push import make_spmd_push
@@ -292,7 +304,7 @@ def make_step_functions(cfg):
         probe_dropped = list(state.probe_dropped)
         jpad_sum = None
         jpart_sum = None
-        new_species = []
+        new_species = [None] * len(cfg.species)
         spmd_new = None
         if spmd_push is not None:
             shift = state.window_pending if window_pending_ok else None
@@ -305,7 +317,19 @@ def make_step_functions(cfg):
             spmd_new, spmd_jpad, _, spmd_probe_rows = spmd_push(
                 fpad, list(state.species), shift, seeds)
             jpad_sum = spmd_jpad
-        for si, (sp_cfg, b) in enumerate(zip(cfg.species, state.species)):
+        # in-kernel emission: process the QED photon species LAST so
+        # every emitter's freshly-published e_ph rows feed this step's
+        # photon-kernel rebin (same-step emission, photons.F90 ordering)
+        order = list(range(len(cfg.species)))
+        emit_cands = []
+        emit_target = -1
+        qp_ = cfg.qed_plan
+        if qp_ is not None and getattr(qp_, "emit_in_kernel", None):
+            emit_target = qp_.photon_species
+            order = [x for x in order if x != emit_target] \
+                + [emit_target]
+        for si in order:
+            sp_cfg, b = cfg.species[si], state.species[si]
             key = keys[si]
             if spmd_new is not None and si in spmd_new:
                 if si in spmd_probe_rows:
@@ -320,7 +344,7 @@ def make_step_functions(cfg):
                         [pp for _, pp in sp_probes], sp_cfg, bplan)
                     probes, probe_dropped = _append_probe_recs(
                         probes, probe_dropped, sp_probes, recs)
-                new_species.append(spmd_new[si])
+                new_species[si] = spmd_new[si]
                 continue
             if sp_cfg.immobile:
                 if window_pending_ok and pallas_engines[si] is not None:
@@ -335,7 +359,7 @@ def make_step_functions(cfg):
                     b, _ji = binmod.push_deposit_pallas(
                         pallas_engines[si], fwin, b, bplan, sp=sp_cfg,
                         shift=state.window_pending, refill=refill)
-                new_species.append(b)
+                new_species[si] = b
                 continue
             if sp_cfg.species_type == const.SpeciesType.PHOTON:
                 # ballistic, current-free (push_photons,
@@ -343,14 +367,34 @@ def make_step_functions(cfg):
                 if pallas_engines[si] is not None:
                     shift = state.window_pending if window_pending_ok \
                         else None
+                    emission = None
+                    if si == emit_target and emit_cands:
+                        emission = (
+                            jnp.concatenate([c[0] for c in emit_cands],
+                                            axis=0),
+                            jnp.concatenate([c[1] for c in emit_cands],
+                                            axis=1),
+                            jnp.concatenate([c[2] for c in emit_cands],
+                                            axis=1))
+                    qed_on = None
+                    if getattr(pallas_engines[si], "qed_enabled",
+                               False):
+                        # per-step seed for the in-kernel pair-depth
+                        # resample (a zero default would redraw the
+                        # SAME uniforms every step)
+                        qpk = cfg.qed_plan
+                        flagv = ((state.time > qpk.start_time)
+                                 & (state.time
+                                    >= cfg.particle_push_start_time))
+                        qed_on = (flagv, _seed_from_key(keys[si]))
                     b, _jph = binmod.push_deposit_pallas(
                         pallas_engines[si], fwin, b, bplan, sp=sp_cfg,
-                        shift=shift)
+                        shift=shift, emission=emission, qed_on=qed_on)
                 else:
                     b = binmod.push_photons_binned(
                         b, bplan, bc=sp_cfg.bc_particle[:2 * cfg.ndims],
                         key=key, sp=sp_cfg)
-                new_species.append(b)
+                new_species[si] = b
                 continue
             sp_probes = [(pi, pp) for pi, pp in
                          enumerate(cfg.probe_plans) if si in pp.species]
@@ -385,6 +429,21 @@ def make_step_functions(cfg):
                 if not sp_cfg.zero_current:
                     jpart_sum = jpart if jpart_sum is None \
                         else jpart_sum + jpart
+                if getattr(pallas_engines[si], "emits_in_kernel",
+                           False) and emit_target >= 0:
+                    # photons born this step: candidate block from the
+                    # kernel-published e_ph row (energy-min filter here;
+                    # recoil already applied in-kernel regardless)
+                    e_ph = b.aux[-1]
+                    mag = jnp.sqrt(b.p[0] ** 2 + b.p[1] ** 2
+                                   + b.p[2] ** 2)
+                    msafe = jnp.maximum(mag, 1e-30)
+                    keepf = (b.w > 0) \
+                        & (e_ph > qp_.photon_energy_min)
+                    cw = jnp.where(keepf, b.w, 0.0)
+                    cp = b.p * jnp.where(
+                        keepf, e_ph / (const.c * msafe), 0.0)[None]
+                    emit_cands.append((cw, b.xi, cp))
             else:
                 if sp_probes:
                     b, jpad, recs = binmod.push_deposit_binned(
@@ -400,7 +459,7 @@ def make_step_functions(cfg):
                 if jpad is not None:
                     jpad_sum = jpad if jpad_sum is None \
                         else jpad_sum + jpad
-            new_species.append(b)
+            new_species[si] = b
         if any_thermal or any_qed_kernel:
             state = state._replace(rng=rng)
         if jpart_sum is not None:

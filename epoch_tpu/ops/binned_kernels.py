@@ -203,7 +203,7 @@ def _compact(payloads, w, n_rows):
 
 
 def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop,
-                haloR2=None, shmask=None, merge=False):
+                haloR2=None, shmask=None, merge=False, extra_cands=None):
     """One axis of the rebin: adjust ξ by dc, gather the 3 neighbour
     candidate sets along the slot axis and compact back to K slots.
 
@@ -287,11 +287,22 @@ def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop,
     live_l = (w_l > 0) & (dc_l == 1.0)
     live_c = (w > 0) & (dc == 0.0)
     live_r = (w_r > 0) & (dc_r == -1.0)
-    cand_w = jnp.concatenate([jnp.where(live_c, w, 0.0),
-                              jnp.where(live_l, w_l, 0.0),
-                              jnp.where(live_r, w_r, 0.0)], axis=0)
-    cands = [jnp.concatenate([c, l, r], axis=0)
-             for c, l, r in zip(payload, pls_l, pls_r)]
+    stacks_w = [jnp.where(live_c, w, 0.0),
+                jnp.where(live_l, w_l, 0.0),
+                jnp.where(live_r, w_r, 0.0)]
+    stacks_p = [list(t) for t in zip(payload, pls_l, pls_r)]
+    n_rows = 3 * K
+    if extra_cands is not None:
+        # cell-local creation candidates (in-kernel QED emission): no
+        # routing — they were born in their final cell this step
+        ew, epl = extra_cands
+        stacks_w.append(ew)
+        for d, a in enumerate(epl):
+            stacks_p[d].append(a)
+        n_rows += ew.shape[0]
+    cand_w = jnp.concatenate(stacks_w, axis=0)
+    cands = [jnp.concatenate(t, axis=0) for t in stacks_p]
+    K3 = n_rows
     n_live = jnp.sum((cand_w > 0).astype(jnp.int32))
     import os as _os
     if _os.environ.get("EPOCH_TPU_KERNEL_ABLATE", "") == "nocompact":
@@ -299,7 +310,7 @@ def _axis_rebin(w, xi0, xi1, p, haloL, haloR, K, axis, ndrop,
         # butterfly routing
         pass
     else:
-        cands, cand_w = _compact(cands, cand_w, 3 * K)
+        cands, cand_w = _compact(cands, cand_w, K3)
     w = cand_w[:K]
     kept = [a[:K] for a in cands]
     if merge:
@@ -333,8 +344,15 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                     n_extra=0, probe_specs=(), with_xoff=False,
                     nx_global=None, pad_x=0, halo_mode="cols",
                     with_refill=False, cull_lo=0, clear_rcol=False,
-                    photon=False, move=True, qed=None, sides_out=False):
+                    photon=False, move=True, qed=None, sides_out=False,
+                    emit_k=0):
     """Build the fused per-species pallas_call (2D).
+
+    ``emit_k`` (photon kernels): accept an in-kernel-emission candidate
+    block — (emit_k, nx, NY) weights + (2|3, emit_k, nx, NY) xi/p of
+    photons created THIS step by the emitter kernels — appended to the
+    lane-axis rebin's candidate stack (cell-local: no routing, overflow
+    follows the bin_overflow policy and is counted on this species).
 
     One kernel per stripe does the full reference hot loop
     (particles.F90:28-565): half-drift, slot rebin (the cell binning the
@@ -502,8 +520,15 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
     n_extra_in = n_extra_out if alias_grown else n_extra
     if qed is not None:
         # (i_od aux-row index, h(eta) log-log polyfit coeffs, fit range,
-        #  c1 = dt·α·√3/(2π·τc), C_eta = coeff·q0·√(τ0/m0))
-        QED_IOD, QED_COEF, QED_LO, QED_HI, QED_C1, QED_CETA = qed
+        #  c1 = dt·α·√3/(2π·τc), C_eta = coeff·q0·√(τ0/m0)[, emit])
+        # optional 7th element = in-kernel EMISSION:
+        #  (chi-fit 2D Chebyshev coeffs, log10-eta fit range lo/hi,
+        #   p-domain max, radiation-reaction flag) — the kernel then
+        #   samples the photon energy itself, applies recoil to the
+        #   written-back momentum, and stores e_ph (not eta) in the
+        #   last extras row for the XLA-side candidate build
+        QED_IOD, QED_COEF, QED_LO, QED_HI, QED_C1, QED_CETA = qed[:6]
+        QED_EMIT = qed[6] if len(qed) > 6 else None
 
     def drift(w, xi0, xi1, p0, p1, p2, *_extras):
         if photon:
@@ -556,6 +581,11 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
             del rest[:3]
         else:
             refw_ref = refxi_ref = refp_ref = None
+        if emit_k:
+            emw_ref, emxi_ref, emp_ref = rest[:3]
+            del rest[:3]
+        else:
+            emw_ref = emxi_ref = emp_ref = None
         wo_ref, xio_ref, po_ref = rest[:3]
         del rest[:3]
         exo_ref = rest.pop(0) if n_extra_out else None
@@ -601,6 +631,7 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                        exi_ref,
                        (we_ref, xie_ref, pe_ref, exe_ref, side_refs),
                        (refw_ref, refxi_ref, refp_ref),
+                       (emw_ref, emxi_ref, emp_ref),
                        f_ref, wo_ref, xio_ref, po_ref, exo_ref, j_ref,
                        nd_ref)
 
@@ -630,10 +661,11 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
 
     def _live_body(i, xo, sh, sd, qon, w_ref, xi_ref, p_ref, exi_ref,
                    halos,
-                   refills, f_ref, wo_ref, xio_ref, po_ref, exo_ref,
-                   j_ref, nd_ref):
+                   refills, emission, f_ref, wo_ref, xio_ref, po_ref,
+                   exo_ref, j_ref, nd_ref):
         we_ref, xie_ref, pe_ref, exe_ref, side_refs = halos
         refw_ref, refxi_ref, refp_ref = refills
+        emw_ref, emxi_ref, emp_ref = emission
         n_sides = 3 if with_window else 2
         # ---- phase 1: half-drift + rebin (particles.F90:234-257 + the
         # reference's implicit cell binning) ----
@@ -767,8 +799,17 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                                  kb[1][0], kb[1][1], gy,
                                  thermal=_mk_thermal(1, sd, i))
             xi0, xi1 = xis
+        ecands = None
+        if emit_k:
+            # photons born this step in the emitter kernels: cell-local
+            # candidates with fresh (zero) aux payload rows
+            ez = [jnp.zeros(emw_ref.shape, dtype)] * n_extra
+            ecands = (emw_ref[:],
+                      [emxi_ref[0], emxi_ref[1],
+                       emp_ref[0], emp_ref[1], emp_ref[2]] + ez)
         w, xi0, xi1, p, ndrop = _axis_rebin(
-            w, xi0, xi1, p, None, None, K, 1, ndrop, merge=merge_of)
+            w, xi0, xi1, p, None, None, K, 1, ndrop, merge=merge_of,
+            extra_cands=ecands)
         nd_ref[0, 0] = nd_ref[0, 0] + ndrop
         extras = p[3:]
         p = p[:3]
@@ -994,9 +1035,57 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
                 uq = _hash_u01(qon[1], i, 301 + r0, w.shape, w.dtype)
                 od_q = jnp.where(od_q <= 0.0,
                                  -jnp.log(1.0 - 0.999999 * uq), od_q)
-                exo_ref[QED_IOD, r0:r1] = od_q - jnp.where(
+                od_out = od_q - jnp.where(
                     alv & (qon[0] > 0), d_od, 0.0)
-                exo_ref[ETA_ROW, r0:r1] = jnp.where(alv, eta_q, 0.0)
+                exo_ref[QED_IOD, r0:r1] = od_out
+                fire_q = e_ph_q = None
+                if QED_EMIT is None:
+                    exo_ref[ETA_ROW, r0:r1] = jnp.where(alv, eta_q, 0.0)
+                else:
+                    # in-kernel photon-energy sample (generate_photon /
+                    # calculate_photon_energy, photons.F90:867-943):
+                    # same Chebyshev fit as qed._sample_chi_fit, on the
+                    # VPU while the gathered fields are hot.  The last
+                    # extras row carries e_ph of this step's fires for
+                    # the XLA candidate build (photon-kernel rebin).
+                    CH_COEFS, CH_LE0, CH_LE1, CH_PMAX, CH_RR = QED_EMIT
+                    LN10 = float(math.log(10.0))
+                    # eta > 0 guards freshly-created pair electrons
+                    # whose rate rows are still zero (od = 0 would
+                    # otherwise read as an instant fire with eta -> 0
+                    # and a divergent e_ph — same guard as the photon
+                    # path's chi_row > 0)
+                    fire_q = alv & (qon[0] > 0) & (od_out <= 0.0) \
+                        & (eta_q > 0.0)
+                    rq = _hash_u01(qon[1], i, 517 + r0, w.shape,
+                                   w.dtype)
+                    lgc = jnp.clip(
+                        jnp.log(jnp.maximum(eta_q, 1e-30)) / LN10,
+                        CH_LE0, CH_LE1)
+                    xnq = (2.0 * (lgc - CH_LE0)
+                           / (CH_LE1 - CH_LE0) - 1.0)
+                    ynq = (2.0 * jnp.minimum(rq, CH_PMAX)
+                           / CH_PMAX - 1.0)
+                    rows_q = []
+                    for row in CH_COEFS:
+                        b1 = jnp.zeros_like(ynq)
+                        b2 = jnp.zeros_like(ynq)
+                        for ck in row[:0:-1]:
+                            b1, b2 = ck + 2.0 * ynq * b1 - b2, b1
+                        rows_q.append(row[0] + ynq * b1 - b2)
+                    b1 = jnp.zeros_like(xnq)
+                    b2 = jnp.zeros_like(xnq)
+                    for ck in rows_q[:0:-1]:
+                        b1, b2 = ck + 2.0 * xnq * b1 - b2, b1
+                    u_fit = rows_q[0] + xnq * b1 - b2
+                    chi_q = jnp.exp(LN10 * (
+                        lgc - float(math.log10(2.0))
+                        + jnp.minimum(u_fit, 0.0)))
+                    e_ph_q = ((2.0 * chi_q
+                               / jnp.maximum(eta_q, 1e-30)) * g_q
+                              * float(const.m0 * const.c ** 2))
+                    e_ph_q = jnp.where(fire_q, e_ph_q, 0.0)
+                    exo_ref[ETA_ROW, r0:r1] = e_ph_q
 
             # Boris rotation (particles.F90:304-350)
             uxm = u[0] + cm * ex_p
@@ -1040,6 +1129,23 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
 
             xi_new = [xi[d] + delta[d] for d in range(nd)]
             p_new = [ux * part_mc, uy * part_mc, uz * part_mc]
+            if qed is not None and QED_EMIT is not None \
+                    and QED_EMIT[4]:
+                # same-pass radiation-reaction recoil on the written-
+                # back momentum (photons.F90 same-pass processing); the
+                # deposit below stays on the un-recoiled trajectory —
+                # recoil affects motion from the NEXT step, exactly as
+                # the XLA tail's post-deposit application did
+                magn = jnp.sqrt(p_new[0] * p_new[0]
+                                + p_new[1] * p_new[1]
+                                + p_new[2] * p_new[2])
+                msafe_q = jnp.maximum(magn, 1e-30)
+                sc_q = jnp.where(
+                    fire_q,
+                    jnp.maximum(magn - e_ph_q * float(1.0 / const.c),
+                                0.0) / msafe_q,
+                    1.0)
+                p_new = [c_ * sc_q for c_ in p_new]
 
         if n_probes:
             # signed end-of-step plane distances at the PRE-BC position
@@ -1245,6 +1351,17 @@ def make_fused_push(K, BX, NY, nxb, plan, sp, dtype, bc=None,
             pl.BlockSpec((1, 3, K, NY), lambda i, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
+    if emit_k:
+        in_specs += [
+            pl.BlockSpec((emit_k, BX, NY), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, emit_k, BX, NY),
+                         lambda i, *_: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, emit_k, BX, NY),
+                         lambda i, *_: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     out_specs = (
         pl.BlockSpec((K, BX, NY), lambda i, *_: (0, i, 0),
                      memory_space=pltpu.VMEM),
@@ -1367,7 +1484,7 @@ class PallasBinned:
                  n_extra=0, probe_specs=(), spmd_axis=None, mesh_n=1,
                  with_refill=False, cull_lo=0, clear_rcol=False,
                  photon=False, move=True, qed=None, sides_out=False,
-                 k=None):
+                 k=None, emit_k=0):
         """``spmd_axis``: mesh axis name when running per-shard inside a
         shard_map over grid-x (parallel/spmd_push.py) — halo columns at
         shard edges then come from lax.ppermute ring exchanges, and the
@@ -1417,6 +1534,7 @@ class PallasBinned:
                                                "1") != "0")
         self.with_refill = with_refill
         self.qed_enabled = qed is not None
+        self.emit_k = emit_k
         self.fused = make_fused_push(
             self.K, self.BX, self.ny, self.nxb, plan, sp, dtype, bc=bc,
             interpret=interpret, with_window=with_window,
@@ -1425,7 +1543,7 @@ class PallasBinned:
             pad_x=self.nx_global - self.nx_real,
             halo_mode=self.halo_mode, with_refill=with_refill,
             cull_lo=cull_lo, clear_rcol=clear_rcol, photon=photon,
-            move=move, qed=qed, sides_out=sides_out)
+            move=move, qed=qed, sides_out=sides_out, emit_k=emit_k)
         # refill staging column (must match make_fused_push RCOL)
         self.rcol = self.nx_real if self.nx_global > self.nx_real else 0
         self.n_halo = 3 if with_window else 2
@@ -1578,7 +1696,7 @@ class PallasBinned:
                      + self.halo_side_arrays(binned.p, 2))
 
     def __call__(self, fwin, binned, shift=None, extra=None, seed=None,
-                 refill=None, qed_on=None, sides=None):
+                 refill=None, qed_on=None, sides=None, emission=None):
         """fwin from make_fwin.  Returns (new binned, jpart, extra_out).
 
         ``shift`` (with_window only): traced int32 scalar, 1 when a
@@ -1650,6 +1768,23 @@ class PallasBinned:
             for r in readers:
                 flags = flags.at[r].max(rlive)
             ins += [rw[None], rxi[None], rp[None]]
+        if self.emit_k:
+            if emission is None:
+                emission = (
+                    jnp.zeros((self.emit_k, self.nx, self.ny),
+                              self.dtype),
+                    jnp.zeros((2, self.emit_k, self.nx, self.ny),
+                              self.dtype),
+                    jnp.zeros((3, self.emit_k, self.nx, self.ny),
+                              self.dtype))
+            ew, exi_c, ep = emission
+            # a stripe receiving freshly-emitted photons is live even
+            # if it held none before (vacuum ahead of the interaction)
+            emax = jnp.max(
+                ew.reshape(self.emit_k, self.nxb, self.BX, self.ny),
+                axis=(0, 2, 3))
+            flags = jnp.maximum(flags, (emax > 0).astype(jnp.int32))
+            ins += [ew, exi_c, ep]
         scal = [flags]
         if self.with_window:
             if shift is None:

@@ -189,6 +189,9 @@ class QEDPlan:
         # per-species map set by the step builder when the fused kernel
         # computes eta + the optical-depth decrement itself
         self.rates_in_kernel = {}
+        # emitters whose kernel also samples chi, applies recoil and
+        # feeds the photon kernel's rebin (emission fully in-kernel)
+        self.emit_in_kernel = {}
         # folded constants for the in-kernel rate math
         # (eta = c_eta · γ · |g|, d_od = c1_per_dt·dt · eta · h / γ)
         lambdac = const.h_bar / (const.m0 * const.c)
@@ -437,6 +440,12 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
         return out.reshape(x_in.shape)
 
     for i in plan.emitters:
+        if plan.emit_in_kernel.get(i):
+            # emission ran fully inside the fused kernel this step:
+            # chi sample + recoil in the emitter kernel, the photon
+            # append through the photon kernel's rebin (step.py feeds
+            # the candidate block) — nothing left to do XLA-side
+            continue
         b = species[i]
         sp_cfg = cfg.species[i]
         key, k1, k2 = jax.random.split(key, 3)
@@ -448,7 +457,12 @@ def _qed_binned(state, cfg, plan: QEDPlan, key):
             # push after the crossing (dt-level latency)
             eta = b.aux[bplan.aux_idx["qed_eta"]]
             od = b.aux[i_od]
-            fire = alive & active & (od <= 0.0)
+            # eta > 0 excludes slots the kernel has not rated yet
+            # (pair-born electrons this step, step-0 uninitialised
+            # rows): od = 0 with eta = 0 would otherwise mass-fire
+            # with a divergent e_ph = 2chi/eta and zero every
+            # momentum (same guard as the photon chi_row > 0 below)
+            fire = alive & active & (od <= 0.0) & (eta > 0.0)
         else:
             u = [b.p[c] / mc0 for c in range(3)]
             gamma = jnp.sqrt(u[0] ** 2 + u[1] ** 2 + u[2] ** 2 + 1.0)

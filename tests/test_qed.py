@@ -592,3 +592,95 @@ def test_chi_sampling_fit_matches_table_inversion():
         assert err[rel].max() < hard_max, (deg, err[rel].max())
         assert err[rel].mean() < hard_mean, (deg, err[rel].mean())
         assert err[~rel].max() < soft_max, (deg, err[~rel].max())
+
+
+EMIT_KERNEL_DECK = """
+begin:control
+  nx = 16
+  ny = 16
+  t_end = 1
+  x_min = 0
+  x_max = 1.6e-5
+  y_min = 0
+  y_max = 1.6e-5
+  bin_headroom = 4
+end:control
+begin:boundaries
+  bc_x_min = periodic
+  bc_x_max = periodic
+  bc_y_min = periodic
+  bc_y_max = periodic
+end:boundaries
+begin:qed
+  use_qed = T
+  qed_start_time = 0
+  produce_photons = T
+  photon_dynamics = T
+  photon_energy_min = 0
+  qed_table_location = {tables}
+end:qed
+begin:species
+  name = Electron
+  charge = -1
+  mass = 1.0
+  number_density = 1e20
+  nparticles_per_cell = 2
+  identify:electron
+end:species
+begin:species
+  name = Photon
+  nparticles = 0
+  identify:photon
+  bin_headroom = 20
+end:species
+begin:output
+  dt_snapshot = 1
+end:output
+"""
+
+
+def test_emission_in_kernel_momentum_book(tmp_path, monkeypatch):
+    """Fully in-kernel emission (chi sample + recoil in the emitter
+    kernel, photons appended through the photon kernel's rebin): in a
+    pure-B field the Boris rotation preserves |p|, so the electrons'
+    total w·|p|c loss must exactly equal the stored photon energy
+    (recoil |p|' = |p| − e_ph/c along the unchanged direction, and
+    photon_energy_min = 0 stores every fire)."""
+    monkeypatch.setenv("EPOCH_TPU_PALLAS", "interpret")
+    (tmp_path / "input.deck").write_text(
+        EMIT_KERNEL_DECK.format(tables=TABLES))
+    sim = Simulation(str(tmp_path / "input.deck"), seed=11)
+    cfg = sim.cfg
+    assert cfg.engine == "binned"
+    assert cfg.qed_plan.emit_in_kernel.get(0), \
+        "in-kernel emission not engaged"
+    st = sim.state
+    el0 = st.species[0]
+    # gamma ~ 2000 electrons moving +x in a strong Bz: eta ~ 0.5
+    gamma = 2000.0
+    p0 = np.sqrt(gamma ** 2 - 1.0) * const.m0 * const.c
+    p = jnp.zeros_like(el0.p).at[0].set(
+        jnp.where(el0.w > 0, p0, 0.0))
+    sp = list(st.species)
+    sp[0] = el0._replace(p=p)
+    st = st._replace(species=tuple(sp))
+    f = st.fields._replace(bz=jnp.full_like(st.fields.bz, 1.0e6))
+    st = st._replace(fields=f)
+
+    def pmagsum(s):
+        m = jnp.sqrt(s.p[0] ** 2 + s.p[1] ** 2 + s.p[2] ** 2)
+        return float(jnp.sum(jnp.where(s.w > 0, s.w * m, 0.0)))
+
+    pm0 = pmagsum(st.species[0])
+    for _ in range(12):
+        st = sim.fns["step_a"](st)._replace(fields=f)
+    el, ph = st.species[0], st.species[1]
+    n_ph = int(jnp.sum(ph.w > 0))
+    assert n_ph > 0, "no photons emitted at eta~0.5"
+    assert int(ph.n_dropped) == 0
+    pm1 = pmagsum(el)
+    ph_e = pmagsum(ph)           # photons: w·|p| with |p| = e_ph/c
+    assert pm0 - pm1 > 0, "no recoil"
+    np.testing.assert_allclose(pm0 - pm1, ph_e, rtol=1e-4)
+    # (no direction assertion: electrons gyrate in Bz, so late fires
+    # legitimately emit with any sign of px)
