@@ -983,7 +983,6 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
     emit_srcs = ()
     if (qp_all is not None and qp_all.produce_photons
             and qp_all.photon_species >= 0
-            and not cfg.species[qp_all.photon_species].immobile
             and not getattr(qp_all, "use_trident", False)
             and spmd_axis is None
             and "qed_eta" in plan.aux_idx
@@ -1061,11 +1060,16 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                             if qp_all is not None
                             and si == qp_all.photon_species else 0)))
         elif sp.immobile:
-            # zero-drift rebin-only kernel under a moving window: exists
-            # purely to consume the pending relabel + swept-boundary
-            # cull so immobile species don't force the rolled (full
-            # slot-state copy per step) window path
-            if with_window and spmd_axis is None and not any(
+            # zero-drift rebin-only kernel: under a moving window it
+            # consumes the pending relabel + swept-boundary cull; as
+            # the in-kernel-emission target (photon_dynamics = F) it
+            # appends the newborn photons through its rebin — either
+            # way immobile species stay off the XLA slot paths
+            emit_here = (emit_srcs
+                         and qp_all is not None
+                         and si == qp_all.photon_species)
+            if (with_window or emit_here) and spmd_axis is None \
+                    and not any(
                     bc not in kernel_bcs or bc in TH
                     for bc in sp.bc_particle[:2 * plan.nd]):
                 from .window import pending_single_shift
@@ -1078,14 +1082,15 @@ def make_pallas_engines(cfg, plan, interpret=None, spmd_axis=None,
                     and wplan["density"] is not None)
                 out.append(PallasBinned(
                     plan, sp, cfg, interpret=interpret,
-                    with_window=True,
+                    with_window=with_window,
                     n_extra=(plan.n_aux if species_uses_aux(cfg, si)
                              else 0),
                     photon=True, move=False, clear_rcol=im_stage,
                     with_refill=im_refill,
                     sides_out=carry and plan.n_aux == 0,
                     cull_lo=(cfg.grid.cpml_thickness if im_stage
-                             else 0), k=k_of(si)))
+                             else 0), k=k_of(si),
+                    emit_k=(emit_k_total if emit_here else 0)))
             else:
                 out.append(None)
         elif any(bc not in kernel_bcs

@@ -347,18 +347,30 @@ def make_step_functions(cfg):
                 new_species[si] = spmd_new[si]
                 continue
             if sp_cfg.immobile:
-                if window_pending_ok and pallas_engines[si] is not None:
-                    # zero-drift rebin-only kernel: consumes the pending
-                    # window relabel + the swept-boundary cull (without
-                    # it any immobile species forces the rolled window
-                    # path, a full slot-state copy per step)
+                # zero-drift rebin-only kernel: consumes the pending
+                # window relabel + swept-boundary cull, and (as the
+                # in-kernel-emission target, photon_dynamics = F)
+                # appends the newborn photons through its rebin
+                if pallas_engines[si] is not None \
+                        and (window_pending_ok or si == emit_target):
                     refill = None
                     if getattr(pallas_engines[si], "with_refill",
                                False) and si < len(state.window_refill):
                         refill = state.window_refill[si]
+                    emission = None
+                    if si == emit_target and emit_cands:
+                        emission = (
+                            jnp.concatenate([c[0] for c in emit_cands],
+                                            axis=0),
+                            jnp.concatenate([c[1] for c in emit_cands],
+                                            axis=1),
+                            jnp.concatenate([c[2] for c in emit_cands],
+                                            axis=1))
                     b, _ji = binmod.push_deposit_pallas(
                         pallas_engines[si], fwin, b, bplan, sp=sp_cfg,
-                        shift=state.window_pending, refill=refill)
+                        shift=(state.window_pending if window_pending_ok
+                               else None),
+                        refill=refill, emission=emission)
                 new_species[si] = b
                 continue
             if sp_cfg.species_type == const.SpeciesType.PHOTON:

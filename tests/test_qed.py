@@ -301,6 +301,10 @@ def test_qed_rates_in_kernel_match_xla(tmp_path, monkeypatch):
 
     def run(mode, steps=1):
         monkeypatch.setenv("EPOCH_TPU_PALLAS", mode)
+        # rates-only configuration: with in-kernel EMISSION the last
+        # extras row carries e_ph, not eta — this test asserts the
+        # rate math, so pin the eta-row semantics
+        monkeypatch.setenv("EPOCH_TPU_EMIT_IN_KERNEL", "0")
         d = tmp_path / mode
         d.mkdir(exist_ok=True)
         (d / "input.deck").write_text(
