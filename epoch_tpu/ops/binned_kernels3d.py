@@ -762,10 +762,11 @@ class PallasBinned3D:
         return ext2[:, :, :self.ny + 2 * M]
 
     def __call__(self, fwin, binned, shift=None, extra=None, seed=None,
-                 refill=None, qed_on=None, sides=None):
+                 refill=None, qed_on=None, sides=None, emission=None):
         """Returns (new binned, jpart, extra_out).
 
-        ``qed_on``/``sides`` exist for call-signature parity with the 2D
+        ``qed_on``/``sides``/``emission`` exist for call-signature
+        parity with the 2D
         PallasBinned (push_deposit_pallas forwards them unconditionally);
         the 3D kernel has no in-kernel QED rates or carried sides yet, so
         both must be None (qed_enabled/sides_out are never set 3D-side)."""
