@@ -12,6 +12,14 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# persistent compilation cache: the 3D QED step graphs take minutes to
+# compile on XLA:CPU — cache them across runs (and xdist workers)
+_cache = os.path.join(os.path.expanduser("~"), ".cache",
+                      "jax_epoch_tests")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 jax.config.update("jax_enable_x64", True)
 try:
     # force CPU even if another plugin initialised first
