@@ -1644,10 +1644,12 @@ def merge_candidates(binned: BinnedSpecies, cand_xi, cand_p, cand_w, plan,
         if cand_aux is None:
             cand_aux = jnp.zeros((na,) + cand_w.shape, cand_w.dtype)
         cax = jnp.concatenate([binned.aux, cand_aux], axis=1)
-    ops = (-cw,) + tuple(cxi[i] for i in range(nd)) \
-        + tuple(cp[i] for i in range(3)) \
-        + (tuple(cax[i] for i in range(na)) if na else ())
-    sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1)
+    from ..ops.slotsort import sort_by_key
+    payloads = [cxi[i] for i in range(nd)] \
+        + [cp[i] for i in range(3)] \
+        + ([cax[i] for i in range(na)] if na else [])
+    skey, sorted_pl = sort_by_key(-cw, payloads)
+    sorted_ops = (skey,) + tuple(sorted_pl)
     live_total = jnp.sum(cw > 0)
     w = -sorted_ops[0][:K]
     xi = jnp.stack([sorted_ops[1 + i][:K] for i in range(nd)])
@@ -1818,13 +1820,16 @@ def rebin(binned: BinnedSpecies, plan, bc=None, key=None,
         cxi = jnp.concatenate(cands_xi, axis=1)             # (nd, 3K, *g)
         cp = jnp.concatenate(cands_p, axis=1)
         cax = jnp.concatenate(cands_aux, axis=1) if na else None
-        # sort directly along the leading slot axis with -w as the key
-        # (live slots w>0 sort first; no separate key operand, one less
-        # payload of HBM traffic through the sort network)
-        ops = (-cw,) + tuple(cxi[i] for i in range(nd)) \
-            + tuple(cp[i] for i in range(3)) \
-            + tuple(cax[i] for i in range(na))
-        sorted_ops = jax.lax.sort(ops, dimension=0, num_keys=1)
+        # compact live-first along the slot axis with -w as the key via
+        # the fused Batcher network (ops/slotsort.py): the whole 3K-row
+        # compaction is one elementwise fusion — lax.sort streamed every
+        # payload through each compare stage
+        from ..ops.slotsort import sort_by_key
+        payloads = [cxi[i] for i in range(nd)] \
+            + [cp[i] for i in range(3)] \
+            + [cax[i] for i in range(na)]
+        skey, sorted_pl = sort_by_key(-cw, payloads)
+        sorted_ops = (skey,) + tuple(sorted_pl)
         live_total = jnp.sum(cw > 0)
         w = -sorted_ops[0][:K]
         xi = jnp.stack([sorted_ops[1 + i][:K] for i in range(nd)])

@@ -120,25 +120,24 @@ class CollisionPlan:
 
 
 def _shuffle_alive_first(b, key):
-    """Per-cell random permutation with live slots packed first (one sort
-    along the slot axis).  Aux rows (optical depths) ride along."""
-    K = b.K
+    """Per-cell random permutation with live slots packed first.  Aux
+    rows (optical depths) ride along.  One fused Batcher network along
+    the slot axis (ops/slotsort.py) — the lax.sort form transposed the
+    slot axis minor and streamed every payload through each compare
+    stage (~10 HBM passes at 128^3 bench shapes)."""
+    from ..ops.slotsort import sort_by_key
     nd = b.xi.shape[0]
     na = 0 if b.aux is None else b.aux.shape[0]
     u = jax.random.uniform(key, b.w.shape, b.w.dtype)
     sort_key = jnp.where(b.w > 0, u, 2.0)       # dead slots last
-    ops = tuple(jnp.moveaxis(a, 0, -1) for a in
-                (sort_key, b.w) + tuple(b.xi[i] for i in range(nd))
-                + tuple(b.p[i] for i in range(3))
-                + tuple(b.aux[i] for i in range(na)))
-    out = jax.lax.sort(ops, dimension=b.w.ndim - 1, num_keys=1)
-    back = [jnp.moveaxis(a, -1, 0) for a in out]
+    payloads = [b.w] + [b.xi[i] for i in range(nd)] \
+        + [b.p[i] for i in range(3)] + [b.aux[i] for i in range(na)]
+    _, out = sort_by_key(sort_key, payloads)
     return b._replace(
-        w=back[1],
-        xi=jnp.stack([back[2 + i] for i in range(nd)]),
-        p=jnp.stack([back[2 + nd + i] for i in range(3)]),
-        aux=(jnp.stack([back[5 + nd + i] for i in range(na)])
-             if na else b.aux),
+        w=out[0],
+        xi=jnp.stack(out[1:1 + nd]),
+        p=jnp.stack(out[1 + nd:4 + nd]),
+        aux=(jnp.stack(out[4 + nd:4 + nd + na]) if na else b.aux),
     )
 
 
@@ -148,21 +147,24 @@ def _cos_chi(s12, r1, xp=jnp):
     r1c = xp.maximum(r1, 5e-9)
     # s < 0.1
     c_a = 1.0 + s12 * xp.log(r1c)
-    # 0.1 <= s < 3
+    # 0.1 <= s < 6 share the form log(exp(-A) + 2 r1 sinh(A)) with
+    # A = min(1/a_inv, 80) below s=3 and A = 3 exp(-s) above: select A
+    # first so the branch pair costs ONE exp + ONE log instead of two
+    # exp/sinh/log sets (the collision pair core is transcendental-
+    # bound on the TPU vector unit; sinh(A) = (e - 1/e)/2 reuses e)
     a_inv = 0.0056958 + (0.9560202 + (-0.508139 + (0.47913906
             + (-0.12788975 + 0.02389567 * s12) * s12) * s12) * s12) * s12
     a = 1.0 / xp.maximum(a_inv, 1e-30)
-    c_b = a_inv * xp.log(xp.exp(-xp.minimum(a, 80.0))
-                         + 2.0 * r1 * xp.sinh(xp.minimum(a, 80.0)))
-    # 3 <= s < 6
-    a2 = 3.0 * xp.exp(-s12)
-    c_c = xp.log(xp.exp(-a2) + 2.0 * r1 * xp.sinh(a2)) \
-        / xp.maximum(a2, 1e-30)
+    aa = xp.where(s12 < 3.0, xp.minimum(a, 80.0), 3.0 * xp.exp(-s12))
+    e = xp.exp(aa)
+    ei = 1.0 / e
+    val = xp.log(ei + r1 * (e - ei))
+    c_bc = xp.where(s12 < 3.0, a_inv * val,
+                    val / xp.maximum(aa, 1e-30))
     # s >= 6: isotropic
     c_d = 2.0 * r1 - 1.0
     cosp = xp.where(s12 < 0.1, c_a,
-           xp.where(s12 < 3.0, c_b,
-           xp.where(s12 < 6.0, c_c, c_d)))
+           xp.where(s12 < 6.0, c_bc, c_d))
     return xp.clip(cosp, -1.0, 1.0)
 
 
@@ -879,10 +881,17 @@ def particle_collisions(state, cfg, plan: CollisionPlan, key):
     dt = cfg.dt
     species = list(state.species)
 
+    # one shuffle per PRIMARY species per pass (collisions.F90:171: the
+    # ispecies secondary lists are shuffled once before the jspecies
+    # loop; partner lists pair in their existing order) — the primary's
+    # random order already randomises every matching it participates in
+    shuffled = set()
     for (i, j, user_factor) in plan.pairs:
-        bi = species[i]
         key, k1, k2, k3, k4 = jax.random.split(key, 5)
-        bi = _shuffle_alive_first(bi, k1)
+        if i not in shuffled:
+            species[i] = _shuffle_alive_first(species[i], k1)
+            shuffled.add(i)
+        bi = species[i]
         m1 = cfg.species[i].mass
         q1 = cfg.species[i].charge
         idens = _cell_density(bi, dvol)
@@ -917,7 +926,10 @@ def particle_collisions(state, cfg, plan: CollisionPlan, key):
             newp = newp.at[:, 1:2 * Kh:2].set(np2)
             species[i] = bi._replace(p=newp)
         else:
-            bj = _shuffle_alive_first(species[j], k4)
+            # partner species pairs in its existing (live-first) order:
+            # the primary's shuffle already randomises the matching
+            # (collisions.F90:218-221 passes the j lists unshuffled)
+            bj = species[j]
             m2 = cfg.species[j].mass
             q2 = cfg.species[j].charge
             jdens = _cell_density(bj, dvol)
